@@ -1,0 +1,191 @@
+"""JPEG decode/encode — native C++ (libjpeg) codec bound via ctypes.
+
+Replaces the reference's vendored CImg header (used only for JPEG IO,
+`/root/reference/heterogeneous_blur.c:19-20,106-137`) with a purpose-built
+native codec (`hipe_tpu/csrc/jpeg_codec.cpp`): decode straight to interleaved
+HWC uint8, batched multithreaded decode for the streaming pipeline, and
+in-memory encode. Builds the shared library on first use; falls back to PIL
+if the native build is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_CSRC = os.path.join(os.path.dirname(__file__), "..", "csrc")
+_SO_PATH = os.path.abspath(os.path.join(_CSRC, "libhipejpeg.so"))
+_SRC_PATH = os.path.abspath(os.path.join(_CSRC, "jpeg_codec.cpp"))
+
+_lib = None
+_lib_lock = threading.Lock()
+_native_failed = False
+
+
+def _build_native() -> bool:
+    cmd = [
+        "g++", "-O2", "-shared", "-fPIC", "-o", _SO_PATH, _SRC_PATH,
+        "-ljpeg", "-lpthread",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def _load() -> ctypes.CDLL | None:
+    """Load (building if needed) the native codec; None if unavailable."""
+    global _lib, _native_failed
+    if _lib is not None or _native_failed:
+        return _lib
+    with _lib_lock:
+        if _lib is not None or _native_failed:
+            return _lib
+        if not os.path.exists(_SO_PATH) or os.path.getmtime(
+            _SO_PATH
+        ) < os.path.getmtime(_SRC_PATH):
+            if not _build_native():
+                _native_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            _native_failed = True
+            return None
+        u8p = ctypes.POINTER(ctypes.c_ubyte)
+        lib.hipe_jpeg_dims.argtypes = [
+            u8p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.hipe_jpeg_dims.restype = ctypes.c_int
+        lib.hipe_jpeg_decode.argtypes = [
+            u8p, ctypes.c_size_t, u8p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.hipe_jpeg_decode.restype = ctypes.c_int
+        lib.hipe_jpeg_encode.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            u8p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.hipe_jpeg_encode.restype = ctypes.c_int
+        lib.hipe_jpeg_decode_batch.argtypes = [
+            ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_size_t), ctypes.c_int,
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.hipe_jpeg_decode_batch.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def _as_u8p(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+
+
+def decode_bytes(data: bytes) -> np.ndarray:
+    """Decode a JPEG byte string to HWC uint8 (interleaved RGB or grayscale)."""
+    lib = _load()
+    if lib is None:
+        return _pil_decode(data)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    c = ctypes.c_int()
+    if lib.hipe_jpeg_dims(_as_u8p(buf), buf.size, w, h, c) != 0:
+        raise ValueError("invalid JPEG header")
+    out = np.empty((h.value, w.value, c.value), dtype=np.uint8)
+    rc = lib.hipe_jpeg_decode(_as_u8p(buf), buf.size, _as_u8p(out),
+                              w.value, h.value, c.value)
+    if rc != 0:
+        raise ValueError(f"JPEG decode failed (rc={rc})")
+    return out
+
+
+def decode_file(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        return decode_bytes(f.read())
+
+
+def decode_batch(datas: list[bytes], num_threads: int | None = None) -> np.ndarray:
+    """Decode same-shaped JPEGs concurrently into one (B, H, W, C) batch."""
+    if not datas:
+        raise ValueError("empty batch")
+    lib = _load()
+    if lib is None:
+        return np.stack([_pil_decode(d) for d in datas])
+    first = decode_bytes(datas[0])
+    h, w, c = first.shape
+    out = np.empty((len(datas), h, w, c), dtype=np.uint8)
+    out[0] = first
+    if len(datas) > 1:
+        bufs = [np.frombuffer(d, dtype=np.uint8) for d in datas[1:]]
+        arr_t = ctypes.POINTER(ctypes.c_ubyte) * len(bufs)
+        ptrs = arr_t(*[_as_u8p(b) for b in bufs])
+        lens = (ctypes.c_size_t * len(bufs))(*[b.size for b in bufs])
+        nt = num_threads or min(os.cpu_count() or 1, len(bufs))
+        fails = lib.hipe_jpeg_decode_batch(
+            ptrs, lens, len(bufs), _as_u8p(out[1:]), w, h, c, nt
+        )
+        if fails:
+            raise ValueError(f"{fails} images failed to decode")
+    return out
+
+
+def encode_bytes(img: np.ndarray, quality: int = 90) -> bytes:
+    """Encode HWC uint8 to JPEG bytes."""
+    assert img.dtype == np.uint8 and img.ndim == 3
+    lib = _load()
+    if lib is None:
+        return _pil_encode(img, quality)
+    img = np.ascontiguousarray(img)
+    h, w, c = img.shape
+    cap = ctypes.c_size_t(w * h * c + 65536)
+    out = np.empty(cap.value, dtype=np.uint8)
+    out_len = ctypes.c_size_t()
+    rc = lib.hipe_jpeg_encode(_as_u8p(img), w, h, c, quality, _as_u8p(out),
+                              cap, out_len)
+    if rc != 0:
+        raise ValueError(f"JPEG encode failed (rc={rc})")
+    return bytes(out[: out_len.value].tobytes())
+
+
+def encode_file(img: np.ndarray, path: str, quality: int = 90) -> None:
+    with open(path, "wb") as f:
+        f.write(encode_bytes(img, quality))
+
+
+# ---- PIL fallbacks (environments without g++/libjpeg) ----
+
+def _pil_decode(data: bytes) -> np.ndarray:
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(data))
+    if img.mode not in ("RGB", "L"):
+        img = img.convert("RGB")
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
+def _pil_encode(img: np.ndarray, quality: int) -> bytes:
+    import io
+
+    from PIL import Image
+
+    mode = "L" if img.shape[2] == 1 else "RGB"
+    pimg = Image.fromarray(img.squeeze(-1) if mode == "L" else img, mode)
+    buf = io.BytesIO()
+    pimg.save(buf, format="JPEG", quality=quality)
+    return buf.getvalue()

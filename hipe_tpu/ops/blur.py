@@ -1,0 +1,183 @@
+"""Integer-exact image filters on the XLA path.
+
+These are the jnp/XLA implementations of the reference's device kernel
+(`/root/reference/gaussian_kernel.cl:19-72`) and its extensions. All ops are:
+
+- channel-independent (the reference kernel loops channels independently,
+  `gaussian_kernel.cl:44`), so they work on any layout where H and W are
+  identifiable axes — NHWC, HWC, planar (N, H, W), etc.;
+- integer-exact: uint8 in, int32 accumulate, shift/clamp, uint8 out. This is
+  bit-identical to the reference's fp32-accumulate + truncating-cast (see
+  `hipe_tpu.ops.reference` for the argument and tests for the proof);
+- clamp-to-edge at borders (`gaussian_kernel.cl:56-57`);
+- static-shaped and fully fusible by XLA: each filter lowers to a handful of
+  shifted adds that XLA fuses into one HBM-bandwidth-bound loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from hipe_tpu.ops.reference import binomial_taps as _np_binomial_taps
+
+
+def binomial_taps(radius: int) -> tuple[tuple[int, ...], int]:
+    """Integer binomial taps and per-axis shift (see ops.reference)."""
+    taps, shift = _np_binomial_taps(radius)
+    return tuple(int(t) for t in taps), shift
+
+
+def _edge_pad_axis(x: jax.Array, axis: int, lo: int, hi: int) -> jax.Array:
+    """Pad `x` along `axis` by replicating the edge slices (clamp-to-edge)."""
+    parts = []
+    if lo:
+        first = lax.slice_in_dim(x, 0, 1, axis=axis)
+        parts.append(jnp.repeat(first, lo, axis=axis))
+    parts.append(x)
+    if hi:
+        n = x.shape[axis]
+        last = lax.slice_in_dim(x, n - 1, n, axis=axis)
+        parts.append(jnp.repeat(last, hi, axis=axis))
+    return jnp.concatenate(parts, axis=axis) if len(parts) > 1 else x
+
+
+def _conv1d(x: jax.Array, axis: int, taps: Sequence[int], pad: bool) -> jax.Array:
+    """1-D integer correlation along `axis`.
+
+    With ``pad=True`` uses clamp-to-edge padding (output length == input
+    length). With ``pad=False`` computes the 'valid' interior (output length
+    == input - 2*radius) — used when halo rows are already present.
+    """
+    r = (len(taps) - 1) // 2
+    xp = _edge_pad_axis(x, axis, r, r) if pad else x
+    n = xp.shape[axis] - 2 * r
+    acc = None
+    for j, t in enumerate(taps):
+        sl = lax.slice_in_dim(xp, j, j + n, axis=axis)
+        term = sl if t == 1 else sl * t
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def gaussian_blur(
+    x: jax.Array,
+    radius: int = 1,
+    *,
+    h_axis: int = -3,
+    w_axis: int = -2,
+    h_pad: bool = True,
+) -> jax.Array:
+    """Separable binomial Gaussian blur, integer-exact.
+
+    radius=1 reproduces the reference 3x3 kernel bit-for-bit
+    (`gaussian_kernel.cl:36-41,70`); radius 2/4 are the 5x5/9x9 separable
+    variants. Default axes assume channels-last layouts (..., H, W, C).
+
+    ``h_pad=False`` treats the H axis as already halo-padded by `radius` rows
+    on each side (the row-split path, mirroring `split_image_blur.c:144-173`):
+    no H clamp is applied and the output has ``H - 2*radius`` rows.
+    """
+    assert x.dtype == jnp.uint8
+    taps, shift = binomial_taps(radius)
+    acc = x.astype(jnp.int32)
+    acc = _conv1d(acc, w_axis if w_axis >= 0 else w_axis + x.ndim, taps, pad=True)
+    acc = _conv1d(acc, h_axis if h_axis >= 0 else h_axis + x.ndim, taps, pad=h_pad)
+    return (acc >> (2 * shift)).astype(jnp.uint8)
+
+
+def gaussian_blur3x3(x: jax.Array, **kw) -> jax.Array:
+    """The reference kernel: 3x3 binomial blur (`gaussian_kernel.cl:19-72`)."""
+    return gaussian_blur(x, radius=1, **kw)
+
+
+def gaussian_blur_planar(x: jax.Array, radius: int = 1, *, h_pad: bool = True):
+    """Blur for planar layouts (..., H, W) — one plane per (image, channel)."""
+    return gaussian_blur(x, radius, h_axis=-2, w_axis=-1, h_pad=h_pad)
+
+
+def _stencil3x3(x: jax.Array, h_axis: int, w_axis: int, h_pad: bool):
+    """Return the 9 int32 shifted views of x for a 3x3 stencil."""
+    h_axis = h_axis if h_axis >= 0 else h_axis + x.ndim
+    w_axis = w_axis if w_axis >= 0 else w_axis + x.ndim
+    xi = x.astype(jnp.int32)
+    xp = _edge_pad_axis(xi, w_axis, 1, 1)
+    if h_pad:
+        xp = _edge_pad_axis(xp, h_axis, 1, 1)
+    hn = xp.shape[h_axis] - 2
+    wn = xp.shape[w_axis] - 2
+
+    def view(dy, dx):
+        v = lax.slice_in_dim(xp, dy, dy + hn, axis=h_axis)
+        return lax.slice_in_dim(v, dx, dx + wn, axis=w_axis)
+
+    return view
+
+
+def sharpen3x3(
+    x: jax.Array, *, h_axis: int = -3, w_axis: int = -2, h_pad: bool = True
+) -> jax.Array:
+    """Unsharp 3x3 [[0,-1,0],[-1,5,-1],[0,-1,0]], saturating uint8 store."""
+    assert x.dtype == jnp.uint8
+    v = _stencil3x3(x, h_axis, w_axis, h_pad)
+    out = 5 * v(1, 1) - v(0, 1) - v(2, 1) - v(1, 0) - v(1, 2)
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+def sobel_edge(
+    x: jax.Array, *, h_axis: int = -3, w_axis: int = -2, h_pad: bool = True
+) -> jax.Array:
+    """Sobel |gx|+|gy| edge magnitude, per channel, saturating uint8 store."""
+    assert x.dtype == jnp.uint8
+    v = _stencil3x3(x, h_axis, w_axis, h_pad)
+    gx = (v(0, 2) + 2 * v(1, 2) + v(2, 2)) - (v(0, 0) + 2 * v(1, 0) + v(2, 0))
+    gy = (v(2, 0) + 2 * v(2, 1) + v(2, 2)) - (v(0, 0) + 2 * v(0, 1) + v(0, 2))
+    return jnp.clip(jnp.abs(gx) + jnp.abs(gy), 0, 255).astype(jnp.uint8)
+
+
+# Registry of named filter ops. Each op maps uint8 -> uint8 and accepts
+# (h_axis, w_axis, h_pad) kwargs; chains quantize to uint8 between stages.
+FILTERS = {
+    "gaussian3": gaussian_blur3x3,
+    "gaussian5": functools.partial(gaussian_blur, radius=2),
+    "gaussian9": functools.partial(gaussian_blur, radius=4),
+    "sharpen": sharpen3x3,
+    "edge": sobel_edge,
+}
+
+# Halo rows each filter needs on each side of its H slice (== stencil radius).
+FILTER_RADIUS = {
+    "gaussian3": 1,
+    "gaussian5": 2,
+    "gaussian9": 4,
+    "sharpen": 1,
+    "edge": 1,
+}
+
+
+def filter_chain(
+    x: jax.Array,
+    names: Sequence[str],
+    *,
+    h_axis: int = -3,
+    w_axis: int = -2,
+    h_pad: bool = True,
+) -> jax.Array:
+    """Apply named filters sequentially (uint8 quantization between stages).
+
+    With ``h_pad=False`` the input must carry ``chain_radius(names)`` halo
+    rows per side; each stage consumes its own radius, so the output is the
+    valid interior — the row-split execution mode for chains.
+    """
+    for name in names:
+        x = FILTERS[name](x, h_axis=h_axis, w_axis=w_axis, h_pad=h_pad)
+    return x
+
+
+def chain_radius(names: Sequence[str]) -> int:
+    """Total halo each side needed to run a chain 'valid' over split rows."""
+    return sum(FILTER_RADIUS[n] for n in names)

@@ -1,0 +1,160 @@
+"""Pallas TPU kernels for the hot filter ops.
+
+The reference's device kernel (`/root/reference/gaussian_kernel.cl:19-72`) is a
+one-work-item-per-pixel OpenCL kernel. The TPU-native redesign is VMEM-tiled:
+each grid step DMAs a block of whole image *planes* (one (image, channel)
+plane = one (H, W) uint8 tile) from HBM into VMEM, runs the integer stencil on
+the VPU, and writes the uint8 result back — Mosaic double-buffers the
+block DMAs automatically, so the kernel streams at HBM bandwidth.
+
+Layout: planar (N, H, W) uint8 where N = batch * channels. Channels are
+independent in every filter (the reference loops channels independently,
+`gaussian_kernel.cl:44`), so planes are the natural unit of TPU tiling —
+(H, W) maps directly onto (sublane, lane) tiles, and x/y stencil shifts are
+lane/sublane shifts instead of the strided interleaved-RGB indexing the
+OpenCL kernel uses (`gaussian_kernel.cl:60`).
+
+Numerics: identical to :mod:`hipe_tpu.ops.blur` — int32 accumulate,
+``>> 2*shift`` truncation (bit-identical to the reference's fp32 accumulate +
+truncating uint8 cast, see :mod:`hipe_tpu.ops.reference`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hipe_tpu.ops.blur import binomial_taps
+
+
+def _edge_pad(x: jax.Array, axis: int, r: int) -> jax.Array:
+    """Clamp-to-edge pad by r along `axis`, Mosaic-friendly (concat only)."""
+    n = x.shape[axis]
+    first = lax.slice_in_dim(x, 0, 1, axis=axis)
+    last = lax.slice_in_dim(x, n - 1, n, axis=axis)
+    return jnp.concatenate([first] * r + [x] + [last] * r, axis=axis)
+
+
+def _conv1d(x: jax.Array, axis: int, taps: Sequence[int], pad: bool) -> jax.Array:
+    r = (len(taps) - 1) // 2
+    xp = _edge_pad(x, axis, r) if pad else x
+    n = xp.shape[axis] - 2 * r
+    acc = None
+    for j, t in enumerate(taps):
+        sl = lax.slice_in_dim(xp, j, j + n, axis=axis)
+        term = sl if t == 1 else sl * t
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _blur_kernel(x_ref, o_ref, *, taps: tuple, shift: int, h_pad: bool):
+    x = x_ref[:].astype(jnp.int32)
+    acc = _conv1d(x, axis=2, taps=taps, pad=True)  # W (lanes)
+    acc = _conv1d(acc, axis=1, taps=taps, pad=h_pad)  # H (sublanes)
+    o_ref[:] = (acc >> (2 * shift)).astype(jnp.uint8)
+
+
+def _pick_block_planes(n: int, h: int, w: int, budget_bytes: int = 6 * 2**20) -> int:
+    """Largest divisor of n whose int32 working set fits the VMEM budget."""
+    # Working set per plane ≈ uint8 in + uint8 out + ~2 int32 temps.
+    per_plane = h * w * (1 + 1 + 8)
+    cap = max(1, budget_bytes // per_plane)
+    best = 1
+    for k in range(1, min(n, cap) + 1):
+        if n % k == 0:
+            best = k
+    return best
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius", "h_pad", "block_planes", "interpret")
+)
+def gaussian_blur_planar_pallas(
+    x: jax.Array,
+    radius: int = 1,
+    *,
+    h_pad: bool = True,
+    block_planes: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas TPU separable binomial blur over planar (N, H, W) uint8.
+
+    radius=1 is the reference 3x3 kernel (`gaussian_kernel.cl:36-41`);
+    ``h_pad=False`` assumes halo rows are present along H and returns the
+    valid interior (H - 2*radius rows) — the row-split mode.
+    """
+    assert x.dtype == jnp.uint8 and x.ndim == 3
+    taps, shift = binomial_taps(radius)
+    n, h, w = x.shape
+    k = block_planes or _pick_block_planes(n, h, w)
+    assert n % k == 0, (n, k)
+    out_h = h - 2 * radius if not h_pad else h
+    kernel = functools.partial(_blur_kernel, taps=taps, shift=shift, h_pad=h_pad)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // k,),
+        in_specs=[
+            pl.BlockSpec((k, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (k, out_h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, out_h, w), jnp.uint8),
+        interpret=interpret,
+    )(x)
+
+
+def _chain_kernel(x_ref, o_ref, *, names: tuple, h_pad: bool):
+    # Fused multi-filter chain: every stage stays in VMEM/registers; only the
+    # uint8 input and final uint8 output touch HBM.
+    from hipe_tpu.ops import blur as xblur
+
+    x = x_ref[:]
+    for name in names:
+        x = xblur.FILTERS[name](x, h_axis=1, w_axis=2, h_pad=h_pad)
+    o_ref[:] = x
+
+
+@functools.partial(
+    jax.jit, static_argnames=("names", "h_pad", "block_planes", "interpret")
+)
+def filter_chain_planar_pallas(
+    x: jax.Array,
+    names: tuple,
+    *,
+    h_pad: bool = True,
+    block_planes: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused filter chain (e.g. blur->sharpen->edge) in one VMEM round-trip.
+
+    The XLA path re-materializes each stage's uint8 output in HBM; this
+    kernel keeps intermediate stages on-chip, cutting HBM traffic to
+    1 read + 1 write for the whole chain.
+    """
+    from hipe_tpu.ops.blur import chain_radius
+
+    assert x.dtype == jnp.uint8 and x.ndim == 3
+    n, h, w = x.shape
+    k = block_planes or _pick_block_planes(n, h, w)
+    assert n % k == 0, (n, k)
+    out_h = h - 2 * chain_radius(names) if not h_pad else h
+    kernel = functools.partial(_chain_kernel, names=tuple(names), h_pad=h_pad)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // k,),
+        in_specs=[
+            pl.BlockSpec((k, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (k, out_h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, out_h, w), jnp.uint8),
+        interpret=interpret,
+    )(x)

@@ -1,0 +1,15 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The reference validated multi-device behavior using the always-available CPU
+OpenCL device (SURVEY.md §4); the TPU-world analog is XLA's virtual host
+devices. This must run before jax is imported anywhere in the test process.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"

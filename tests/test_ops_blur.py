@@ -1,0 +1,86 @@
+"""XLA-path filters vs the NumPy oracle: bit-exact across layouts/radii."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hipe_tpu.ops import blur as xblur
+from hipe_tpu.ops import reference as oracle
+from hipe_tpu.utils.images import checker_image, hwc_to_planar, planar_to_hwc
+
+
+@pytest.mark.parametrize("radius", [1, 2, 4])
+@pytest.mark.parametrize("shape", [(32, 32, 3), (31, 45, 3), (240, 320, 3)])
+def test_gaussian_blur_hwc_bit_exact(radius, shape):
+    img = checker_image(*shape, seed=radius)
+    got = np.asarray(xblur.gaussian_blur(jnp.asarray(img), radius))
+    np.testing.assert_array_equal(got, oracle.gaussian_blur_int_oracle(img, radius))
+
+
+def test_gaussian_blur_batched_nhwc():
+    batch = np.stack([checker_image(24, 40, 3, seed=s) for s in range(4)])
+    got = np.asarray(xblur.gaussian_blur3x3(jnp.asarray(batch)))
+    want = np.stack([oracle.gaussian_blur_int_oracle(b) for b in batch])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_gaussian_blur_planar_layout():
+    batch = np.stack([checker_image(32, 32, 3, seed=s) for s in range(2)])
+    planes = hwc_to_planar(batch)
+    got = planar_to_hwc(
+        np.asarray(xblur.gaussian_blur_planar(jnp.asarray(planes))), 3
+    )
+    want = np.stack([oracle.gaussian_blur_int_oracle(b) for b in batch])
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("radius", [1, 2])
+def test_halo_mode_matches_padded_interior(radius):
+    """h_pad=False over a slab with halo rows == unsplit blur interior rows."""
+    img = checker_image(40, 32, 3, seed=7)
+    want = oracle.gaussian_blur_int_oracle(img, radius)
+    lo, hi = 10, 30  # output rows we want
+    slab = img[lo - radius : hi + radius]  # with halo
+    got = np.asarray(
+        xblur.gaussian_blur(jnp.asarray(slab), radius, h_pad=False)
+    )
+    np.testing.assert_array_equal(got, want[lo:hi])
+
+
+def test_sharpen_and_edge_match_oracle():
+    img = checker_image(30, 30, 3, seed=9)
+    np.testing.assert_array_equal(
+        np.asarray(xblur.sharpen3x3(jnp.asarray(img))),
+        oracle.sharpen3x3_oracle(img),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(xblur.sobel_edge(jnp.asarray(img))),
+        oracle.sobel_edge_oracle(img),
+    )
+
+
+def test_filter_chain_matches_sequential_oracle():
+    img = checker_image(30, 30, 3, seed=11)
+    got = np.asarray(
+        xblur.filter_chain(jnp.asarray(img), ("gaussian3", "sharpen", "edge"))
+    )
+    want = oracle.sobel_edge_oracle(
+        oracle.sharpen3x3_oracle(oracle.gaussian_blur_int_oracle(img))
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_filter_chain_halo_mode():
+    img = checker_image(48, 32, 3, seed=13)
+    names = ("gaussian3", "sharpen", "edge")
+    r = xblur.chain_radius(names)
+    want = oracle.sobel_edge_oracle(
+        oracle.sharpen3x3_oracle(oracle.gaussian_blur_int_oracle(img))
+    )
+    lo, hi = 12, 36
+    slab = img[lo - r : hi + r]
+    got = np.asarray(
+        xblur.filter_chain(jnp.asarray(slab), names, h_pad=False)
+    )
+    np.testing.assert_array_equal(got, want[lo:hi])
