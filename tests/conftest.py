@@ -2,7 +2,9 @@
 
 The reference validated multi-device behavior using the always-available CPU
 OpenCL device (SURVEY.md §4); the TPU-world analog is XLA's virtual host
-devices. This must run before jax is imported anywhere in the test process.
+devices. XLA_FLAGS must be set before jax initializes its backends; the
+platform choice is forced through jax.config because the environment's TPU
+plugin overrides the JAX_PLATFORMS env var at interpreter start.
 """
 
 import os
@@ -13,3 +15,7 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,69 @@
+"""Pallas TPU kernels vs the oracle (interpreter mode on the CPU mesh)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hipe_tpu.ops import pallas_blur
+from hipe_tpu.ops import reference as oracle
+from hipe_tpu.utils.images import checker_image, hwc_to_planar, planar_to_hwc
+
+
+def _batch(n=2, h=32, w=128, c=3):
+    return np.stack([checker_image(h, w, c, seed=s) for s in range(n)])
+
+
+@pytest.mark.parametrize("radius", [1, 2])
+def test_pallas_blur_bit_exact(radius):
+    batch = _batch()
+    planes = hwc_to_planar(batch)
+    got = pallas_blur.gaussian_blur_planar_pallas(
+        jnp.asarray(planes), radius, interpret=True
+    )
+    got = planar_to_hwc(np.asarray(got), 3)
+    want = np.stack([oracle.gaussian_blur_int_oracle(b, radius) for b in batch])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_blur_multiplane_blocks():
+    batch = _batch(n=4)
+    planes = hwc_to_planar(batch)  # 12 planes
+    got = pallas_blur.gaussian_blur_planar_pallas(
+        jnp.asarray(planes), 1, block_planes=4, interpret=True
+    )
+    got = planar_to_hwc(np.asarray(got), 3)
+    want = np.stack([oracle.gaussian_blur_int_oracle(b) for b in batch])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_blur_halo_mode():
+    img = checker_image(48, 128, 3, seed=5)
+    want = oracle.gaussian_blur_int_oracle(img)
+    lo, hi = 8, 40
+    slab = img[lo - 1 : hi + 1]
+    planes = hwc_to_planar(slab[None])
+    got = pallas_blur.gaussian_blur_planar_pallas(
+        jnp.asarray(planes), 1, h_pad=False, interpret=True
+    )
+    got = planar_to_hwc(np.asarray(got), 3)[0]
+    np.testing.assert_array_equal(got, want[lo:hi])
+
+
+def test_pallas_filter_chain_fused():
+    batch = _batch(n=2)
+    planes = hwc_to_planar(batch)
+    names = ("gaussian3", "sharpen", "edge")
+    got = pallas_blur.filter_chain_planar_pallas(
+        jnp.asarray(planes), names, interpret=True
+    )
+    got = planar_to_hwc(np.asarray(got), 3)
+    want = np.stack(
+        [
+            oracle.sobel_edge_oracle(
+                oracle.sharpen3x3_oracle(oracle.gaussian_blur_int_oracle(b))
+            )
+            for b in batch
+        ]
+    )
+    np.testing.assert_array_equal(got, want)

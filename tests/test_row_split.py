@@ -1,0 +1,78 @@
+"""Row-split + halo exchange over an 8-device mesh == unsplit output.
+
+The reference's seam-correctness property (SURVEY.md §3.2), generalized to N
+shards / halo=radius, verified on the virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hipe_tpu.ops import reference as oracle
+from hipe_tpu.parallel import mesh as meshlib
+from hipe_tpu.parallel.row_split import make_row_split_fn
+from hipe_tpu.utils.images import checker_image
+
+
+def _mesh(n):
+    return meshlib.make_mesh(n, axis=meshlib.ROW_AXIS)
+
+
+@pytest.mark.parametrize("n_shards", [1, 2, 4, 8])
+def test_row_split_blur_seam_exact(n_shards):
+    mesh = _mesh(n_shards)
+    batch = np.stack([checker_image(64, 48, 3, seed=s) for s in range(2)])
+    fn = make_row_split_fn(mesh, ("gaussian3",))
+    got = np.asarray(fn(jnp.asarray(batch)))
+    want = np.stack([oracle.gaussian_blur_int_oracle(b) for b in batch])
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("radius", [2, 4])
+def test_row_split_large_radius(radius):
+    mesh = _mesh(4)
+    batch = np.stack([checker_image(64, 48, 3, seed=7)])
+    name = {2: "gaussian5", 4: "gaussian9"}[radius]
+    fn = make_row_split_fn(mesh, (name,))
+    got = np.asarray(fn(jnp.asarray(batch)))
+    want = np.stack(
+        [oracle.gaussian_blur_int_oracle(b, radius) for b in batch]
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_row_split_filter_chain():
+    mesh = _mesh(4)
+    batch = np.stack([checker_image(64, 48, 3, seed=3)])
+    fn = make_row_split_fn(mesh, ("gaussian3", "sharpen", "edge"))
+    got = np.asarray(fn(jnp.asarray(batch)))
+    want = np.stack(
+        [
+            oracle.sobel_edge_oracle(
+                oracle.sharpen3x3_oracle(oracle.gaussian_blur_int_oracle(b))
+            )
+            for b in batch
+        ]
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_row_split_thin_shards():
+    """Shards as thin as the radius still produce exact seams."""
+    mesh = _mesh(8)
+    batch = np.stack([checker_image(16, 48, 3, seed=1)])  # 2 rows per shard
+    fn = make_row_split_fn(mesh, ("gaussian3",))
+    got = np.asarray(fn(jnp.asarray(batch)))
+    want = np.stack([oracle.gaussian_blur_int_oracle(b) for b in batch])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_row_split_dp_2d_mesh():
+    """Combined DP x row-split over a 2-D (data=2, rows=4) mesh."""
+    mesh = meshlib.make_mesh_2d(2, 4)
+    batch = np.stack([checker_image(32, 48, 3, seed=s) for s in range(4)])
+    fn = make_row_split_fn(mesh, ("gaussian3",), batch_axis=meshlib.DATA_AXIS)
+    got = np.asarray(fn(jnp.asarray(batch)))
+    want = np.stack([oracle.gaussian_blur_int_oracle(b) for b in batch])
+    np.testing.assert_array_equal(got, want)
