@@ -1,0 +1,154 @@
+"""Command-line interface, mirroring the reference programs.
+
+Reference usage (`/root/reference/README.md:41-63`):
+    ./heterogeneous_blur [cpu|gpu|both] [gpu_ratio] [batch_size]
+    ./split_image_blur [gpu_ratio] [batch_size]
+
+Here:
+    python -m hipe_tpu.cli approach1 [both|cpu|gpu|tpu] [gpu_ratio] [batch]
+    python -m hipe_tpu.cli approach2 [gpu_ratio] [batch]
+
+('gpu' is accepted as an alias for the accelerator lane — the TPU.) Invalid
+ratio/batch values warn and fall back to the defaults, exactly like the
+reference parser (`heterogeneous_blur.c:52-86`). Extra, TPU-era options are
+flags so the positional grammar stays reference-compatible.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import sys
+
+import numpy as np
+
+from hipe_tpu.parallel import mesh as meshlib
+from hipe_tpu.parallel import partitioner as pt
+from hipe_tpu.profiling.report import CSV_COLUMNS, to_csv_row
+from hipe_tpu.runtime.engine import Engine, EngineConfig
+from hipe_tpu.utils.images import DEFAULT_IMAGE_320
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="hipe_tpu", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    sub = p.add_subparsers(dest="approach", required=True)
+
+    a1 = sub.add_parser("approach1", help="image-level distribution")
+    a1.add_argument("mode", nargs="?", default="both",
+                    choices=["both", "cpu", "gpu", "tpu"])
+    a1.add_argument("gpu_ratio", nargs="?", type=float,
+                    default=pt.DEFAULT_RATIO)
+    a1.add_argument("batch_size", nargs="?", type=int,
+                    default=pt.DEFAULT_BATCH)
+
+    a2 = sub.add_parser("approach2", help="split-image distribution")
+    a2.add_argument("gpu_ratio", nargs="?", type=float,
+                    default=pt.DEFAULT_RATIO)
+    a2.add_argument("batch_size", nargs="?", type=int,
+                    default=pt.DEFAULT_BATCH)
+    a2.add_argument("--save-output", default=None, metavar="PATH",
+                    help="save reassembled batch-0 image (SAVE_IMAGE analog)")
+
+    for sp in (a1, a2):
+        sp.add_argument("--image", default=DEFAULT_IMAGE_320,
+                        help="input JPEG (default: the reference 320x240)")
+        sp.add_argument("--num-images", type=int, default=pt.NUM_IMAGES)
+        sp.add_argument("--pipeline", default="blur3",
+                        help="blur3|blur5|blur9|sharpen|edge|chain or "
+                             "comma-separated filter names")
+        sp.add_argument("--accel-path", default="pallas",
+                        choices=["pallas", "xla"])
+        sp.add_argument("--no-profile", action="store_true",
+                        help="skip stage timing (async fast path)")
+        sp.add_argument("--csv", default=None, metavar="PATH",
+                        help="append a per_run.csv-schema row")
+        sp.add_argument("--run-index", type=int, default=1)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    approach = 1 if args.approach == "approach1" else 2
+    mode = getattr(args, "mode", "both")
+    pipeline = (
+        tuple(args.pipeline.split(","))
+        if "," in args.pipeline
+        else args.pipeline
+    )
+
+    cfg = EngineConfig(
+        approach=approach,
+        mode=mode,
+        gpu_ratio=args.gpu_ratio,
+        batch_size=args.batch_size,
+        num_images=args.num_images,
+        pipeline=pipeline,
+        profile=not args.no_profile,
+        accel_path=args.accel_path,
+        save_output=getattr(args, "save_output", None),
+        verbose=True,
+    ).validate()
+
+    name = "HETEROGENEOUS" if approach == 1 else "SPLIT-IMAGE"
+    print(f"========== {name} CONFIGURATION ==========")
+    print(f"Input file: {args.image}")
+    print(f"Number of images in stream: {cfg.num_images}")
+    print(f"Batch size: {cfg.batch_size} images")
+    print(f"Number of batches: {pt.num_batches(cfg.num_images, cfg.batch_size)}")
+    print(f"Pipeline: {cfg.pipeline}")
+    if approach == 1:
+        print(f"Mode: {cfg.mode}")
+        print(f"TPU ratio: {cfg.gpu_ratio * 100:.1f}% TPU, "
+              f"{(1 - cfg.gpu_ratio) * 100:.1f}% CPU")
+    else:
+        print(f"TPU ratio: {cfg.gpu_ratio * 100:.1f}% (rows to TPU)")
+    print("================================================\n")
+
+    from hipe_tpu.io_.jpeg import decode_file
+
+    image = decode_file(args.image)
+    h, w, c = image.shape
+    print(f"Original image loaded: {w}x{h}, {c} channels")
+    print(f"Size of one image: {image.nbytes} bytes "
+          f"({image.nbytes / 1024.0:.2f} KB)\n")
+
+    print(meshlib.discover().describe())
+
+    if approach == 2:
+        rs = pt.row_split(h, cfg.gpu_ratio, halo=1)
+        print("\nSplit configuration:")
+        print(f"  Split row: {rs.split_row} (CPU: rows 0-{rs.split_row - 1}, "
+              f"TPU: rows {rs.split_row}-{h - 1})")
+        print(f"  CPU: {rs.cpu_input_rows} input rows (inc. halo), "
+              f"{rs.cpu_output_rows} output rows")
+        print(f"  TPU: {rs.gpu_input_rows} input rows (inc. halo), "
+              f"{rs.gpu_output_rows} output rows")
+
+    print(f"\nStarting batch processing of {cfg.num_images} images in "
+          f"{pt.num_batches(cfg.num_images, cfg.batch_size)} batches...")
+    engine = Engine(cfg)
+    stats = engine.run(image=np.ascontiguousarray(image))
+    print("\nAll batches finished!")
+    print(engine.report())
+
+    if args.csv:
+        row = to_csv_row(stats, run=args.run_index, file=args.csv)
+        write_header = True
+        try:
+            with open(args.csv) as f:
+                write_header = not f.readline().strip()
+        except FileNotFoundError:
+            pass
+        with open(args.csv, "a", newline="") as f:
+            wtr = csv.DictWriter(f, fieldnames=CSV_COLUMNS)
+            if write_header:
+                wtr.writeheader()
+            wtr.writerow(row)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,74 @@
+"""Filter pipelines — the deployable "models" of the engine.
+
+Each pipeline is a named chain of integer-exact uint8 filters with two
+execution paths: the XLA path on channels-last batches (works on any JAX
+backend, used for the heterogeneous CPU lane) and the Pallas TPU path on
+planar planes (the accelerator hot path). The pipeline registry covers the
+workloads in BASELINE.json: the reference 3x3 blur, the large-radius
+separable Gaussians, and the blur->sharpen->edge multi-pass chain.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Sequence
+
+import jax
+
+from hipe_tpu.ops import blur as xblur
+from hipe_tpu.ops import pallas_blur
+
+
+@dataclasses.dataclass(frozen=True)
+class Pipeline:
+    """A named uint8->uint8 filter chain."""
+
+    name: str
+    filters: tuple
+
+    @property
+    def radius(self) -> int:
+        """Total stencil radius (halo rows needed per side for row-split)."""
+        return xblur.chain_radius(self.filters)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """XLA path on (..., H, W, C) uint8 batches."""
+        return xblur.filter_chain(x, self.filters)
+
+    @functools.cached_property
+    def jitted(self):
+        return jax.jit(self.__call__)
+
+    def apply_planar(self, planes: jax.Array, *, use_pallas: bool = True,
+                     interpret: bool = False) -> jax.Array:
+        """Planar (N, H, W) path; Pallas on TPU, XLA elsewhere."""
+        if use_pallas:
+            if len(self.filters) == 1 and self.filters[0].startswith("gaussian"):
+                radius = xblur.FILTER_RADIUS[self.filters[0]]
+                return pallas_blur.gaussian_blur_planar_pallas(
+                    planes, radius, interpret=interpret
+                )
+            return pallas_blur.filter_chain_planar_pallas(
+                planes, self.filters, interpret=interpret
+            )
+        return xblur.filter_chain(planes, self.filters, h_axis=-2, w_axis=-1)
+
+
+PIPELINES = {
+    "blur3": Pipeline("blur3", ("gaussian3",)),
+    "blur5": Pipeline("blur5", ("gaussian5",)),
+    "blur9": Pipeline("blur9", ("gaussian9",)),
+    "sharpen": Pipeline("sharpen", ("sharpen",)),
+    "edge": Pipeline("edge", ("edge",)),
+    "chain": Pipeline("chain", ("gaussian3", "sharpen", "edge")),
+}
+
+# The flagship model: the reference workload (3x3 Gaussian on image streams).
+flagship = PIPELINES["blur3"]
+
+
+def get(name_or_filters: str | Sequence[str]) -> Pipeline:
+    if isinstance(name_or_filters, str):
+        return PIPELINES[name_or_filters]
+    return Pipeline("+".join(name_or_filters), tuple(name_or_filters))

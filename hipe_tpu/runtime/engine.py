@@ -1,0 +1,283 @@
+"""The heterogeneous execution engine (CPU + accelerator lanes).
+
+This is the TPU-native re-architecture of the reference's two host programs
+(`/root/reference/heterogeneous_blur.c`, `split_image_blur.c`): one engine,
+two partitioning strategies, three device modes. The reference pairs a CPU
+OpenCL device with a GPU OpenCL device and balances them with a tunable
+ratio; here the fast device is the TPU (JAX default backend) and the slow
+device is the host CPU backend — a real heterogeneous pair, preserving the
+ratio/calibration capability the reference is built around:
+
+- approach 1 (image-level): the first ``batch - floor(batch*ratio)`` images
+  of each batch go to the CPU lane, the rest to the TPU lane
+  (`heterogeneous_blur.c:449-458,489-497`);
+- approach 2 (row-split): every image is split at
+  ``split_row = floor(H*(1-ratio))`` with `radius` halo rows; both lanes run
+  the same slice-oblivious clamped kernel on their slab and the halo rows
+  are computed-then-discarded at reassembly, generalized from the
+  reference's halo=1 (`split_image_blur.c:144-173,516,526,537-539`);
+- modes: 'both' | 'cpu' | 'tpu' (single-device baselines — the reference's
+  missing `gaussian_blur.c` Lab-5 baseline, `heterogeneous_blur.c:52-58`).
+
+Lanes run concurrently on worker threads (the analog of the two in-order
+OpenCL command queues); with ``profile=True`` each lane stage-times
+transfer-in / kernel / transfer-out with explicit synchronization — the
+analog of CL_QUEUE_PROFILING_ENABLE event timing (`:201-212,544-579`).
+
+Pure multi-chip SPMD scaling (no CPU lane) lives in
+:mod:`hipe_tpu.parallel.image_level` / :mod:`hipe_tpu.parallel.row_split`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from concurrent.futures import ThreadPoolExecutor
+from typing import Sequence
+
+import jax
+import numpy as np
+
+from hipe_tpu.models import pipelines as plib
+from hipe_tpu.parallel import mesh as meshlib
+from hipe_tpu.parallel import partitioner as pt
+from hipe_tpu.profiling.events import DeviceCounters, RunStats, StageClock, now_ms
+from hipe_tpu.profiling.report import render_report
+from hipe_tpu.runtime import stream as streamlib
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    """CLI-visible knobs, with the reference's defaults and validation."""
+
+    approach: int = 1
+    mode: str = "both"  # 'both' | 'cpu' | 'tpu'
+    gpu_ratio: float = pt.DEFAULT_RATIO  # fraction of work on the TPU lane
+    batch_size: int = pt.DEFAULT_BATCH
+    num_images: int = pt.NUM_IMAGES
+    pipeline: str | Sequence[str] = "blur3"
+    profile: bool = True  # stage-timed lanes (profiling queues analog)
+    accel_path: str = "pallas"  # 'pallas' | 'xla' kernel path on the TPU lane
+    save_output: str | None = None  # A2: save batch-0 image 0 (SAVE_IMAGE)
+    verbose: bool = False
+
+    def validate(self) -> "EngineConfig":
+        self.gpu_ratio = pt.validate_ratio(self.gpu_ratio)
+        self.batch_size = pt.validate_batch(self.batch_size, self.num_images)
+        assert self.approach in (1, 2)
+        assert self.mode in ("both", "cpu", "tpu", "gpu", "accel")
+        if self.mode in ("gpu", "accel"):
+            self.mode = "tpu"
+        if self.approach == 2:
+            # The reference's split-image program is inherently two-device.
+            assert self.mode == "both", "approach 2 requires mode='both'"
+        return self
+
+
+class _Lane:
+    """One device lane: transfer-in -> jitted pipeline -> transfer-out."""
+
+    def __init__(self, name: str, device, pipeline: plib.Pipeline,
+                 counters: DeviceCounters, path: str, profile: bool):
+        self.name = name
+        self.device = device
+        self.counters = counters
+        self.clock = StageClock(counters)
+        self.profile = profile
+        if getattr(device, "platform", "cpu") == "cpu":
+            path = "xla"  # Pallas TPU kernels don't lower on the host backend
+        if path == "pallas":
+            def nhwc_fn(x):
+                b, h, w, c = x.shape
+                planes = x.transpose(0, 3, 1, 2).reshape(b * c, h, w)
+                out = pipeline.apply_planar(planes, use_pallas=True)
+                return out.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+
+            self.fn = jax.jit(nhwc_fn)
+        else:
+            self.fn = jax.jit(pipeline.__call__)
+
+    def warmup(self, shape: tuple) -> None:
+        """Compile outside the wall clock (the clBuildProgram analog)."""
+        x = jax.device_put(np.zeros(shape, np.uint8), self.device)
+        np.asarray(self.fn(x))
+
+    def process(self, host_batch: np.ndarray) -> np.ndarray:
+        if self.profile:
+            with self.clock.stage("in"):
+                x = jax.device_put(host_batch, self.device)
+                x.block_until_ready()
+            with self.clock.stage("kernel"):
+                y = self.fn(x)
+                y.block_until_ready()
+            with self.clock.stage("out"):
+                return np.asarray(y)
+        # Fast path: async dispatch, single sync at read-back; attribute
+        # everything to the kernel counter.
+        with self.clock.stage("kernel"):
+            x = jax.device_put(host_batch, self.device)
+            return np.asarray(self.fn(x))
+
+
+class Engine:
+    """Heterogeneous CPU+TPU image-processing engine."""
+
+    def __init__(self, config: EngineConfig | None = None,
+                 cpu_device=None, accel_device=None, **kw):
+        self.config = (config or EngineConfig(**kw)).validate()
+        cfg = self.config
+        self.pipeline = plib.get(cfg.pipeline)
+
+        inv = meshlib.discover()
+        if cpu_device is None and cfg.mode in ("both", "cpu"):
+            cpu_device = meshlib.require_device(inv, "cpu")
+        if accel_device is None and cfg.mode in ("both", "tpu"):
+            # Hard-fail when the accelerator is missing, like the
+            # reference's device discovery (heterogeneous_blur.c:181-184).
+            accel_device = meshlib.require_device(inv, "accel")
+        self.cpu_device = cpu_device
+        self.accel_device = accel_device
+
+        self.stats = RunStats(
+            approach=cfg.approach, mode=cfg.mode, gpu_ratio=cfg.gpu_ratio,
+            batch_size=cfg.batch_size, num_images=cfg.num_images,
+            num_batches=pt.num_batches(cfg.num_images, cfg.batch_size),
+            width=0, height=0, channels=0, pipeline=self.pipeline.name,
+        )
+        self._lanes: dict[str, _Lane] = {}
+        if cfg.mode in ("both", "cpu"):
+            self._lanes["cpu"] = _Lane(
+                "cpu", cpu_device, self.pipeline, self.stats.cpu,
+                path="xla", profile=cfg.profile,
+            )
+        if cfg.mode in ("both", "tpu"):
+            self._lanes["accel"] = _Lane(
+                "accel", accel_device, self.pipeline, self.stats.accel,
+                path=cfg.accel_path, profile=cfg.profile,
+            )
+        self._pool = ThreadPoolExecutor(max_workers=2)
+
+    # ---- approach 1: image-level distribution ----
+
+    def _run_approach1(self, stream) -> None:
+        cfg = self.config
+        first = True
+        for host_batch in stream:
+            bc = host_batch.shape[0]
+            if cfg.mode == "both":
+                num_cpu, num_acc = pt.split_images(bc, cfg.gpu_ratio)
+            elif cfg.mode == "cpu":
+                num_cpu, num_acc = bc, 0
+            else:
+                num_cpu, num_acc = 0, bc
+            futures = []
+            if num_cpu:
+                lane = self._lanes["cpu"]
+                futures.append(
+                    self._pool.submit(lane.process, host_batch[:num_cpu])
+                )
+                lane.counters.images += num_cpu
+                lane.counters.units += num_cpu
+            if num_acc:
+                lane = self._lanes["accel"]
+                futures.append(
+                    self._pool.submit(lane.process, host_batch[num_cpu:])
+                )
+                lane.counters.images += num_acc
+                lane.counters.units += num_acc
+            outs = [f.result() for f in futures]
+            if first:
+                # Keep batch 0's output for verification / inspection.
+                self.first_output = np.concatenate(outs, axis=0)
+            first = False
+
+    # ---- approach 2: split-image distribution ----
+
+    def _run_approach2(self, stream) -> None:
+        cfg = self.config
+        first = True
+        for host_batch in stream:
+            bc, h, w, c = host_batch.shape
+            rs = pt.row_split(h, cfg.gpu_ratio, halo=self.pipeline.radius)
+            self.stats.split_row = rs.split_row
+            self.stats.halo = rs.halo
+            cpu_slab = host_batch[:, rs.cpu_in[0] : rs.cpu_in[1]]
+            acc_slab = host_batch[:, rs.gpu_in[0] : rs.gpu_in[1]]
+            f_cpu = self._pool.submit(self._lanes["cpu"].process, cpu_slab)
+            f_acc = self._pool.submit(self._lanes["accel"].process, acc_slab)
+            cpu_out, acc_out = f_cpu.result(), f_acc.result()
+            self.stats.cpu.images += bc
+            self.stats.accel.images += bc
+            self.stats.cpu.units += bc * rs.cpu_output_rows
+            self.stats.accel.units += bc * rs.gpu_output_rows
+            if first:
+                # Reassemble batch 0 (split_image_blur.c:548-553): each side
+                # drops its computed-but-discarded halo rows.
+                top = cpu_out[:, : rs.cpu_output_rows]
+                bottom = acc_out[:, rs.gpu_out[0] - rs.gpu_in[0] :]
+                self.first_output = np.concatenate([top, bottom], axis=1)
+                if cfg.save_output:
+                    from hipe_tpu.io_.jpeg import encode_file
+
+                    encode_file(self.first_output[0], cfg.save_output)
+            first = False
+
+    # ---- driver ----
+
+    def run(self, image: np.ndarray | None = None, stream=None) -> RunStats:
+        cfg = self.config
+        if stream is None:
+            if image is None:
+                from hipe_tpu.utils.images import load_test_image
+
+                image = load_test_image()
+            stream = streamlib.ReplicatedStream(
+                image, cfg.num_images, cfg.batch_size
+            )
+        # Record geometry from the first batch shape.
+        probe = next(iter(stream))
+        _, h, w, c = probe.shape
+        self.stats.height, self.stats.width, self.stats.channels = h, w, c
+
+        self._warmup(stream)
+        t0 = now_ms()
+        if cfg.approach == 1:
+            self._run_approach1(stream)
+        else:
+            self._run_approach2(stream)
+        self.stats.wall_ms = now_ms() - t0
+        return self.stats
+
+    def _warmup(self, stream) -> None:
+        """Compile every (lane, shape) pair before the wall clock starts."""
+        cfg = self.config
+        shapes: set[tuple] = set()
+        for host_batch in stream:
+            shapes.add(host_batch.shape)
+        lane_shapes: set[tuple[str, tuple]] = set()
+        for shape in shapes:
+            bc, h, w, c = shape
+            if cfg.approach == 1:
+                if cfg.mode == "both":
+                    num_cpu, num_acc = pt.split_images(bc, cfg.gpu_ratio)
+                elif cfg.mode == "cpu":
+                    num_cpu, num_acc = bc, 0
+                else:
+                    num_cpu, num_acc = 0, bc
+                if num_cpu:
+                    lane_shapes.add(("cpu", (num_cpu, h, w, c)))
+                if num_acc:
+                    lane_shapes.add(("accel", (num_acc, h, w, c)))
+            else:
+                rs = pt.row_split(h, cfg.gpu_ratio, halo=self.pipeline.radius)
+                lane_shapes.add(("cpu", (bc, rs.cpu_input_rows, w, c)))
+                lane_shapes.add(("accel", (bc, rs.gpu_input_rows, w, c)))
+        for lane_name, shape in sorted(lane_shapes):
+            self._lanes[lane_name].warmup(shape)
+
+    def report(self, accel_name: str | None = None) -> str:
+        if accel_name is None:
+            dev = self.accel_device
+            accel_name = (
+                getattr(dev, "platform", "tpu").upper() if dev else "TPU"
+            )
+        return render_report(self.stats, accel_name=accel_name)

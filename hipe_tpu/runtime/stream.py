@@ -1,0 +1,82 @@
+"""Input streaming: the simulated image stream and JPEG decode pipelines.
+
+The reference simulates a 5000-image stream by memcpy-replicating one decoded
+JPEG into a contiguous per-batch buffer (`/root/reference/
+heterogeneous_blur.c:418-442`), the last batch being the remainder. This
+module reproduces that (zero-copy on host via broadcasting — the real copy
+happens at host->device transfer, which is the part that matters on TPU) and
+adds real decode streams: batched multithreaded JPEG decode through the
+native codec, including the mixed-resolution stream of BASELINE.json
+config 5.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+
+def batch_sizes(num_images: int, batch_size: int) -> list[int]:
+    """Batch schedule incl. remainder batch (heterogeneous_blur.c:423-427)."""
+    out = []
+    left = num_images
+    while left > 0:
+        out.append(min(batch_size, left))
+        left -= out[-1]
+    return out
+
+
+class ReplicatedStream:
+    """Simulated stream: one decoded image replicated num_images times."""
+
+    def __init__(self, image: np.ndarray, num_images: int, batch_size: int):
+        assert image.dtype == np.uint8 and image.ndim == 3
+        self.image = image
+        self.num_images = num_images
+        self.batch_size = batch_size
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        for bc in batch_sizes(self.num_images, self.batch_size):
+            # Host-side zero-copy replication; densified at device transfer.
+            yield np.broadcast_to(self.image, (bc,) + self.image.shape)
+
+
+class JpegStream:
+    """Real stream: decode JPEG byte payloads batch-by-batch (native codec)."""
+
+    def __init__(self, payloads: list[bytes], batch_size: int,
+                 num_threads: int | None = None):
+        self.payloads = payloads
+        self.batch_size = batch_size
+        self.num_threads = num_threads
+        self.num_images = len(payloads)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        from hipe_tpu.io_.jpeg import decode_batch
+
+        for start in range(0, len(self.payloads), self.batch_size):
+            chunk = self.payloads[start : start + self.batch_size]
+            yield decode_batch(chunk, num_threads=self.num_threads)
+
+
+class MixedResolutionStream:
+    """Alternating-resolution stream (e.g. 256x256 + 320x240 batches).
+
+    Batches are homogeneous in shape (a requirement for static-shape jit);
+    the stream interleaves per-resolution batches round-robin, covering the
+    mixed-resolution pipeline of BASELINE.json config 5.
+    """
+
+    def __init__(self, images: list[np.ndarray], num_images: int,
+                 batch_size: int):
+        assert images, "need at least one resolution"
+        self.images = images
+        self.num_images = num_images
+        self.batch_size = batch_size
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        sizes = batch_sizes(self.num_images, self.batch_size)
+        for i, bc in enumerate(sizes):
+            img = self.images[i % len(self.images)]
+            yield np.broadcast_to(img, (bc,) + img.shape)

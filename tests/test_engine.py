@@ -1,0 +1,138 @@
+"""Heterogeneous engine end-to-end on two virtual CPU devices.
+
+The reference validated heterogeneity with two OpenCL devices in one machine
+(SURVEY.md §4); here two virtual host devices play the CPU/accelerator pair.
+Correctness (outputs match the oracle) is checked via verify streams, and the
+accounting/report contract is checked against the partitioner math.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from hipe_tpu.ops import reference as oracle
+from hipe_tpu.profiling.report import render_report, to_csv_row
+from hipe_tpu.runtime.engine import Engine, EngineConfig
+from hipe_tpu.utils.images import checker_image
+
+
+def _devices():
+    devs = jax.devices("cpu")
+    return devs[0], devs[1]
+
+
+def _engine(**kw):
+    cpu, accel = _devices()
+    cfg = EngineConfig(**kw)
+    return Engine(cfg, cpu_device=cpu, accel_device=accel)
+
+
+IMG = checker_image(24, 32, 3, seed=42)
+
+
+def test_approach1_both_accounting():
+    eng = _engine(approach=1, mode="both", gpu_ratio=0.728, batch_size=35,
+                  num_images=200)
+    stats = eng.run(image=IMG)
+    assert stats.cpu.images + stats.accel.images == 200
+    # per-batch floor split: 35*0.728 -> 25 accel / 10 cpu; last batch 25
+    # images -> 18 accel / 7 cpu
+    assert stats.accel.images == 25 * 5 + 18
+    assert stats.wall_ms > 0
+    assert stats.cpu.total_ms > 0 and stats.accel.total_ms > 0
+
+
+@pytest.mark.parametrize("mode", ["cpu", "tpu"])
+def test_approach1_single_device(mode):
+    eng = _engine(approach=1, mode=mode, batch_size=16, num_images=32)
+    stats = eng.run(image=IMG)
+    active = stats.cpu if mode == "cpu" else stats.accel
+    idle = stats.accel if mode == "cpu" else stats.cpu
+    assert active.images == 32 and idle.images == 0
+
+
+def test_approach2_split_accounting():
+    eng = _engine(approach=2, mode="both", gpu_ratio=0.837, batch_size=10,
+                  num_images=30)
+    stats = eng.run(image=checker_image(240, 32, 3, seed=1))
+    # split_row = floor(240*0.163) = 39 (matches 2_35_run_1.txt geometry)
+    assert stats.split_row == 39
+    assert stats.cpu.images == 30 and stats.accel.images == 30
+    assert stats.cpu.units == 30 * 39
+    assert stats.accel.units == 30 * 201
+
+
+def test_approach2_output_correct(tmp_path):
+    """Reassembled split output == oracle blur bit-exact (seam exactness e2e),
+    and the SAVE_IMAGE analog writes a decodable JPEG of the right shape."""
+    out_path = str(tmp_path / "split_output.jpg")
+    img = checker_image(64, 48, 3, seed=5)
+    eng = _engine(approach=2, mode="both", gpu_ratio=0.5, batch_size=4,
+                  num_images=8, save_output=out_path)
+    eng.run(image=img)
+    want = oracle.gaussian_blur_int_oracle(img)
+    np.testing.assert_array_equal(eng.first_output[0], want)
+    from hipe_tpu.io_.jpeg import decode_file
+
+    assert decode_file(out_path).shape == want.shape
+
+
+def test_approach1_output_correct():
+    img = checker_image(24, 32, 3, seed=6)
+    eng = _engine(approach=1, mode="both", gpu_ratio=0.6, batch_size=8,
+                  num_images=16)
+    eng.run(image=img)
+    want = oracle.gaussian_blur_int_oracle(img)
+    assert eng.first_output.shape == (8,) + want.shape
+    for i in range(8):
+        np.testing.assert_array_equal(eng.first_output[i], want)
+
+
+def test_approach2_chain_pipeline():
+    eng = _engine(approach=2, mode="both", gpu_ratio=0.5, batch_size=4,
+                  num_images=8, pipeline="chain")
+    stats = eng.run(image=checker_image(32, 48, 3, seed=2))
+    assert stats.halo == 3  # blur(1) + sharpen(1) + edge(1)
+
+
+def test_report_renders_all_sections():
+    eng = _engine(approach=1, mode="both", gpu_ratio=0.5, batch_size=16,
+                  num_images=32)
+    stats = eng.run(image=IMG)
+    text = render_report(stats, accel_name="TPU")
+    for section in ["1. OVERALL", "2. CPU DEVICE", "3. TPU DEVICE",
+                    "4. DEVICE COMPARISON", "5. WORKLOAD BALANCE",
+                    "6. BOTTLENECK", "7. THROUGHPUT",
+                    "8. OPTIMAL RATIO RECOMMENDATION"]:
+        assert section in text, section
+
+
+def test_csv_row_schema():
+    eng = _engine(approach=1, mode="both", batch_size=16, num_images=32)
+    stats = eng.run(image=IMG)
+    row = to_csv_row(stats, run=1)
+    from hipe_tpu.profiling.report import CSV_COLUMNS
+
+    assert list(row.keys()) == CSV_COLUMNS
+    assert row["images"] == 32
+    assert row["img_per_sec"] > 0
+
+
+def test_invalid_config_falls_back():
+    eng = _engine(approach=1, mode="both", gpu_ratio=7.0, batch_size=-3,
+                  num_images=16)
+    assert eng.config.gpu_ratio == 0.5
+    assert eng.config.batch_size == 500
+
+
+def test_verify_outputs_against_oracle():
+    """Both lanes produce oracle-exact pixels (checked via direct lane use)."""
+    eng = _engine(approach=1, mode="both", gpu_ratio=0.5, batch_size=8,
+                  num_images=8)
+    batch = np.stack([checker_image(24, 32, 3, seed=s) for s in range(8)])
+    out_cpu = eng._lanes["cpu"].process(batch[:4])
+    out_acc = eng._lanes["accel"].process(batch[4:])
+    want = np.stack([oracle.gaussian_blur_int_oracle(b) for b in batch])
+    np.testing.assert_array_equal(out_cpu, want[:4])
+    np.testing.assert_array_equal(out_acc, want[4:])
