@@ -1,0 +1,131 @@
+"""Flagship benchmark: img/s per chip on the 5000-image 256x256 blur stream.
+
+The reference's headline metric is whole-stream throughput of a 3x3 Gaussian
+blur over a simulated 5000-image stream (`/root/reference/README.md:71-85`,
+best: 8568 img/s on i7-12700 + UHD770). The TPU-native equivalent measured
+here: the decoded 256x256 RGB image is replicated into a device-resident
+5000-image stream (the reference's host-side memcpy stream simulation,
+`heterogeneous_blur.c:431-442`, moved to HBM where a TPU serving pipeline
+would stage its inputs), and the Pallas blur kernel processes the whole
+stream; every pass reads and writes 983 MB of distinct HBM buffers.
+
+Timing uses pass-count differencing — time(warm, K+1 passes) - time(warm, 1
+pass) — so the fixed host<->device dispatch/sync latency (which is an
+artifact of the test harness tunnel, ~30 ms, and would hide the kernel
+entirely at these speeds) cancels out; the quotient is steady-state
+per-pass throughput. Chained passes feed each output into the next pass's
+input, so XLA cannot hoist or elide any work.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": img_per_s, "unit": "img/s", "vs_baseline": ...}
+vs_baseline is relative to the north-star target of 50,000 img/s/chip
+(BASELINE.json); the reference's own best (8568 img/s) is included in the
+payload for context. Correctness (max-abs pixel error vs the OpenCL-semantics
+oracle; target <=1) is verified in the same run.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+NORTH_STAR_IMG_S = 50_000.0
+REFERENCE_BEST_IMG_S = 8568.1  # README.md:74 / data/approach1/35_run_1.txt
+NUM_IMAGES = 5000
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from hipe_tpu.io_.jpeg import decode_file
+    from hipe_tpu.ops import pallas_blur
+    from hipe_tpu.ops import reference as oracle
+    from hipe_tpu.utils.images import DEFAULT_IMAGE_256, hwc_to_planar
+
+    backend = jax.default_backend()
+    on_tpu = backend != "cpu"
+    num_images = NUM_IMAGES if on_tpu else 64  # tiny smoke run off-TPU
+    log(f"backend={backend} devices={jax.devices()} num_images={num_images}")
+
+    img = decode_file(DEFAULT_IMAGE_256)
+    h, w, c = img.shape
+    planes = jnp.asarray(hwc_to_planar(img[None]))  # (3, H, W)
+
+    @jax.jit
+    def materialize(p):
+        return jnp.broadcast_to(
+            p[None], (num_images, c, h, w)
+        ).reshape(num_images * c, h, w)
+
+    if on_tpu:
+        def blur(s):
+            return pallas_blur.gaussian_blur_planar_pallas(s, 1)
+    else:
+        from hipe_tpu.ops import blur as xblur
+
+        def blur(s):
+            return xblur.gaussian_blur_planar(s, 1)
+
+    @functools.partial(jax.jit, static_argnames="r")
+    def chained(s, r):
+        out = lax.fori_loop(0, r, lambda i, x: blur(x), s)
+        # Sparse checksum forces completion without re-reading the stream.
+        return jnp.sum(out[::97, ::3, ::64].astype(jnp.int32))
+
+    def timed(fn) -> float:
+        t0 = time.perf_counter()
+        np.asarray(fn())  # host read == hard sync through the tunnel
+        return time.perf_counter() - t0
+
+    # ---- correctness: blur output vs the OpenCL-semantics oracle ----
+    stream = materialize(planes)
+    got3 = np.asarray(blur(stream[:3]))  # first image's 3 planes
+    want = hwc_to_planar(oracle.gaussian_blur_int_oracle(img)[None])
+    max_abs_err = int(np.max(np.abs(got3.astype(int) - want.astype(int))))
+    log(f"max_abs_err vs oracle: {max_abs_err}")
+
+    # ---- throughput: pass-count differencing, best of 3 ----
+    k = 10 if on_tpu else 2
+    chained(stream, 1), chained(stream, 1 + k)  # compile both
+    timed(lambda: chained(stream, 1))
+    best_per_pass = float("inf")
+    for _ in range(3):
+        t1 = timed(lambda: chained(stream, 1))
+        t2 = timed(lambda: chained(stream, 1 + k))
+        best_per_pass = min(best_per_pass, (t2 - t1) / k)
+    img_per_s = num_images / best_per_pass
+    hbm_gb_s = 2 * num_images * h * w * c / best_per_pass / 1e9
+    log(
+        f"per-pass {best_per_pass * 1e3:.2f} ms  ->  {img_per_s:,.0f} img/s "
+        f"(~{hbm_gb_s:.0f} GB/s HBM)"
+    )
+
+    result = {
+        "metric": "img_per_s_per_chip_5000x256x256_blur3_stream",
+        "value": round(img_per_s, 1),
+        "unit": "img/s",
+        "vs_baseline": round(img_per_s / NORTH_STAR_IMG_S, 3),
+        "baseline_img_s": NORTH_STAR_IMG_S,
+        "reference_best_img_s": REFERENCE_BEST_IMG_S,
+        "vs_reference": round(img_per_s / REFERENCE_BEST_IMG_S, 1),
+        "max_abs_err": max_abs_err,
+        "max_abs_err_target": 1,
+        "backend": backend,
+        "num_images": num_images,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
