@@ -1,0 +1,49 @@
+"""Autotune calibration loop and benchmark-corpus writer."""
+
+import csv
+
+import jax
+
+from hipe_tpu.parallel.autotune import calibrate_ratio, sweep_batch_sizes
+from hipe_tpu.profiling.corpus import write_corpus
+from hipe_tpu.runtime.engine import EngineConfig
+from hipe_tpu.utils.images import checker_image
+
+IMG = checker_image(24, 32, 3, seed=0)
+
+
+def _devs():
+    d = jax.devices("cpu")
+    return d[0], d[1]
+
+
+def test_calibrate_ratio_converges_or_stops():
+    cpu, accel = _devs()
+    base = EngineConfig(approach=1, mode="both", batch_size=16, num_images=64)
+    res = calibrate_ratio(base, IMG, max_iters=3, tol_pct=5.0,
+                          cpu_device=cpu, accel_device=accel)
+    assert 0.0 <= res.ratio <= 1.0
+    assert 1 <= len(res.history) <= 3
+    # With two identical virtual devices the tuned ratio should be near 0.5.
+    assert 0.15 <= res.ratio <= 0.85
+
+
+def test_sweep_and_corpus(tmp_path):
+    cpu, accel = _devs()
+    base = EngineConfig(approach=1, mode="both", gpu_ratio=0.5,
+                        batch_size=16, num_images=32)
+    stats = sweep_batch_sizes(base, IMG, batch_sizes=(8, 16), runs=2,
+                              cpu_device=cpu, accel_device=accel)
+    assert len(stats) == 4
+    per_run, avg = write_corpus(stats, str(tmp_path / "corpus"))
+    with open(per_run) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 4
+    assert {r["batch_size_file"] for r in rows} == {"8", "16"}
+    with open(avg) as f:
+        avg_rows = list(csv.DictReader(f))
+    assert len(avg_rows) == 2
+    assert all(r["runs"] == "2" for r in avg_rows)
+    # per-run report logs exist
+    assert (tmp_path / "corpus" / "8_run_1.txt").exists()
+    assert (tmp_path / "corpus" / "16_run_2.txt").exists()

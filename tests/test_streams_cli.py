@@ -1,0 +1,81 @@
+"""Input streams and the CLI smoke path."""
+
+import numpy as np
+
+from hipe_tpu.io_.jpeg import encode_bytes
+from hipe_tpu.runtime.stream import (
+    JpegStream,
+    MixedResolutionStream,
+    ReplicatedStream,
+    batch_sizes,
+)
+from hipe_tpu.utils.images import checker_image
+
+
+def test_batch_sizes_remainder():
+    assert batch_sizes(5000, 35) == [35] * 142 + [30]
+    assert batch_sizes(10, 4) == [4, 4, 2]
+
+
+def test_replicated_stream():
+    img = checker_image(8, 8, 3)
+    batches = list(ReplicatedStream(img, 10, 4))
+    assert [b.shape[0] for b in batches] == [4, 4, 2]
+    np.testing.assert_array_equal(batches[0][3], img)
+
+
+def test_jpeg_stream_decodes():
+    img = checker_image(16, 16, 3, seed=2)
+    payload = encode_bytes(img, quality=95)
+    batches = list(JpegStream([payload] * 5, batch_size=2))
+    assert [b.shape for b in batches] == [(2, 16, 16, 3)] * 2 + [(1, 16, 16, 3)]
+
+
+def test_mixed_resolution_stream():
+    a = checker_image(8, 8, 3, seed=0)
+    b = checker_image(12, 16, 3, seed=1)
+    shapes = [x.shape for x in MixedResolutionStream([a, b], 10, 3)]
+    assert shapes == [(3, 8, 8, 3), (3, 12, 16, 3), (3, 8, 8, 3),
+                      (1, 12, 16, 3)]
+
+
+def test_cli_smoke(tmp_path, capsys):
+    """Full CLI run on the virtual device pair with CSV output."""
+    import jax
+
+    if len(jax.devices("cpu")) < 2:
+        import pytest
+
+        pytest.skip("needs 2 virtual devices")
+    # monkeypatch discovery to use two cpu devices as the hetero pair
+    from hipe_tpu import cli
+    from hipe_tpu.parallel import mesh as meshlib
+
+    devs = jax.devices("cpu")
+    orig = meshlib.discover
+
+    def fake_discover():
+        return meshlib.DeviceInventory(
+            cpu_devices=[devs[0]], accel_devices=[devs[1]],
+            accel_platform="cpu",
+        )
+
+    meshlib.discover = fake_discover
+    try:
+        csv_path = str(tmp_path / "run.csv")
+        rc = cli.main([
+            "approach1", "both", "0.5", "8", "--num-images", "16",
+            "--image", "/root/reference/image_256x256.jpg",
+            "--accel-path", "xla", "--csv", csv_path,
+        ])
+    finally:
+        meshlib.discover = orig
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "PERFORMANCE RESULTS" in out
+    assert "8. OPTIMAL RATIO RECOMMENDATION" in out
+    import csv as csvlib
+
+    with open(csv_path) as f:
+        rows = list(csvlib.DictReader(f))
+    assert len(rows) == 1 and rows[0]["images"] == "16"
