@@ -26,12 +26,9 @@ oracle; target <=1) is verified in the same run.
 
 from __future__ import annotations
 
-import functools
 import json
 import sys
-import time
 
-import numpy as np
 
 NORTH_STAR_IMG_S = 50_000.0
 REFERENCE_BEST_IMG_S = 8568.1  # README.md:74 / data/approach1/35_run_1.txt
@@ -44,13 +41,10 @@ def log(msg: str) -> None:
 
 def main() -> int:
     import jax
-    import jax.numpy as jnp
-    from jax import lax
 
     from hipe_tpu.io_.jpeg import decode_file
-    from hipe_tpu.ops import pallas_blur
-    from hipe_tpu.ops import reference as oracle
-    from hipe_tpu.utils.images import DEFAULT_IMAGE_256, hwc_to_planar
+    from hipe_tpu.runtime.device_stream import DeviceStreamRunner
+    from hipe_tpu.utils.images import DEFAULT_IMAGE_256
 
     backend = jax.default_backend()
     on_tpu = backend != "cpu"
@@ -58,56 +52,18 @@ def main() -> int:
     log(f"backend={backend} devices={jax.devices()} num_images={num_images}")
 
     img = decode_file(DEFAULT_IMAGE_256)
-    h, w, c = img.shape
-    planes = jnp.asarray(hwc_to_planar(img[None]))  # (3, H, W)
+    runner = DeviceStreamRunner(
+        "blur3", num_images=num_images, image=img, use_pallas=on_tpu
+    )
 
-    @jax.jit
-    def materialize(p):
-        return jnp.broadcast_to(
-            p[None], (num_images, c, h, w)
-        ).reshape(num_images * c, h, w)
-
-    if on_tpu:
-        def blur(s):
-            return pallas_blur.gaussian_blur_planar_pallas(s, 1)
-    else:
-        from hipe_tpu.ops import blur as xblur
-
-        def blur(s):
-            return xblur.gaussian_blur_planar(s, 1)
-
-    @functools.partial(jax.jit, static_argnames="r")
-    def chained(s, r):
-        out = lax.fori_loop(0, r, lambda i, x: blur(x), s)
-        # Sparse checksum forces completion without re-reading the stream.
-        return jnp.sum(out[::97, ::3, ::64].astype(jnp.int32))
-
-    def timed(fn) -> float:
-        t0 = time.perf_counter()
-        np.asarray(fn())  # host read == hard sync through the tunnel
-        return time.perf_counter() - t0
-
-    # ---- correctness: blur output vs the OpenCL-semantics oracle ----
-    stream = materialize(planes)
-    got3 = np.asarray(blur(stream[:3]))  # first image's 3 planes
-    want = hwc_to_planar(oracle.gaussian_blur_int_oracle(img)[None])
-    max_abs_err = int(np.max(np.abs(got3.astype(int) - want.astype(int))))
+    max_abs_err = runner.verify_max_abs_err()
     log(f"max_abs_err vs oracle: {max_abs_err}")
 
-    # ---- throughput: pass-count differencing, best of 3 ----
-    k = 10 if on_tpu else 2
-    chained(stream, 1), chained(stream, 1 + k)  # compile both
-    timed(lambda: chained(stream, 1))
-    best_per_pass = float("inf")
-    for _ in range(3):
-        t1 = timed(lambda: chained(stream, 1))
-        t2 = timed(lambda: chained(stream, 1 + k))
-        best_per_pass = min(best_per_pass, (t2 - t1) / k)
-    img_per_s = num_images / best_per_pass
-    hbm_gb_s = 2 * num_images * h * w * c / best_per_pass / 1e9
+    res = runner.measure_throughput(passes=10 if on_tpu else 2, reps=5)
+    img_per_s = res["img_per_s"]
     log(
-        f"per-pass {best_per_pass * 1e3:.2f} ms  ->  {img_per_s:,.0f} img/s "
-        f"(~{hbm_gb_s:.0f} GB/s HBM)"
+        f"per-pass {res['per_pass_s'] * 1e3:.2f} ms  ->  {img_per_s:,.0f} "
+        f"img/s (~{res['hbm_gb_per_s']:.0f} GB/s HBM)"
     )
 
     result = {

@@ -1,0 +1,135 @@
+"""Device-resident stream processing — the TPU serving fast path.
+
+The reference's throughput ceiling was host<->device transfer of every image
+over PCIe (`/root/reference/README.md:85`: CPU becomes communication-bound).
+The TPU-native design keeps the stream resident in HBM: inputs are staged
+(or, for the replicated stream simulation of `heterogeneous_blur.c:431-442`,
+generated) on device, the whole stream is processed by one compiled program,
+and only checksums/requested outputs return to the host. This is the mode
+`bench.py` measures and the deployment shape for TPU serving (host feeds
+batches asynchronously while the chip processes the previous ones).
+
+Throughput measurement uses pass-count differencing: chained passes (each
+pass consumes the previous pass's output, so XLA can neither hoist nor elide
+work) timed at two different pass counts; the difference isolates
+steady-state per-pass time from fixed dispatch/sync latency.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from hipe_tpu.models import pipelines as plib
+
+
+class DeviceStreamRunner:
+    """Process an N-image stream resident in device HBM."""
+
+    def __init__(
+        self,
+        pipeline: plib.Pipeline | str = "blur3",
+        *,
+        num_images: int = 5000,
+        image: np.ndarray | None = None,
+        use_pallas: bool | None = None,
+        device=None,
+    ):
+        self.pipeline = plib.get(pipeline) if isinstance(pipeline, str) else pipeline
+        self.num_images = num_images
+        if image is None:
+            from hipe_tpu.utils.images import load_test_image
+
+            image = load_test_image()
+        self.image = image
+        h, w, c = image.shape
+        self.shape = (h, w, c)
+        self.device = device or jax.devices()[0]
+        if use_pallas is None:
+            use_pallas = getattr(self.device, "platform", "cpu") != "cpu"
+        self.use_pallas = use_pallas
+
+        from hipe_tpu.utils.images import hwc_to_planar
+
+        planes = jax.device_put(
+            jnp.asarray(hwc_to_planar(image[None])), self.device
+        )
+
+        n, hh, ww = num_images * c, h, w
+
+        @jax.jit
+        def materialize(p):
+            return jnp.broadcast_to(
+                p[None], (num_images, c, hh, ww)
+            ).reshape(n, hh, ww)
+
+        # The device-resident stream: distinct HBM buffers per image
+        # (the reference's memcpy stream simulation, in HBM).
+        self.stream = materialize(planes)
+
+        pipe, pallas_flag = self.pipeline, self.use_pallas
+
+        def one_pass(s):
+            return pipe.apply_planar(s, use_pallas=pallas_flag)
+
+        self._one_pass = one_pass
+
+        @functools.partial(jax.jit, static_argnames="r")
+        def chained(s, r):
+            out = lax.fori_loop(0, r, lambda i, x: one_pass(x), s)
+            return jnp.sum(out[::97, ::3, ::64].astype(jnp.int32))
+
+        self._chained = chained
+
+    def _sync(self, v) -> float:
+        return float(np.asarray(v))
+
+    def verify_max_abs_err(self) -> int:
+        """Max-abs pixel error of one image vs the reference oracle."""
+        from hipe_tpu.ops import reference as oracle
+        from hipe_tpu.utils.images import hwc_to_planar
+
+        c = self.shape[2]
+        got = np.asarray(self._one_pass(self.stream[:c]))
+        ref_fn = {
+            "blur3": lambda im: oracle.gaussian_blur_int_oracle(im, 1),
+            "blur5": lambda im: oracle.gaussian_blur_int_oracle(im, 2),
+            "blur9": lambda im: oracle.gaussian_blur_int_oracle(im, 4),
+        }.get(self.pipeline.name)
+        if ref_fn is None:
+            from hipe_tpu.ops import blur as xblur
+
+            want_img = np.asarray(
+                xblur.filter_chain(jnp.asarray(self.image), self.pipeline.filters)
+            )
+        else:
+            want_img = ref_fn(self.image)
+        want = hwc_to_planar(want_img[None])
+        return int(np.max(np.abs(got.astype(int) - want.astype(int))))
+
+    def measure_throughput(self, passes: int = 10, reps: int = 3) -> dict:
+        """Steady-state img/s via pass-count differencing, best of `reps`."""
+        self._sync(self._chained(self.stream, 1))
+        self._sync(self._chained(self.stream, 1 + passes))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            self._sync(self._chained(self.stream, 1))
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            self._sync(self._chained(self.stream, 1 + passes))
+            t2 = time.perf_counter() - t0
+            best = min(best, (t2 - t1) / passes)
+        h, w, c = self.shape
+        return {
+            "per_pass_s": best,
+            "img_per_s": self.num_images / best,
+            "mpix_per_s": self.num_images * h * w / best / 1e6,
+            "hbm_gb_per_s": 2 * self.num_images * h * w * c / best / 1e9,
+        }

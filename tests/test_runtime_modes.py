@@ -1,0 +1,57 @@
+"""Device-resident stream runner and the fused serving pipeline."""
+
+import numpy as np
+
+from hipe_tpu.io_.jpeg import decode_bytes, encode_bytes
+from hipe_tpu.ops import reference as oracle
+from hipe_tpu.runtime.device_stream import DeviceStreamRunner
+from hipe_tpu.runtime.serve import ServingPipeline
+from hipe_tpu.utils.images import checker_image
+
+
+def test_device_stream_runner_verify_and_throughput():
+    img = checker_image(32, 128, 3, seed=0)
+    runner = DeviceStreamRunner("blur3", num_images=8, image=img,
+                                use_pallas=False)
+    assert runner.verify_max_abs_err() == 0
+    res = runner.measure_throughput(passes=2, reps=1)
+    assert res["img_per_s"] > 0 and res["per_pass_s"] > 0
+
+
+def test_device_stream_runner_chain_pipeline():
+    img = checker_image(32, 128, 3, seed=1)
+    runner = DeviceStreamRunner("chain", num_images=4, image=img,
+                                use_pallas=False)
+    assert runner.verify_max_abs_err() == 0
+
+
+def test_serving_pipeline_decode_filter_encode():
+    img = checker_image(24, 32, 3, seed=2)
+    payloads = [encode_bytes(img, quality=100)] * 5
+    serve = ServingPipeline("blur3", use_pallas=False)
+    out = serve.process_batch(payloads, encode=False)
+    # The decoded input is JPEG-lossy; the filter itself must match the
+    # oracle applied to the decoded pixels exactly.
+    decoded = decode_bytes(payloads[0])
+    want = oracle.gaussian_blur_int_oracle(decoded)
+    np.testing.assert_array_equal(out[0], want)
+
+
+def test_serving_pipeline_streaming_mixed_resolution():
+    a = checker_image(16, 24, 3, seed=3)
+    b = checker_image(24, 32, 3, seed=4)
+    batches = [
+        [encode_bytes(a)] * 3,
+        [encode_bytes(b)] * 2,
+        [encode_bytes(a)] * 3,
+    ]
+    serve = ServingPipeline("blur3", use_pallas=False)
+    results = list(serve.run(batches, encode=True))
+    assert [len(r) for r in results] == [3, 2, 3]
+    # outputs decode back to the right shapes
+    assert decode_bytes(results[0][0]).shape == a.shape
+    assert decode_bytes(results[1][0]).shape == b.shape
+    assert serve.stats.images == 8
+    assert serve.stats.wall_ms > 0
+    # per-shape jit cache has exactly the two resolutions
+    assert len(serve._fns) == 2
