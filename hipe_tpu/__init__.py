@@ -23,8 +23,38 @@ __version__ = "0.1.0"
 
 from hipe_tpu.ops import blur as ops_blur  # noqa: F401
 from hipe_tpu.ops.blur import (  # noqa: F401
+    filter_chain,
     gaussian_blur,
     gaussian_blur3x3,
     sharpen3x3,
     sobel_edge,
 )
+
+
+def __getattr__(name):
+    # Lazy heavyweight exports so `import hipe_tpu` stays cheap.
+    if name in ("Engine", "EngineConfig"):
+        from hipe_tpu.runtime import engine
+
+        return getattr(engine, name)
+    if name == "ServingPipeline":
+        from hipe_tpu.runtime.serve import ServingPipeline
+
+        return ServingPipeline
+    if name == "DeviceStreamRunner":
+        from hipe_tpu.runtime.device_stream import DeviceStreamRunner
+
+        return DeviceStreamRunner
+    if name in ("PIPELINES", "Pipeline", "flagship"):
+        from hipe_tpu.models import pipelines
+
+        return getattr(pipelines, name)
+    if name == "make_row_split_fn":
+        from hipe_tpu.parallel.row_split import make_row_split_fn
+
+        return make_row_split_fn
+    if name == "make_image_level_fn":
+        from hipe_tpu.parallel.image_level import make_image_level_fn
+
+        return make_image_level_fn
+    raise AttributeError(name)

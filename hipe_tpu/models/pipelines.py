@@ -41,18 +41,49 @@ class Pipeline:
         return jax.jit(self.__call__)
 
     def apply_planar(self, planes: jax.Array, *, use_pallas: bool = True,
-                     interpret: bool = False) -> jax.Array:
-        """Planar (N, H, W) path; Pallas on TPU, XLA elsewhere."""
+                     h_pad: bool = True, interpret: bool = False) -> jax.Array:
+        """Planar (N, H, W) path; Pallas on TPU, XLA elsewhere.
+
+        ``h_pad=False`` treats H as halo-padded by :attr:`radius` rows per
+        side and returns the valid interior (row-split shard mode).
+        """
         if use_pallas:
             if len(self.filters) == 1 and self.filters[0].startswith("gaussian"):
                 radius = xblur.FILTER_RADIUS[self.filters[0]]
                 return pallas_blur.gaussian_blur_planar_pallas(
-                    planes, radius, interpret=interpret
+                    planes, radius, h_pad=h_pad, interpret=interpret
                 )
             return pallas_blur.filter_chain_planar_pallas(
-                planes, self.filters, interpret=interpret
+                planes, self.filters, h_pad=h_pad, interpret=interpret
             )
-        return xblur.filter_chain(planes, self.filters, h_axis=-2, w_axis=-1)
+        return xblur.filter_chain(
+            planes, self.filters, h_axis=-2, w_axis=-1, h_pad=h_pad
+        )
+
+    def nhwc_halo_fn(self, *, use_pallas: bool = True, interpret: bool = False):
+        """A halo-consuming NHWC block fn for row-split shard bodies.
+
+        Takes (B, H + 2*radius, W, C) uint8 and returns (B, H, W, C); pair it
+        with ``make_row_split_fn(..., local_fn=..., radius=pipeline.radius)``
+        to run the Pallas kernels per shard on a TPU mesh.
+
+        NOTE: chains applied in one halo-padded 'valid' pass are exact at
+        interior seams but diverge within `radius` rows of the global top and
+        bottom image edges (per-stage clamping vs one summed-radius halo) —
+        acceptable for chains on tall shards; single-filter pipelines are
+        exact everywhere.
+        """
+
+        def fn(block: jax.Array) -> jax.Array:
+            b, h, w, c = block.shape
+            planes = block.transpose(0, 3, 1, 2).reshape(b * c, h, w)
+            out = self.apply_planar(
+                planes, use_pallas=use_pallas, h_pad=False, interpret=interpret
+            )
+            oh = out.shape[1]
+            return out.reshape(b, c, oh, w).transpose(0, 2, 3, 1)
+
+        return fn
 
 
 PIPELINES = {

@@ -116,8 +116,11 @@ def make_row_split_fn(
             return block
 
     pspec_in = P(batch_axis, axis_name)
+    # check_vma=False: Pallas calls inside the shard body don't carry
+    # varying-mesh-axes metadata on their output avals.
     shard_fn = jax.shard_map(
-        local, mesh=mesh, in_specs=pspec_in, out_specs=pspec_in
+        local, mesh=mesh, in_specs=pspec_in, out_specs=pspec_in,
+        check_vma=False,
     )
 
     @jax.jit

@@ -126,6 +126,10 @@ class DeviceStreamRunner:
             self._sync(self._chained(self.stream, 1 + passes))
             t2 = time.perf_counter() - t0
             best = min(best, (t2 - t1) / passes)
+        if best <= 0.0:
+            # Timing noise swamped the differencing (short runs on a loaded
+            # host); fall back to the raw chained-run estimate.
+            best = t2 / (1 + passes)
         h, w, c = self.shape
         return {
             "per_pass_s": best,

@@ -58,6 +58,7 @@ class EngineConfig:
     profile: bool = True  # stage-timed lanes (profiling queues analog)
     accel_path: str = "pallas"  # 'pallas' | 'xla' kernel path on the TPU lane
     save_output: str | None = None  # A2: save batch-0 image 0 (SAVE_IMAGE)
+    trace_dir: str | None = None  # capture a jax.profiler trace of the run
     verbose: bool = False
 
     def validate(self) -> "EngineConfig":
@@ -239,12 +240,24 @@ class Engine:
         self.stats.height, self.stats.width, self.stats.channels = h, w, c
 
         self._warmup(stream)
+        trace_ctx = None
+        if cfg.trace_dir:
+            # The deep-profiling analog of the reference's event timing:
+            # a full XLA/TPU trace viewable in TensorBoard/Perfetto.
+            import jax.profiler
+
+            trace_ctx = jax.profiler.trace(cfg.trace_dir)
+            trace_ctx.__enter__()
         t0 = now_ms()
-        if cfg.approach == 1:
-            self._run_approach1(stream)
-        else:
-            self._run_approach2(stream)
-        self.stats.wall_ms = now_ms() - t0
+        try:
+            if cfg.approach == 1:
+                self._run_approach1(stream)
+            else:
+                self._run_approach2(stream)
+        finally:
+            self.stats.wall_ms = now_ms() - t0
+            if trace_ctx is not None:
+                trace_ctx.__exit__(None, None, None)
         return self.stats
 
     def _warmup(self, stream) -> None:
