@@ -54,7 +54,9 @@ def _build_parser() -> argparse.ArgumentParser:
 
     for sp in (a1, a2):
         sp.add_argument("--image", default=DEFAULT_IMAGE_320,
-                        help="input JPEG (default: the reference 320x240)")
+                        help="input JPEG (default: the reference 320x240); "
+                             "comma-separate paths for a mixed-resolution "
+                             "stream (BASELINE config 5)")
         sp.add_argument("--num-images", type=int, default=pt.NUM_IMAGES)
         sp.add_argument("--pipeline", default="blur3",
                         help="blur3|blur5|blur9|sharpen|edge|chain or "
@@ -109,9 +111,13 @@ def main(argv: list[str] | None = None) -> int:
 
     from hipe_tpu.io_.jpeg import decode_file
 
-    image = decode_file(args.image)
+    paths = args.image.split(",")
+    images = [np.ascontiguousarray(decode_file(p)) for p in paths]
+    image = images[0]
     h, w, c = image.shape
-    print(f"Original image loaded: {w}x{h}, {c} channels")
+    for p, im in zip(paths, images):
+        ih, iw, ic = im.shape
+        print(f"Original image loaded: {iw}x{ih}, {ic} channels ({p})")
     print(f"Size of one image: {image.nbytes} bytes "
           f"({image.nbytes / 1024.0:.2f} KB)\n")
 
@@ -130,7 +136,13 @@ def main(argv: list[str] | None = None) -> int:
     print(f"\nStarting batch processing of {cfg.num_images} images in "
           f"{pt.num_batches(cfg.num_images, cfg.batch_size)} batches...")
     engine = Engine(cfg)
-    stats = engine.run(image=np.ascontiguousarray(image))
+    if len(images) > 1:
+        from hipe_tpu.runtime.stream import MixedResolutionStream
+
+        stream = MixedResolutionStream(images, cfg.num_images, cfg.batch_size)
+        stats = engine.run(stream=stream)
+    else:
+        stats = engine.run(image=image)
     print("\nAll batches finished!")
     print(engine.report())
 

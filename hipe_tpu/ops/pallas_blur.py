@@ -176,6 +176,11 @@ def gaussian_blur_planar_pallas(
     taps, shift = binomial_taps(radius)
     n, h, w = x.shape
     out_h = h - 2 * radius if not h_pad else h
+    if path == "mxu" and h % 8 != 0:
+        # Mosaic lowers the batched (k,H,W)x(W,W) dot via a (k*H,W) shape
+        # cast that requires sublane-aligned H; odd slab heights (row-split
+        # lanes) take the VPU stencil path instead.
+        path = "vpu"
     if path == "mxu":
         k = block_planes or _pick_block_planes(
             n, h, w, ntaps=len(taps), budget_bytes=16 * 2**20

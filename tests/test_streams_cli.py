@@ -79,3 +79,31 @@ def test_cli_smoke(tmp_path, capsys):
     with open(csv_path) as f:
         rows = list(csvlib.DictReader(f))
     assert len(rows) == 1 and rows[0]["images"] == "16"
+
+
+def test_cli_mixed_resolution_smoke(capsys):
+    """Mixed-resolution stream through the CLI (BASELINE config 5)."""
+    import jax
+
+    from hipe_tpu import cli
+    from hipe_tpu.parallel import mesh as meshlib
+
+    devs = jax.devices("cpu")
+    orig = meshlib.discover
+    meshlib.discover = lambda: meshlib.DeviceInventory(
+        cpu_devices=[devs[0]], accel_devices=[devs[1]], accel_platform="cpu"
+    )
+    try:
+        rc = cli.main([
+            "approach1", "both", "0.5", "8", "--num-images", "24",
+            "--image",
+            "/root/reference/image_256x256.jpg,"
+            "/root/reference/image_320x240.jpg",
+            "--accel-path", "xla",
+        ])
+    finally:
+        meshlib.discover = orig
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "256x256" in out and "320x240" in out
+    assert "PERFORMANCE RESULTS" in out
