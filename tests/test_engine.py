@@ -136,3 +136,12 @@ def test_verify_outputs_against_oracle():
     want = np.stack([oracle.gaussian_blur_int_oracle(b) for b in batch])
     np.testing.assert_array_equal(out_cpu, want[:4])
     np.testing.assert_array_equal(out_acc, want[4:])
+
+
+def test_csv_schema_matches_reference_header():
+    """Our CSV contract == the reference corpus header, column for column."""
+    from hipe_tpu.profiling.report import CSV_COLUMNS
+
+    with open("/root/reference/data/approach2/approach2/per_run.csv") as f:
+        ref_header = f.readline().strip().split(",")
+    assert CSV_COLUMNS == ref_header
