@@ -233,6 +233,130 @@ def _chain_kernel(x_ref, o_ref, *, names: tuple, h_pad: bool):
     o_ref[:] = x
 
 
+# ---- MXU-hybrid chain stages ----
+#
+# Every 3x3 stage factors into a W-axis pass (a banded matmul on the MXU,
+# clamp folded into the band) and an H-axis pass (rolls + adds on the VPU):
+#   blur:    smooth_W (scaled)  then  smooth_H (1,2,1)
+#   sharpen: 5c - (l+r) - (u+d): (l+r) = band_W(1,0,1); (u+d) int32 rolls
+#   edge:    gx = smooth_H o diff_W;  gy = diff_H o smooth_W; |gx|+|gy|
+# All intermediates are small exact integers (or exact multiples of 2^-4r),
+# so bf16 matmul inputs + fp32 accumulation remain bit-exact (see the blur
+# exactness note above; the largest value anywhere is 4080 < 2^24).
+#
+# Halo mode mirrors the reference's compute-then-discard slab semantics
+# (`split_image_blur.c:526,537-539`): stages run in clamp mode on the full
+# block and the output trims `chain_radius` garbage rows per side — exact at
+# interior shard seams (and at true global edges when the halo rows are the
+# engine-supplied slab overlap).
+
+
+def _band_from_taps_np(w: int, taps, scale: float = 1.0):
+    import numpy as np
+
+    r = (len(taps) - 1) // 2
+    band = np.zeros((w, w), np.float32)
+    for j in range(w):
+        for d, tap in enumerate(taps):
+            if tap == 0:
+                continue
+            i = min(max(j + d - r, 0), w - 1)
+            band[i, j] += tap * scale
+    return band
+
+
+def _chain_band_specs(names: tuple, w: int):
+    """Ordered unique band matrices a fused MXU chain needs."""
+    keys: list[tuple] = []
+    for name in names:
+        if name.startswith("gaussian"):
+            from hipe_tpu.ops.blur import FILTER_RADIUS
+
+            keys.append(("blur", FILTER_RADIUS[name]))
+        elif name == "sharpen":
+            keys.append(("lr",))
+        elif name == "edge":
+            keys.append(("smooth",))
+            keys.append(("diff",))
+        else:
+            raise KeyError(name)
+    uniq = list(dict.fromkeys(keys))
+    mats = []
+    for key in uniq:
+        if key[0] == "blur":
+            mats.append(_band_matrix_np(w, key[1]))
+        elif key[0] == "lr":
+            mats.append(_band_from_taps_np(w, (1, 0, 1)))
+        elif key[0] == "smooth":
+            mats.append(_band_from_taps_np(w, (1, 2, 1)))
+        elif key[0] == "diff":
+            mats.append(_band_from_taps_np(w, (-1, 0, 1)))
+    return uniq, mats
+
+
+def _hpass_rolls(t: jax.Array, taps) -> jax.Array:
+    """Clamp-mode H-axis pass: sum_d taps[d] * t[clamp(i + d - r)]."""
+    r = (len(taps) - 1) // 2
+    acc = None
+    for j, tap in enumerate(taps):
+        if tap == 0:
+            continue
+        term = _shift_rows_clamp(t, r - j)
+        if tap != 1:
+            term = term * (float(tap) if term.dtype != jnp.int32 else int(tap))
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _mxu_stage(name: str, x_i32: jax.Array, bands: dict) -> jax.Array:
+    """One clamp-mode chain stage: int32 [0,255] in, int32 [0,255] out."""
+    xb = x_i32.astype(jnp.bfloat16)
+    if name.startswith("gaussian"):
+        from hipe_tpu.ops.blur import FILTER_RADIUS
+
+        r = FILTER_RADIUS[name]
+        taps, _ = binomial_taps(r)
+        t = lax.dot_general(
+            xb, bands[("blur", r)], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return _hpass_rolls(t, taps).astype(jnp.int32)
+    if name == "sharpen":
+        lr = lax.dot_general(
+            xb, bands[("lr",)], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        ud = _hpass_rolls(x_i32, (1, 0, 1))
+        out = 5 * x_i32 - lr - ud
+        return jnp.clip(out, 0, 255)
+    if name == "edge":
+        sm = lax.dot_general(
+            xb, bands[("smooth",)], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        df = lax.dot_general(
+            xb, bands[("diff",)], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        gx = _hpass_rolls(df, (1, 2, 1))
+        gy = _hpass_rolls(sm, (-1, 0, 1))
+        out = (jnp.abs(gx) + jnp.abs(gy)).astype(jnp.int32)
+        return jnp.minimum(out, 255)
+    raise KeyError(name)
+
+
+def _chain_mxu_kernel(x_ref, *refs, names: tuple, trim: int):
+    o_ref = refs[-1]
+    keys, _ = _chain_band_specs(names, x_ref.shape[2])
+    bands = {key: refs[i][:] for i, key in enumerate(keys)}
+    x = x_ref[:].astype(jnp.int32)
+    for name in names:
+        x = _mxu_stage(name, x, bands)
+    if trim:
+        x = x[:, trim:-trim, :]
+    o_ref[:] = x.astype(jnp.uint8)
+
+
 @functools.partial(
     jax.jit, static_argnames=("names", "h_pad", "block_planes", "interpret")
 )
@@ -254,10 +378,42 @@ def filter_chain_planar_pallas(
 
     assert x.dtype == jnp.uint8 and x.ndim == 3
     n, h, w = x.shape
+    out_h = h - 2 * chain_radius(names) if not h_pad else h
+    mxu_ok = h % 8 == 0 and all(
+        nm.startswith("gaussian") or nm in ("sharpen", "edge") for nm in names
+    )
+    if mxu_ok:
+        trim = chain_radius(names) if not h_pad else 0
+        keys, mats = _chain_band_specs(tuple(names), w)
+        band_args = [jnp.asarray(m, jnp.bfloat16) for m in mats]
+        k = block_planes or _pick_block_planes(
+            n, h, w, ntaps=3, budget_bytes=12 * 2**20
+        )
+        assert n % k == 0, (n, k)
+        kernel = functools.partial(
+            _chain_mxu_kernel, names=tuple(names), trim=trim
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(n // k,),
+            in_specs=[
+                pl.BlockSpec(
+                    (k, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                )
+            ]
+            + [
+                pl.BlockSpec((w, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
+                for _ in band_args
+            ],
+            out_specs=pl.BlockSpec(
+                (k, out_h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n, out_h, w), jnp.uint8),
+            interpret=interpret,
+        )(x, *band_args)
     # Chains run stages sequentially, so peak liveness ≈ one 3-tap stage.
     k = block_planes or _pick_block_planes(n, h, w, ntaps=3)
     assert n % k == 0, (n, k)
-    out_h = h - 2 * chain_radius(names) if not h_pad else h
     kernel = functools.partial(_chain_kernel, names=tuple(names), h_pad=h_pad)
     return pl.pallas_call(
         kernel,
