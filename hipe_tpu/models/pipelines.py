@@ -47,6 +47,11 @@ class Pipeline:
         ``h_pad=False`` treats H as halo-padded by :attr:`radius` rows per
         side and returns the valid interior (row-split shard mode).
         """
+        # Whole planes must fit VMEM with working-set headroom; very large
+        # images (e.g. the reference's unused 4000x2250 asset) take the XLA
+        # path, which tiles freely. (ROADMAP: halo-tiled Pallas kernel.)
+        if use_pallas and planes.shape[1] * planes.shape[2] > 2 * 2**20:
+            use_pallas = False
         if use_pallas:
             if len(self.filters) == 1 and self.filters[0].startswith("gaussian"):
                 radius = xblur.FILTER_RADIUS[self.filters[0]]
@@ -59,6 +64,59 @@ class Pipeline:
         return xblur.filter_chain(
             planes, self.filters, h_axis=-2, w_axis=-1, h_pad=h_pad
         )
+
+    def apply_rows(self, rows: jax.Array, channels: int, *,
+                   use_pallas: bool = True,
+                   interpret: bool = False) -> jax.Array:
+        """Interleaved rows (B, H, W*C) — the canonical TPU device layout.
+
+        4-D NHWC uint8 arrays are pathological on TPU (the C=3 lane axis
+        tiles to 128, ~42x HBM inflation), so device-side channels-last
+        data travels as rows: a free host-side reshape of interleaved RGB.
+        Eligible geometries run the transpose-free rows Pallas kernels;
+        oversized geometries relayout to planar on device; `use_pallas=False`
+        uses the rows-native XLA ops (the CPU lane path).
+        """
+        b, h, lane = rows.shape
+        assert lane % channels == 0
+        w = lane // channels
+        known = all(
+            nm.startswith("gaussian") or nm in ("sharpen", "edge")
+            for nm in self.filters
+        )
+        if (
+            use_pallas
+            and known
+            and len(self.filters) == 1
+            and self.filters[0].startswith("gaussian")
+            and pallas_blur.nhwc_pallas_eligible(h, w, channels)
+        ):
+            # Single blur: the rows kernel is transpose-free at equal speed.
+            # Chains fall through to the planar route below: the rows-chain
+            # bands cost C x the MXU FLOPs per stage, which measures slower
+            # than paying the (cheap) device relayout once.
+            radius = xblur.FILTER_RADIUS[self.filters[0]]
+            return pallas_blur.gaussian_blur_rows_pallas(
+                rows, channels, radius, interpret=interpret
+            )
+        if use_pallas:
+            planes = rows.reshape(b, h, w, channels)
+            planes = planes.transpose(0, 3, 1, 2).reshape(b * channels, h, w)
+            out = self.apply_planar(planes, use_pallas=True,
+                                    interpret=interpret)
+            out = out.reshape(b, channels, h, w).transpose(0, 2, 3, 1)
+            return out.reshape(b, h, lane)
+        return xblur.filter_chain_rows(rows, channels, self.filters)
+
+    def apply_nhwc(self, x: jax.Array, *, use_pallas: bool = True,
+                   interpret: bool = False) -> jax.Array:
+        """(B, H, W, C) wrapper over :meth:`apply_rows` (host-side arrays)."""
+        b, h, w, c = x.shape
+        out = self.apply_rows(
+            x.reshape(b, h, w * c), c, use_pallas=use_pallas,
+            interpret=interpret,
+        )
+        return out.reshape(b, h, w, c)
 
     def nhwc_halo_fn(self, *, use_pallas: bool = True, interpret: bool = False):
         """A halo-consuming NHWC block fn for row-split shard bodies.

@@ -181,3 +181,103 @@ def filter_chain(
 def chain_radius(names: Sequence[str]) -> int:
     """Total halo each side needed to run a chain 'valid' over split rows."""
     return sum(FILTER_RADIUS[n] for n in names)
+
+
+# ---- Interleaved-rows layout (..., H, W*C) ----
+#
+# NHWC uint8 arrays are pathological on TPU: XLA tiles the minor (C=3) axis
+# to 128 lanes, inflating HBM by ~42x. The canonical device layout here is
+# therefore "rows": each image row flattened to a W*C vector (a free
+# host-side reshape of interleaved RGB — exactly the reference's device
+# buffer layout, heterogeneous_blur.c:128-135). The W-axis stencil becomes a
+# dilation-C stencil along the last axis; edge clamp replicates whole
+# C-lane pixel blocks.
+
+
+def _edge_pad_rows(x: jax.Array, axis: int, r: int, c: int) -> jax.Array:
+    """Clamp-to-edge pad by r *pixels* (blocks of c lanes) along `axis`."""
+    n = x.shape[axis]
+    first = lax.slice_in_dim(x, 0, c, axis=axis)
+    last = lax.slice_in_dim(x, n - c, n, axis=axis)
+    return jnp.concatenate([first] * r + [x] + [last] * r, axis=axis)
+
+
+def _conv1d_rows(
+    x: jax.Array, axis: int, taps: Sequence[int], c: int, pad: bool
+) -> jax.Array:
+    """1-D integer correlation with pixel stride c along `axis`."""
+    r = (len(taps) - 1) // 2
+    xp = _edge_pad_rows(x, axis, r, c) if pad else x
+    n = xp.shape[axis] - 2 * r * c
+    acc = None
+    for j, t in enumerate(taps):
+        if t == 0:
+            continue
+        sl = lax.slice_in_dim(xp, j * c, j * c + n, axis=axis)
+        term = sl if t == 1 else sl * t
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _rows_stencil(x: jax.Array, c: int, h_pad: bool):
+    """9-point stencil views over (..., H, W*C) int32, pixel-clamped."""
+    xi = x.astype(jnp.int32)
+    xp = _edge_pad_rows(xi, -1, 1, c)
+    if h_pad:
+        xp = _edge_pad_axis(xp, xp.ndim - 2, 1, 1)
+    hn = xp.shape[-2] - 2
+    wn = xp.shape[-1] - 2 * c
+
+    def view(dy, dx):
+        v = lax.slice_in_dim(xp, dy, dy + hn, axis=xp.ndim - 2)
+        return lax.slice_in_dim(v, (dx + 1) * c, (dx + 1) * c + wn, axis=-1)
+
+    return view
+
+
+def gaussian_blur_rows(
+    x: jax.Array, channels: int, radius: int = 1, *, h_pad: bool = True
+) -> jax.Array:
+    """Separable blur on interleaved rows (..., H, W*C); bit-exact."""
+    assert x.dtype == jnp.uint8
+    taps, shift = binomial_taps(radius)
+    acc = _conv1d_rows(x.astype(jnp.int32), -1, taps, channels, pad=True)
+    acc = _conv1d(acc, acc.ndim - 2, taps, pad=h_pad)
+    return (acc >> (2 * shift)).astype(jnp.uint8)
+
+
+def sharpen3x3_rows(
+    x: jax.Array, channels: int, *, h_pad: bool = True
+) -> jax.Array:
+    assert x.dtype == jnp.uint8
+    v = _rows_stencil(x, channels, h_pad)
+    out = 5 * v(1, 0) - v(0, 0) - v(2, 0) - v(1, -1) - v(1, 1)
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+def sobel_edge_rows(
+    x: jax.Array, channels: int, *, h_pad: bool = True
+) -> jax.Array:
+    assert x.dtype == jnp.uint8
+    v = _rows_stencil(x, channels, h_pad)
+    gx = (v(0, 1) + 2 * v(1, 1) + v(2, 1)) - (v(0, -1) + 2 * v(1, -1) + v(2, -1))
+    gy = (v(2, -1) + 2 * v(2, 0) + v(2, 1)) - (v(0, -1) + 2 * v(0, 0) + v(0, 1))
+    return jnp.clip(jnp.abs(gx) + jnp.abs(gy), 0, 255).astype(jnp.uint8)
+
+
+ROWS_FILTERS = {
+    "gaussian3": functools.partial(gaussian_blur_rows, radius=1),
+    "gaussian5": functools.partial(gaussian_blur_rows, radius=2),
+    "gaussian9": functools.partial(gaussian_blur_rows, radius=4),
+    "sharpen": sharpen3x3_rows,
+    "edge": sobel_edge_rows,
+}
+
+
+def filter_chain_rows(
+    x: jax.Array, channels: int, names: Sequence[str], *, h_pad: bool = True
+) -> jax.Array:
+    """Filter chain on interleaved rows (..., H, W*C)."""
+    for name in names:
+        x = ROWS_FILTERS[name](x, channels, h_pad=h_pad)
+    return x

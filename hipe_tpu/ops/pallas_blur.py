@@ -92,6 +92,30 @@ def _band_matrix_np(w: int, radius: int):
     return band
 
 
+@functools.cache
+def _band_matrix_nhwc_np(w: int, c: int, radius: int):
+    """(W*C x W*C) band for interleaved rows: pixel-stride-C diagonals.
+
+    Row-major interleaved RGB (the reference's device layout,
+    `heterogeneous_blur.c:128-135`): an image row is a W*C vector and the
+    x-neighbor of element j*C+ch is (j±1)*C+ch, so the W-axis blur pass is
+    a banded matmul with diagonals at multiples of C — same exactness
+    argument as the planar band, clamp folded per pixel (not per byte).
+    """
+    import numpy as np
+
+    taps, _ = binomial_taps(radius)
+    scale = 1.0 / (1 << (4 * radius))
+    band = np.zeros((w * c, w * c), np.float32)
+    for j in range(w):
+        for ch in range(c):
+            col = j * c + ch
+            for d, tap in enumerate(taps):
+                jp = min(max(j + d - radius, 0), w - 1)
+                band[jp * c + ch, col] += tap * scale
+    return band
+
+
 def _shift_rows_clamp(t: jax.Array, d: int) -> jax.Array:
     """t shifted so out[:, i] = t[:, clamp(i - d)] along axis 1 (sublanes)."""
     if d == 0:
@@ -233,6 +257,85 @@ def _chain_kernel(x_ref, o_ref, *, names: tuple, h_pad: bool):
     o_ref[:] = x
 
 
+def nhwc_pallas_eligible(h: int, w: int, c: int) -> bool:
+    """Whether the interleaved-layout MXU kernel applies to this geometry."""
+    lane = w * c
+    # H must be sublane-aligned (Mosaic batched-dot shape cast) and the
+    # dense (W*C)^2 bf16 band must stay a small fraction of VMEM.
+    return h % 8 == 0 and 2 * lane * lane <= 8 * 2**20
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("channels", "radius", "h_pad", "block_imgs", "interpret"),
+)
+def gaussian_blur_rows_pallas(
+    rows: jax.Array,
+    channels: int,
+    radius: int = 1,
+    *,
+    h_pad: bool = True,
+    block_imgs: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Interleaved-rows blur: (B, H, W*C) uint8 in/out, no transposes.
+
+    The reference's device layout is interleaved RGB; this kernel keeps it,
+    treating each image row as a W*C vector and running the W pass as a
+    pixel-stride-C banded matmul (see `_band_matrix_nhwc_np`). Serving paths
+    with interleaved inputs avoid the planar relayout entirely (2 full HBM
+    round-trips saved per batch) at the cost of C x the MXU FLOPs — still
+    far below the MXU ceiling. NB: a 4-D NHWC uint8 device array would be
+    tiled with its C axis padded to 128 lanes (~42x HBM inflation); rows
+    layout is the supported channels-last device form.
+    """
+    assert rows.dtype == jnp.uint8 and rows.ndim == 3
+    b, h, lane = rows.shape
+    assert lane % channels == 0
+    w = lane // channels
+    assert nhwc_pallas_eligible(h, w, channels), (h, w, channels)
+    taps, _ = binomial_taps(radius)
+    out_h = h - 2 * radius if not h_pad else h
+    k = block_imgs or _pick_block_planes(
+        b, h, lane, ntaps=len(taps), budget_bytes=12 * 2**20
+    )
+    assert b % k == 0, (b, k)
+    band = jnp.asarray(
+        _band_matrix_nhwc_np(w, channels, radius), jnp.bfloat16
+    )
+    kernel = functools.partial(_blur_mxu_kernel, taps=taps, h_pad=h_pad)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // k,),
+        in_specs=[
+            pl.BlockSpec(
+                (k, h, lane), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (lane, lane), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (k, out_h, lane), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, out_h, lane), jnp.uint8),
+        interpret=interpret,
+    )(rows, band)
+
+
+def gaussian_blur_nhwc_pallas(
+    x: jax.Array, radius: int = 1, **kw
+) -> jax.Array:
+    """(B, H, W, C) convenience wrapper around the rows kernel.
+
+    Only use with host-side or freshly-reshaped arrays — do NOT keep 4-D
+    NHWC uint8 arrays resident on TPU (42x HBM tiling inflation).
+    """
+    b, h, w, c = x.shape
+    out = gaussian_blur_rows_pallas(x.reshape(b, h, w * c), c, radius, **kw)
+    return out.reshape(b, out.shape[1], w, c)
+
+
 # ---- MXU-hybrid chain stages ----
 #
 # Every 3x3 stage factors into a W-axis pass (a banded matmul on the MXU,
@@ -251,21 +354,24 @@ def _chain_kernel(x_ref, o_ref, *, names: tuple, h_pad: bool):
 # engine-supplied slab overlap).
 
 
-def _band_from_taps_np(w: int, taps, scale: float = 1.0):
+def _band_from_taps_np(w: int, taps, scale: float = 1.0, c: int = 1):
+    """(W*C x W*C) band with pixel stride c (c=1 == planar)."""
     import numpy as np
 
     r = (len(taps) - 1) // 2
-    band = np.zeros((w, w), np.float32)
+    band = np.zeros((w * c, w * c), np.float32)
     for j in range(w):
-        for d, tap in enumerate(taps):
-            if tap == 0:
-                continue
-            i = min(max(j + d - r, 0), w - 1)
-            band[i, j] += tap * scale
+        for ch in range(c):
+            col = j * c + ch
+            for d, tap in enumerate(taps):
+                if tap == 0:
+                    continue
+                i = min(max(j + d - r, 0), w - 1)
+                band[i * c + ch, col] += tap * scale
     return band
 
 
-def _chain_band_specs(names: tuple, w: int):
+def _chain_band_specs(names: tuple, w: int, c: int = 1):
     """Ordered unique band matrices a fused MXU chain needs."""
     keys: list[tuple] = []
     for name in names:
@@ -284,13 +390,16 @@ def _chain_band_specs(names: tuple, w: int):
     mats = []
     for key in uniq:
         if key[0] == "blur":
-            mats.append(_band_matrix_np(w, key[1]))
+            r = key[1]
+            taps, _ = binomial_taps(r)
+            scale = 1.0 / (1 << (4 * r))
+            mats.append(_band_from_taps_np(w, taps, scale, c))
         elif key[0] == "lr":
-            mats.append(_band_from_taps_np(w, (1, 0, 1)))
+            mats.append(_band_from_taps_np(w, (1, 0, 1), 1.0, c))
         elif key[0] == "smooth":
-            mats.append(_band_from_taps_np(w, (1, 2, 1)))
+            mats.append(_band_from_taps_np(w, (1, 2, 1), 1.0, c))
         elif key[0] == "diff":
-            mats.append(_band_from_taps_np(w, (-1, 0, 1)))
+            mats.append(_band_from_taps_np(w, (-1, 0, 1), 1.0, c))
     return uniq, mats
 
 
@@ -345,10 +454,78 @@ def _mxu_stage(name: str, x_i32: jax.Array, bands: dict) -> jax.Array:
     raise KeyError(name)
 
 
-def _chain_mxu_kernel(x_ref, *refs, names: tuple, trim: int):
+def _chain_mxu_call(x3d: jax.Array, names: tuple, *, h_pad: bool, c: int,
+                    block: int | None, interpret: bool) -> jax.Array:
+    """Shared pallas_call builder for fused MXU chains (planar c=1 or rows).
+
+    `x3d` is (N, H, L) uint8 with L = W*c. Halo mode (h_pad=False) runs
+    clamp-mode stages and trims `chain_radius` rows per side (the
+    reference's compute-then-discard slab semantics).
+    """
+    from hipe_tpu.ops.blur import chain_radius
+
+    n, h, lane = x3d.shape
+    w = lane // c
+    trim = chain_radius(names) if not h_pad else 0
+    out_h = h - 2 * trim
+    keys, mats = _chain_band_specs(names, w, c)
+    band_args = [jnp.asarray(m, jnp.bfloat16) for m in mats]
+    k = block or _pick_block_planes(n, h, lane, ntaps=3,
+                                    budget_bytes=12 * 2**20)
+    assert n % k == 0, (n, k)
+    kernel = functools.partial(
+        _chain_mxu_kernel, names=names, trim=trim, band_keys=tuple(keys)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n // k,),
+        in_specs=[
+            pl.BlockSpec(
+                (k, h, lane), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        ]
+        + [
+            pl.BlockSpec(
+                (lane, lane), lambda i: (0, 0), memory_space=pltpu.VMEM
+            )
+            for _ in band_args
+        ],
+        out_specs=pl.BlockSpec(
+            (k, out_h, lane), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, out_h, lane), jnp.uint8),
+        interpret=interpret,
+    )(x3d, *band_args)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("channels", "names", "h_pad", "block_imgs", "interpret"),
+)
+def filter_chain_rows_pallas(
+    rows: jax.Array,
+    channels: int,
+    names: tuple,
+    *,
+    h_pad: bool = True,
+    block_imgs: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused filter chain on interleaved rows (B, H, W*C) — transpose-free."""
+    assert rows.dtype == jnp.uint8 and rows.ndim == 3
+    b, h, lane = rows.shape
+    assert lane % channels == 0
+    assert nhwc_pallas_eligible(h, lane // channels, channels), rows.shape
+    return _chain_mxu_call(
+        rows, tuple(names), h_pad=h_pad, c=channels, block=block_imgs,
+        interpret=interpret,
+    )
+
+
+def _chain_mxu_kernel(x_ref, *refs, names: tuple, trim: int,
+                      band_keys: tuple):
     o_ref = refs[-1]
-    keys, _ = _chain_band_specs(names, x_ref.shape[2])
-    bands = {key: refs[i][:] for i, key in enumerate(keys)}
+    bands = {key: refs[i][:] for i, key in enumerate(band_keys)}
     x = x_ref[:].astype(jnp.int32)
     for name in names:
         x = _mxu_stage(name, x, bands)
@@ -383,34 +560,10 @@ def filter_chain_planar_pallas(
         nm.startswith("gaussian") or nm in ("sharpen", "edge") for nm in names
     )
     if mxu_ok:
-        trim = chain_radius(names) if not h_pad else 0
-        keys, mats = _chain_band_specs(tuple(names), w)
-        band_args = [jnp.asarray(m, jnp.bfloat16) for m in mats]
-        k = block_planes or _pick_block_planes(
-            n, h, w, ntaps=3, budget_bytes=12 * 2**20
-        )
-        assert n % k == 0, (n, k)
-        kernel = functools.partial(
-            _chain_mxu_kernel, names=tuple(names), trim=trim
-        )
-        return pl.pallas_call(
-            kernel,
-            grid=(n // k,),
-            in_specs=[
-                pl.BlockSpec(
-                    (k, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-                )
-            ]
-            + [
-                pl.BlockSpec((w, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
-                for _ in band_args
-            ],
-            out_specs=pl.BlockSpec(
-                (k, out_h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            out_shape=jax.ShapeDtypeStruct((n, out_h, w), jnp.uint8),
+        return _chain_mxu_call(
+            x, tuple(names), h_pad=h_pad, c=1, block=block_planes,
             interpret=interpret,
-        )(x, *band_args)
+        )
     # Chains run stages sequentially, so peak liveness ≈ one 3-tap stage.
     k = block_planes or _pick_block_planes(n, h, w, ntaps=3)
     assert n % k == 0, (n, k)

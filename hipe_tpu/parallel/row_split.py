@@ -80,18 +80,32 @@ def make_row_split_fn(
     batch_axis: str | None = None,
     local_fn: Callable | None = None,
     radius: int | None = None,
+    channels: int | None = None,
 ) -> Callable[[jax.Array], jax.Array]:
     """Build the jitted row-split pipeline over `mesh`.
 
-    Input/output: (B, H, W, C) uint8, H sharded over `axis_name` (and B over
-    `batch_axis` if given — DP x SP on a 2-D mesh). `names` is a filter chain
-    from :data:`hipe_tpu.ops.blur.FILTERS`; alternatively pass `local_fn`
-    (a halo-consuming fn of signature block->block, e.g. a Pallas kernel
-    wrapper) together with its `radius`.
+    Input/output: (B, H, W, C) uint8 — or, with `channels=C`, interleaved
+    rows (B, H, W*C), the recommended TPU device layout (4-D NHWC uint8
+    tiles pad C to 128 lanes on TPU) — H sharded over `axis_name` (and B
+    over `batch_axis` if given: DP x SP on a 2-D mesh). `names` is a filter
+    chain from :data:`hipe_tpu.ops.blur.FILTERS`; alternatively pass
+    `local_fn` (a halo-consuming fn of signature block->block, e.g. a
+    Pallas kernel wrapper) together with its `radius`.
     """
     names = tuple(names)
 
-    if local_fn is not None:
+    if local_fn is None and channels is not None:
+        # Rows-layout chain with per-stage halo exchange.
+        def local(block: jax.Array) -> jax.Array:
+            for name in names:
+                r_i = xblur.FILTER_RADIUS[name]
+                padded = exchange_halo(block, r_i, axis_name, h_axis=1)
+                block = xblur.ROWS_FILTERS[name](
+                    padded, channels, h_pad=False
+                )
+            return block
+
+    elif local_fn is not None:
         # Single custom stage (e.g. a Pallas kernel): one halo exchange of
         # its radius, then the valid-mode kernel.
         assert radius is not None, "local_fn requires an explicit radius"

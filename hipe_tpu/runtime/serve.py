@@ -19,7 +19,6 @@ from typing import Iterable, Iterator
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from hipe_tpu.models import pipelines as plib
 from hipe_tpu.profiling.events import now_ms
@@ -65,12 +64,11 @@ class ServingPipeline:
         """Per-shape jitted NHWC filter (planar Pallas path on TPU)."""
         if shape not in self._fns:
             pipe, pallas_flag = self.pipeline, self.use_pallas
+            channels = shape[3]
 
-            def fn(x):
-                b, h, w, c = x.shape
-                planes = x.transpose(0, 3, 1, 2).reshape(b * c, h, w)
-                out = pipe.apply_planar(planes, use_pallas=pallas_flag)
-                return out.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+            def fn(rows):
+                return pipe.apply_rows(rows, channels,
+                                       use_pallas=pallas_flag)
 
             self._fns[shape] = jax.jit(fn)
         return self._fns[shape]
@@ -85,10 +83,12 @@ class ServingPipeline:
 
     def _filter_device(self, batch: np.ndarray) -> np.ndarray:
         t0 = now_ms()
-        x = jax.device_put(jnp.asarray(batch), self.device)
-        out = np.asarray(self._device_fn(batch.shape)(x))
+        b, h, w, c = batch.shape
+        # Rows layout on device (free host reshape; avoids NHWC lane padding)
+        rows = jax.device_put(batch.reshape(b, h, w * c), self.device)
+        out = np.asarray(self._device_fn(batch.shape)(rows))
         self.stats.device_ms += now_ms() - t0
-        return out
+        return out.reshape(b, h, w, c)
 
     def _encode(self, batch: np.ndarray) -> list[bytes]:
         from hipe_tpu.io_.jpeg import encode_bytes

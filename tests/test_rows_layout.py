@@ -1,0 +1,141 @@
+"""Interleaved-rows layout ops (the canonical TPU device layout)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hipe_tpu.models import pipelines as plib
+from hipe_tpu.ops import blur as xblur
+from hipe_tpu.ops import pallas_blur
+from hipe_tpu.ops import reference as oracle
+from hipe_tpu.utils.images import checker_image
+
+
+def _rows(batch):
+    b, h, w, c = batch.shape
+    return jnp.asarray(batch.reshape(b, h, w * c))
+
+
+BATCH = np.stack([checker_image(32, 40, 3, seed=s) for s in range(2)])
+
+
+@pytest.mark.parametrize("radius", [1, 2, 4])
+def test_xla_rows_blur_bit_exact(radius):
+    got = np.asarray(
+        xblur.gaussian_blur_rows(_rows(BATCH), 3, radius)
+    ).reshape(BATCH.shape)
+    want = np.stack(
+        [oracle.gaussian_blur_int_oracle(b, radius) for b in BATCH]
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_xla_rows_sharpen_edge_chain():
+    got_s = np.asarray(
+        xblur.sharpen3x3_rows(_rows(BATCH), 3)
+    ).reshape(BATCH.shape)
+    np.testing.assert_array_equal(
+        got_s, np.stack([oracle.sharpen3x3_oracle(b) for b in BATCH])
+    )
+    got_e = np.asarray(
+        xblur.sobel_edge_rows(_rows(BATCH), 3)
+    ).reshape(BATCH.shape)
+    np.testing.assert_array_equal(
+        got_e, np.stack([oracle.sobel_edge_oracle(b) for b in BATCH])
+    )
+    got_c = np.asarray(
+        xblur.filter_chain_rows(_rows(BATCH), 3, ("gaussian3", "sharpen",
+                                                  "edge"))
+    ).reshape(BATCH.shape)
+    want_c = np.stack(
+        [
+            oracle.sobel_edge_oracle(
+                oracle.sharpen3x3_oracle(oracle.gaussian_blur_int_oracle(b))
+            )
+            for b in BATCH
+        ]
+    )
+    np.testing.assert_array_equal(got_c, want_c)
+
+
+def test_xla_rows_halo_mode():
+    img = checker_image(48, 32, 3, seed=9)
+    want = oracle.gaussian_blur_int_oracle(img)
+    lo, hi = 10, 40
+    slab = img[lo - 1 : hi + 1]
+    rows = jnp.asarray(slab.reshape(1, slab.shape[0], -1))
+    got = np.asarray(
+        xblur.gaussian_blur_rows(rows, 3, 1, h_pad=False)
+    ).reshape(1, hi - lo, 32, 3)
+    np.testing.assert_array_equal(got[0], want[lo:hi])
+
+
+@pytest.mark.parametrize("radius", [1, 2])
+def test_pallas_rows_blur_interpret(radius):
+    batch = np.stack([checker_image(32, 128, 3, seed=s) for s in range(2)])
+    got = np.asarray(
+        pallas_blur.gaussian_blur_rows_pallas(
+            _rows(batch), 3, radius, interpret=True
+        )
+    ).reshape(batch.shape)
+    want = np.stack(
+        [oracle.gaussian_blur_int_oracle(b, radius) for b in batch]
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_rows_chain_interpret():
+    batch = np.stack([checker_image(32, 128, 3, seed=s) for s in range(2)])
+    got = np.asarray(
+        pallas_blur.filter_chain_rows_pallas(
+            _rows(batch), 3, ("gaussian3", "sharpen", "edge"), interpret=True
+        )
+    ).reshape(batch.shape)
+    want = np.stack(
+        [
+            oracle.sobel_edge_oracle(
+                oracle.sharpen3x3_oracle(oracle.gaussian_blur_int_oracle(b))
+            )
+            for b in batch
+        ]
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pipeline_apply_rows_xla_and_wrapper():
+    pipe = plib.PIPELINES["chain"]
+    got = np.asarray(
+        pipe.apply_rows(_rows(BATCH), 3, use_pallas=False)
+    ).reshape(BATCH.shape)
+    want = np.stack(
+        [
+            oracle.sobel_edge_oracle(
+                oracle.sharpen3x3_oracle(oracle.gaussian_blur_int_oracle(b))
+            )
+            for b in BATCH
+        ]
+    )
+    np.testing.assert_array_equal(got, want)
+    got2 = np.asarray(pipe.apply_nhwc(jnp.asarray(BATCH), use_pallas=False))
+    np.testing.assert_array_equal(got2, want)
+
+
+def test_row_split_rows_layout():
+    """SPMD row split over rows layout == oracle (8 shards, chain)."""
+    from hipe_tpu.parallel import mesh as meshlib
+    from hipe_tpu.parallel.row_split import make_row_split_fn
+
+    mesh = meshlib.make_mesh(8, axis=meshlib.ROW_AXIS)
+    batch = np.stack([checker_image(64, 48, 3, seed=s) for s in range(2)])
+    fn = make_row_split_fn(mesh, ("gaussian3", "sharpen", "edge"), channels=3)
+    got = np.asarray(fn(_rows(batch))).reshape(batch.shape)
+    want = np.stack(
+        [
+            oracle.sobel_edge_oracle(
+                oracle.sharpen3x3_oracle(oracle.gaussian_blur_int_oracle(b))
+            )
+            for b in batch
+        ]
+    )
+    np.testing.assert_array_equal(got, want)
