@@ -68,6 +68,40 @@ def calibrate_ratio(
     return TuneResult(ratio=best[0], stats=best[2], history=history)
 
 
+@dataclasses.dataclass
+class FullTuneResult:
+    ratio: float
+    batch_size: int
+    stats: RunStats  # the best run
+
+
+def tune(
+    base: EngineConfig,
+    image: np.ndarray,
+    *,
+    batch_sizes: Sequence[int] = (35, 50, 100, 200, 500),
+    calib_images: int = 300,
+    cpu_device=None,
+    accel_device=None,
+) -> FullTuneResult:
+    """Full calibration study: tune the ratio, then pick the best batch size.
+
+    Automates the reference's two-phase methodology (`README.md:87-93` ratio
+    loop + the `data/` batch sweep) into one call.
+    """
+    ratio = calibrate_ratio(
+        base, image, num_images=calib_images,
+        cpu_device=cpu_device, accel_device=accel_device,
+    ).ratio
+    tuned = dataclasses.replace(base, gpu_ratio=ratio)
+    stats = sweep_batch_sizes(
+        tuned, image, batch_sizes=batch_sizes, runs=1,
+        cpu_device=cpu_device, accel_device=accel_device,
+    )
+    best = max(stats, key=lambda s: s.images_per_sec)
+    return FullTuneResult(ratio=ratio, batch_size=best.batch_size, stats=best)
+
+
 def sweep_batch_sizes(
     base: EngineConfig,
     image: np.ndarray,

@@ -47,3 +47,15 @@ def test_sweep_and_corpus(tmp_path):
     # per-run report logs exist
     assert (tmp_path / "corpus" / "8_run_1.txt").exists()
     assert (tmp_path / "corpus" / "16_run_2.txt").exists()
+
+
+def test_full_tune_picks_ratio_and_batch():
+    from hipe_tpu.parallel.autotune import tune
+
+    cpu, accel = _devs()
+    base = EngineConfig(approach=1, mode="both", num_images=64)
+    res = tune(base, IMG, batch_sizes=(16, 32), calib_images=32,
+               cpu_device=cpu, accel_device=accel)
+    assert res.batch_size in (16, 32)
+    assert 0.0 <= res.ratio <= 1.0
+    assert res.stats.images_per_sec > 0

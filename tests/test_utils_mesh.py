@@ -52,3 +52,26 @@ def test_mesh_builders():
     m2 = meshlib.make_mesh_2d(2, 4)
     assert m2.devices.shape == (2, 4)
     assert m2.axis_names == (meshlib.DATA_AXIS, meshlib.ROW_AXIS)
+
+
+def test_stage_clock_accumulation():
+    import time
+
+    from hipe_tpu.profiling.events import DeviceCounters, StageClock
+
+    c = DeviceCounters("cpu")
+    clock = StageClock(c)
+    with clock.stage("in"):
+        time.sleep(0.01)
+    with clock.stage("kernel"):
+        time.sleep(0.02)
+    with clock.stage("out"):
+        pass
+    assert c.in_ms >= 8 and c.kernel_ms >= 15 and c.out_ms >= 0
+    assert abs(c.total_ms - (c.in_ms + c.kernel_ms + c.out_ms)) < 1e-9
+    c2 = DeviceCounters("cpu")
+    c2.units = 5
+    c2.images = 5
+    c2.in_ms = 10.0
+    c.merge(c2)
+    assert c.units == 5 and c.in_ms >= 18
