@@ -145,3 +145,19 @@ def test_csv_schema_matches_reference_header():
     with open("/root/reference/data/approach2/approach2/per_run.csv") as f:
         ref_header = f.readline().strip().split(",")
     assert CSV_COLUMNS == ref_header
+
+
+def test_approach2_mixed_resolution_stream():
+    """A2 handles per-batch geometry changes (mixed-resolution stream)."""
+    from hipe_tpu.runtime.stream import MixedResolutionStream
+
+    a = checker_image(32, 24, 3, seed=0)
+    b = checker_image(48, 40, 3, seed=1)
+    eng = _engine(approach=2, mode="both", gpu_ratio=0.5, batch_size=4,
+                  num_images=12)
+    stream = MixedResolutionStream([a, b], 12, 4)
+    stats = eng.run(stream=stream)
+    assert stats.cpu.images == 12 and stats.accel.images == 12
+    # first batch (image a) reassembles exactly
+    want = oracle.gaussian_blur_int_oracle(a)
+    np.testing.assert_array_equal(eng.first_output[0], want)

@@ -76,3 +76,19 @@ def test_row_split_dp_2d_mesh():
     got = np.asarray(fn(jnp.asarray(batch)))
     want = np.stack([oracle.gaussian_blur_int_oracle(b) for b in batch])
     np.testing.assert_array_equal(got, want)
+
+
+def test_row_split_randomized_geometries():
+    """Randomized heights/shard-counts: seams stay exact everywhere."""
+    rng = np.random.default_rng(0)
+    for _ in range(4):
+        n = int(rng.choice([2, 4, 8]))
+        h = int(n * rng.integers(2, 7))  # shards of 2..6 rows
+        w = int(rng.integers(9, 40))
+        img = (rng.integers(0, 256, (h, w, 3))).astype(np.uint8)
+        mesh = _mesh(n)
+        fn = make_row_split_fn(mesh, ("gaussian3",))
+        got = np.asarray(fn(jnp.asarray(img[None])))[0]
+        np.testing.assert_array_equal(
+            got, oracle.gaussian_blur_int_oracle(img)
+        )
