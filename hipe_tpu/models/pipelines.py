@@ -48,9 +48,16 @@ class Pipeline:
         side and returns the valid interior (row-split shard mode).
         """
         # Whole planes must fit VMEM with working-set headroom; very large
-        # images (e.g. the reference's unused 4000x2250 asset) take the XLA
-        # path, which tiles freely. (ROADMAP: halo-tiled Pallas kernel.)
+        # images (e.g. the reference's 4000x2250 asset) use the halo-tiled
+        # kernel (single blurs) or the XLA path (chains).
         if use_pallas and planes.shape[1] * planes.shape[2] > 2 * 2**20:
+            if len(self.filters) == 1 and self.filters[0].startswith(
+                "gaussian"
+            ):
+                radius = xblur.FILTER_RADIUS[self.filters[0]]
+                return pallas_blur.gaussian_blur_planar_tiled_pallas(
+                    planes, radius, interpret=interpret
+                )
             use_pallas = False
         if use_pallas:
             if len(self.filters) == 1 and self.filters[0].startswith("gaussian"):

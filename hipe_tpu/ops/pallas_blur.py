@@ -257,6 +257,90 @@ def _chain_kernel(x_ref, o_ref, *, names: tuple, h_pad: bool):
     o_ref[:] = x
 
 
+def _tiled_blur_kernel(top_ref, x_ref, bot_ref, o_ref, *, taps: tuple,
+                       shift: int, radius: int):
+    """One H tile of a large plane, with halo rows from neighbor tiles.
+
+    Neighbor halos arrive as extra 8-row input blocks whose index maps are
+    clamped to stay in range; the first/last tile replaces them with
+    edge-replicated rows (the kernel's clamp-to-edge semantics,
+    gaussian_kernel.cl:56-57).
+    """
+    i = pl.program_id(1)
+    n_i = pl.num_programs(1)
+    main = x_ref[0].astype(jnp.int32)  # (tile_h, W)
+    top = top_ref[0].astype(jnp.int32)[-radius:]
+    bot = bot_ref[0].astype(jnp.int32)[:radius]
+    edge_t = jnp.concatenate([main[:1]] * radius, axis=0)
+    edge_b = jnp.concatenate([main[-1:]] * radius, axis=0)
+    tpart = jnp.where(i == 0, edge_t, top)
+    bpart = jnp.where(i == n_i - 1, edge_b, bot)
+    padded = jnp.concatenate([tpart, main, bpart], axis=0)
+    acc = _conv1d(padded, 1, taps, pad=True)  # W axis, clamp
+    acc = _conv1d(acc, 0, taps, pad=False)  # H axis, valid over the halo
+    o_ref[0] = (acc >> (2 * shift)).astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius", "tile_h", "interpret")
+)
+def gaussian_blur_planar_tiled_pallas(
+    x: jax.Array,
+    radius: int = 1,
+    *,
+    tile_h: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Blur for planes too large to fit VMEM whole (e.g. 4000x2250 frames).
+
+    Tiles each plane along H with `radius` rows of cross-tile halo delivered
+    as clamped-index 8-row neighbor blocks; W is unconstrained (pure-VPU
+    stencil). H is edge-pad-rounded to the tile size outside the kernel —
+    replicated pad rows reproduce clamp semantics exactly, so the result is
+    bit-identical to the unsplit blur.
+    """
+    assert x.dtype == jnp.uint8 and x.ndim == 3
+    assert tile_h % 8 == 0 and tile_h >= 8
+    assert radius <= 8
+    n, h, w = x.shape
+    hp = -(-h // tile_h) * tile_h
+    if hp != h:
+        last = lax.slice_in_dim(x, h - 1, h, axis=1)
+        x = jnp.concatenate([x] + [last] * (hp - h), axis=1)
+    th8 = tile_h // 8
+    nh8 = hp // 8
+    taps, shift = binomial_taps(radius)
+    kernel = functools.partial(
+        _tiled_blur_kernel, taps=taps, shift=shift, radius=radius
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, hp // tile_h),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 8, w),
+                lambda p, i: (p, jnp.maximum(i * th8 - 1, 0), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_h, w), lambda p, i: (p, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 8, w),
+                lambda p, i: (p, jnp.minimum((i + 1) * th8, nh8 - 1), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, w), lambda p, i: (p, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, hp, w), jnp.uint8),
+        interpret=interpret,
+    )(x, x, x)
+    return out[:, :h] if hp != h else out
+
+
 def nhwc_pallas_eligible(h: int, w: int, c: int) -> bool:
     """Whether the interleaved-layout MXU kernel applies to this geometry."""
     lane = w * c

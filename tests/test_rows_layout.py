@@ -139,3 +139,23 @@ def test_row_split_rows_layout():
         ]
     )
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("h,w,radius,tile_h", [
+    (300, 48, 1, 64), (256, 48, 2, 64), (100, 30, 1, 32), (50, 48, 4, 48),
+])
+def test_tiled_large_plane_kernel(h, w, radius, tile_h):
+    """Halo-tiled kernel (large-image path) == oracle across geometries."""
+    img = checker_image(h, w, 3, seed=h)
+    planes = jnp.asarray(
+        img.transpose(2, 0, 1).reshape(3, h, w)
+    )
+    got = np.asarray(
+        pallas_blur.gaussian_blur_planar_tiled_pallas(
+            planes, radius, tile_h=tile_h, interpret=True
+        )
+    )
+    want = oracle.gaussian_blur_int_oracle(img, radius)
+    np.testing.assert_array_equal(
+        got.transpose(1, 2, 0), want
+    )
