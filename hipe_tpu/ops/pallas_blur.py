@@ -202,8 +202,18 @@ def gaussian_blur_planar_pallas(
     out_h = h - 2 * radius if not h_pad else h
     if path == "mxu" and h % 8 != 0:
         # Mosaic lowers the batched (k,H,W)x(W,W) dot via a (k*H,W) shape
-        # cast that requires sublane-aligned H; odd slab heights (row-split
-        # lanes) take the VPU stencil path instead.
+        # cast that requires sublane-aligned H. In clamp mode, pad H with
+        # edge-replicated rows (bit-exact: replicated rows == clamp) and
+        # trim after; halo (valid) mode falls back to the VPU stencil.
+        if h_pad:
+            hp = -(-h // 8) * 8
+            last = lax.slice_in_dim(x, h - 1, h, axis=1)
+            xp = jnp.concatenate([x] + [last] * (hp - h), axis=1)
+            out = gaussian_blur_planar_pallas(
+                xp, radius, h_pad=True, block_planes=block_planes,
+                interpret=interpret, path="mxu",
+            )
+            return out[:, :h]
         path = "vpu"
     if path == "mxu":
         k = block_planes or _pick_block_planes(
