@@ -78,42 +78,18 @@ def _blur_kernel(x_ref, o_ref, *, taps: tuple, shift: int, h_pad: bool):
 
 
 @functools.cache
-def _band_matrix_np(w: int, radius: int):
-    """W x W banded matrix: column j holds taps/16^r for rows clamp(j+d)."""
-    import numpy as np
+def _band_matrix_np(w: int, radius: int, c: int = 1):
+    """(W*C x W*C) banded matrix: taps/16^r with clamp folded per pixel.
 
-    taps, _ = binomial_taps(radius)
-    scale = 1.0 / (1 << (4 * radius))
-    band = np.zeros((w, w), np.float32)
-    for j in range(w):
-        for d, tap in enumerate(taps):
-            i = min(max(j + d - radius, 0), w - 1)
-            band[i, j] += tap * scale
-    return band
-
-
-@functools.cache
-def _band_matrix_nhwc_np(w: int, c: int, radius: int):
-    """(W*C x W*C) band for interleaved rows: pixel-stride-C diagonals.
-
-    Row-major interleaved RGB (the reference's device layout,
-    `heterogeneous_blur.c:128-135`): an image row is a W*C vector and the
-    x-neighbor of element j*C+ch is (j±1)*C+ch, so the W-axis blur pass is
-    a banded matmul with diagonals at multiples of C — same exactness
-    argument as the planar band, clamp folded per pixel (not per byte).
+    c=1 is the planar band (column j holds taps for rows clamp(j+d)); c>1 is
+    the interleaved-rows band: row-major interleaved RGB (the reference's
+    device layout, `heterogeneous_blur.c:128-135`) makes an image row a W*C
+    vector whose x-neighbors sit at pixel stride C, so the diagonals land at
+    multiples of C — same exactness argument either way.
     """
-    import numpy as np
-
     taps, _ = binomial_taps(radius)
     scale = 1.0 / (1 << (4 * radius))
-    band = np.zeros((w * c, w * c), np.float32)
-    for j in range(w):
-        for ch in range(c):
-            col = j * c + ch
-            for d, tap in enumerate(taps):
-                jp = min(max(j + d - radius, 0), w - 1)
-                band[jp * c + ch, col] += tap * scale
-    return band
+    return _band_from_taps_np(w, tuple(taps), scale, c)
 
 
 def _shift_rows_clamp(t: jax.Array, d: int) -> jax.Array:
@@ -376,7 +352,7 @@ def gaussian_blur_rows_pallas(
 
     The reference's device layout is interleaved RGB; this kernel keeps it,
     treating each image row as a W*C vector and running the W pass as a
-    pixel-stride-C banded matmul (see `_band_matrix_nhwc_np`). Serving paths
+    pixel-stride-C banded matmul (see `_band_matrix_np`). Serving paths
     with interleaved inputs avoid the planar relayout entirely (2 full HBM
     round-trips saved per batch) at the cost of C x the MXU FLOPs — still
     far below the MXU ceiling. NB: a 4-D NHWC uint8 device array would be
@@ -394,9 +370,7 @@ def gaussian_blur_rows_pallas(
         b, h, lane, ntaps=len(taps), budget_bytes=12 * 2**20
     )
     assert b % k == 0, (b, k)
-    band = jnp.asarray(
-        _band_matrix_nhwc_np(w, channels, radius), jnp.bfloat16
-    )
+    band = jnp.asarray(_band_matrix_np(w, radius, channels), jnp.bfloat16)
     kernel = functools.partial(_blur_mxu_kernel, taps=taps, h_pad=h_pad)
     return pl.pallas_call(
         kernel,
