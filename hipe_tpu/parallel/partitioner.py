@@ -23,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 import math
 import sys
+from typing import Sequence
 
 DEFAULT_RATIO = 0.5  # heterogeneous_blur.c:48
 DEFAULT_BATCH = 500  # heterogeneous_blur.c:46
@@ -134,6 +135,87 @@ def even_row_shards(height: int, n: int, halo: int = 1) -> list[tuple[int, int]]
     step = height // n
     assert step >= halo, "shard thinner than the halo"
     return [(i * step, (i + 1) * step) for i in range(n)]
+
+
+def apportion(total: int, weights: Sequence[float]) -> list[int]:
+    """Split `total` units across lanes by weight (largest remainder).
+
+    N-lane generalization of the reference's two-way image split
+    (`heterogeneous_blur.c:449-458`); for weights (1-r, r) it reproduces
+    `split_images` exactly on the fast lane (floor(total*r)).
+    """
+    s = float(sum(weights))
+    assert s > 0 and all(w >= 0 for w in weights)
+    raw = [total * w / s for w in weights]
+    counts = [int(x) for x in raw]
+    remainder = total - sum(counts)
+    order = sorted(range(len(weights)), key=lambda i: raw[i] - counts[i],
+                   reverse=True)
+    for i in order[:remainder]:
+        counts[i] += 1
+    return counts
+
+
+@dataclasses.dataclass(frozen=True)
+class RowSegment:
+    """One lane's share of an N-way row partition with halo."""
+
+    out: tuple[int, int]  # output rows owned by this lane
+    inp: tuple[int, int]  # input slab incl. halo (clamped at image edges)
+
+    @property
+    def out_rows(self) -> int:
+        return self.out[1] - self.out[0]
+
+    @property
+    def in_rows(self) -> int:
+        return self.inp[1] - self.inp[0]
+
+
+def row_partition(
+    height: int, weights: Sequence[float], halo: int = 1
+) -> list[RowSegment]:
+    """N-way weighted row partition with per-side halo.
+
+    Generalizes the reference's two-way `row_split` (split_image_blur.c:
+    144-173): boundaries fall at cumulative-weight row counts (apportioned
+    so every lane keeps >= 1 row); each lane's input slab extends `halo`
+    rows beyond its owned range, clamped at the image edges; halo outputs
+    are computed-then-discarded at reassembly.
+    """
+    counts = apportion(height, weights)
+    # guarantee every lane at least one row (clamping analog, :147-154)
+    for i in range(len(counts)):
+        while counts[i] == 0:
+            j = max(range(len(counts)), key=lambda k: counts[k])
+            counts[j] -= 1
+            counts[i] += 1
+    segs = []
+    start = 0
+    for c in counts:
+        end = start + c
+        segs.append(
+            RowSegment(
+                out=(start, end),
+                inp=(max(start - halo, 0), min(end + halo, height)),
+            )
+        )
+        start = end
+    return segs
+
+
+def recommend_weights(per_unit_times: Sequence[float]) -> list[float]:
+    """weights_i ∝ 1/t_i — the N-lane form of `ratio* = T_cpu/(T_cpu+T_gpu)`.
+
+    For two lanes (t_cpu, t_gpu) the fast lane's weight equals the
+    reference's recommended gpu ratio (README.md:93).
+    """
+    if any(t <= 0 for t in per_unit_times):
+        n = len(per_unit_times)
+        return [1.0 / n] * n
+    inv = [1.0 / t for t in per_unit_times]
+    s = sum(inv)
+    return [x / s for x in inv]
 
 
 def recommend_ratio(t_cpu_per_unit: float, t_gpu_per_unit: float) -> float:

@@ -1,0 +1,218 @@
+"""N-lane heterogeneous fleet executor.
+
+The reference pairs exactly two devices (CPU + GPU OpenCL) and balances
+them with one ratio. This module generalizes that capability to arbitrary
+device fleets — any mix of host-CPU and accelerator devices, each lane
+weighted by its work share — while keeping the reference's semantics:
+
+- approach 1: images apportioned to lanes by weight (largest-remainder
+  generalization of `heterogeneous_blur.c:449-458`);
+- approach 2: image rows partitioned by cumulative weight with per-side
+  halo slabs, computed-then-discarded at reassembly
+  (`split_image_blur.c:144-173` generalized to N segments);
+- measured-feedback balancing: `weights_i ∝ 1/t_i` per work unit, which
+  reduces to the reference's `ratio* = T_cpu/(T_cpu+T_gpu)` for two lanes.
+
+The two-lane :class:`hipe_tpu.runtime.engine.Engine` remains the
+reference-parity implementation (exact CLI/report contract); FleetEngine is
+the scale-out form.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from concurrent.futures import ThreadPoolExecutor
+from typing import Sequence
+
+import numpy as np
+
+from hipe_tpu.models import pipelines as plib
+from hipe_tpu.parallel import partitioner as pt
+from hipe_tpu.profiling.events import DeviceCounters, now_ms
+from hipe_tpu.runtime import stream as streamlib
+from hipe_tpu.runtime.engine import _Lane
+
+
+@dataclasses.dataclass
+class LaneSpec:
+    device: object
+    weight: float = 1.0
+    name: str = ""
+    path: str = "auto"  # 'auto' -> pallas on accelerators, xla on cpu
+
+
+@dataclasses.dataclass
+class FleetStats:
+    approach: int
+    batch_size: int
+    num_images: int
+    width: int = 0
+    height: int = 0
+    channels: int = 0
+    wall_ms: float = 0.0
+    lanes: list[DeviceCounters] = dataclasses.field(default_factory=list)
+
+    @property
+    def images_per_sec(self) -> float:
+        return self.num_images / (self.wall_ms / 1000.0) if self.wall_ms else 0.0
+
+    def imbalance_pct(self) -> float:
+        totals = [c.total_ms for c in self.lanes if c.units]
+        if not totals or max(totals) <= 0:
+            return 0.0
+        return (max(totals) - min(totals)) / max(totals) * 100.0
+
+    def recommended_weights(self) -> list[float]:
+        return pt.recommend_weights(
+            [c.per_unit_ms() for c in self.lanes]
+        )
+
+
+class FleetEngine:
+    """Weighted N-lane heterogeneous executor."""
+
+    def __init__(
+        self,
+        lanes: Sequence[LaneSpec],
+        *,
+        pipeline: str | Sequence[str] = "blur3",
+        approach: int = 1,
+        batch_size: int = pt.DEFAULT_BATCH,
+        num_images: int = pt.NUM_IMAGES,
+        profile: bool = True,
+    ):
+        assert lanes, "need at least one lane"
+        assert approach in (1, 2)
+        self.approach = approach
+        self.batch_size = pt.validate_batch(batch_size, num_images)
+        self.num_images = num_images
+        self.pipeline = plib.get(pipeline)
+        self.weights = [spec.weight for spec in lanes]
+        self.stats = FleetStats(
+            approach=approach, batch_size=self.batch_size,
+            num_images=num_images,
+        )
+        self._lanes: list[_Lane] = []
+        for i, spec in enumerate(lanes):
+            counters = DeviceCounters(spec.name or f"lane{i}")
+            self.stats.lanes.append(counters)
+            path = spec.path
+            if path == "auto":
+                path = (
+                    "xla"
+                    if getattr(spec.device, "platform", "cpu") == "cpu"
+                    else "pallas"
+                )
+            self._lanes.append(
+                _Lane(counters.name, spec.device, self.pipeline, counters,
+                      path=path, profile=profile)
+            )
+        self._pool = ThreadPoolExecutor(max_workers=len(self._lanes))
+
+    # ---- drivers ----
+
+    def run(self, image: np.ndarray | None = None, stream=None) -> FleetStats:
+        if stream is None:
+            assert image is not None
+            stream = streamlib.ReplicatedStream(
+                image, self.num_images, self.batch_size
+            )
+        probe = next(iter(stream))
+        _, h, w, c = probe.shape
+        self.stats.height, self.stats.width, self.stats.channels = h, w, c
+        self._warmup(stream)
+        t0 = now_ms()
+        if self.approach == 1:
+            self._run_images(stream)
+        else:
+            self._run_rows(stream)
+        self.stats.wall_ms = now_ms() - t0
+        return self.stats
+
+    def _split_counts(self, bc: int) -> list[int]:
+        return pt.apportion(bc, self.weights)
+
+    def _run_images(self, stream) -> None:
+        first = True
+        for host_batch in stream:
+            counts = self._split_counts(host_batch.shape[0])
+            futures, start = [], 0
+            for lane, cnt, counters in zip(
+                self._lanes, counts, self.stats.lanes
+            ):
+                if not cnt:
+                    continue
+                futures.append(
+                    self._pool.submit(lane.process,
+                                      host_batch[start : start + cnt])
+                )
+                counters.images += cnt
+                counters.units += cnt
+                start += cnt
+            outs = [f.result() for f in futures]
+            if first:
+                self.first_output = np.concatenate(outs, axis=0)
+            first = False
+
+    def _run_rows(self, stream) -> None:
+        halo = self.pipeline.radius
+        first = True
+        for host_batch in stream:
+            bc, h, w, c = host_batch.shape
+            segs = pt.row_partition(h, self.weights, halo=halo)
+            futures = []
+            for lane, seg, counters in zip(
+                self._lanes, segs, self.stats.lanes
+            ):
+                slab = host_batch[:, seg.inp[0] : seg.inp[1]]
+                futures.append(self._pool.submit(lane.process, slab))
+                counters.images += bc
+                counters.units += bc * seg.out_rows
+            outs = [f.result() for f in futures]
+            if first:
+                parts = []
+                for seg, out in zip(segs, outs):
+                    lo = seg.out[0] - seg.inp[0]
+                    parts.append(out[:, lo : lo + seg.out_rows])
+                self.first_output = np.concatenate(parts, axis=1)
+            first = False
+
+    def _warmup(self, stream) -> None:
+        shapes = {b.shape for b in stream}
+        halo = self.pipeline.radius
+        seen: set[tuple[int, tuple]] = set()
+        for shape in shapes:
+            bc, h, w, c = shape
+            if self.approach == 1:
+                counts = self._split_counts(bc)
+                for i, cnt in enumerate(counts):
+                    if cnt and (i, (cnt, h, w, c)) not in seen:
+                        seen.add((i, (cnt, h, w, c)))
+                        self._lanes[i].warmup((cnt, h, w, c))
+            else:
+                for i, seg in enumerate(
+                    pt.row_partition(h, self.weights, halo=halo)
+                ):
+                    key = (i, (bc, seg.in_rows, w, c))
+                    if key not in seen:
+                        seen.add(key)
+                        self._lanes[i].warmup((bc, seg.in_rows, w, c))
+
+    def report(self) -> str:
+        s = self.stats
+        lines = ["\n========== FLEET PERFORMANCE RESULTS =========\n"]
+        lines.append(f"Approach: {s.approach}  Batch: {s.batch_size}  "
+                     f"Images: {s.num_images}")
+        lines.append(f"Wall: {s.wall_ms:.2f} ms  "
+                     f"({s.images_per_sec:.1f} img/s)\n")
+        for c in s.lanes:
+            lines.append(
+                f"  {c.name}: {c.images} imgs, {c.units} units, "
+                f"{c.total_ms:.1f} ms "
+                f"(in {c.in_ms:.1f} / kernel {c.kernel_ms:.1f} / "
+                f"out {c.out_ms:.1f}), {c.per_unit_ms():.4f} ms/unit"
+            )
+        lines.append(f"\nImbalance (max-min/max): {s.imbalance_pct():.1f}%")
+        rec = ", ".join(f"{wt:.3f}" for wt in s.recommended_weights())
+        lines.append(f"Recommended weights: [{rec}]")
+        return "\n".join(lines)

@@ -1,0 +1,87 @@
+"""N-lane fleet executor on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from hipe_tpu.ops import reference as oracle
+from hipe_tpu.parallel import partitioner as pt
+from hipe_tpu.runtime.fleet import FleetEngine, LaneSpec
+from hipe_tpu.utils.images import checker_image
+
+IMG = checker_image(40, 32, 3, seed=0)
+
+
+def _lanes(n, weights=None):
+    devs = jax.devices("cpu")[:n]
+    weights = weights or [1.0] * n
+    return [LaneSpec(device=d, weight=w, name=f"cpu{i}")
+            for i, (d, w) in enumerate(zip(devs, weights))]
+
+
+def test_apportion_matches_two_way_reference_split():
+    # weights (1-r, r): fast lane gets floor(total*r), like split_images
+    for bc in (35, 50, 101):
+        for r in (0.728, 0.5, 0.837):
+            cpu, gpu = pt.split_images(bc, r)
+            got = pt.apportion(bc, [1.0 - r, r])
+            assert got[1] in (gpu, gpu + 1)  # largest remainder may round up
+            assert sum(got) == bc
+
+
+def test_apportion_exact():
+    assert pt.apportion(10, [1, 1, 1, 1]) == [3, 3, 2, 2]
+    assert sum(pt.apportion(5000, [0.2, 0.3, 0.5])) == 5000
+    assert pt.apportion(4, [0, 1]) == [0, 4]
+
+
+def test_row_partition_covers_and_halos():
+    segs = pt.row_partition(97, [1, 2, 3, 1], halo=2)
+    assert segs[0].out[0] == 0 and segs[-1].out[1] == 97
+    for a, b in zip(segs, segs[1:]):
+        assert a.out[1] == b.out[0]
+    for seg in segs:
+        assert seg.inp[0] == max(seg.out[0] - 2, 0)
+        assert seg.inp[1] == min(seg.out[1] + 2, 97)
+
+
+def test_recommend_weights_inverse_time():
+    w = pt.recommend_weights([2.0, 1.0, 1.0])  # inv: 0.5,1,1 -> /2.5
+    assert abs(w[0] - 0.2) < 1e-9 and abs(w[1] - 0.4) < 1e-9
+    # two-lane form == reference ratio formula
+    r2 = pt.recommend_weights([0.285, 0.104])
+    assert abs(r2[1] - pt.recommend_ratio(0.285, 0.104)) < 1e-9
+
+
+@pytest.mark.parametrize("n_lanes", [1, 3, 4])
+def test_fleet_images_accounting_and_output(n_lanes):
+    eng = FleetEngine(_lanes(n_lanes), approach=1, batch_size=12,
+                      num_images=24)
+    stats = eng.run(image=IMG)
+    assert sum(c.images for c in stats.lanes) == 24
+    want = oracle.gaussian_blur_int_oracle(IMG)
+    assert eng.first_output.shape == (12,) + want.shape
+    for img_out in eng.first_output:
+        np.testing.assert_array_equal(img_out, want)
+    assert "Recommended weights" in eng.report()
+
+
+def test_fleet_rows_seam_exact():
+    eng = FleetEngine(_lanes(4, weights=[1, 3, 2, 2]), approach=2,
+                      batch_size=6, num_images=12, pipeline="chain")
+    eng.run(image=IMG)
+    want = oracle.sobel_edge_oracle(
+        oracle.sharpen3x3_oracle(oracle.gaussian_blur_int_oracle(IMG))
+    )
+    assert eng.first_output.shape == (6,) + want.shape
+    np.testing.assert_array_equal(eng.first_output[0], want)
+
+
+def test_fleet_rows_units_accounting():
+    eng = FleetEngine(_lanes(2, weights=[1, 1]), approach=2, batch_size=4,
+                      num_images=8)
+    stats = eng.run(image=IMG)
+    assert stats.lanes[0].units == 8 * 20
+    assert stats.lanes[1].units == 8 * 20
+    assert all(c.images == 8 for c in stats.lanes)
