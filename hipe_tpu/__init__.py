@@ -41,6 +41,10 @@ def __getattr__(name):
         from hipe_tpu.runtime.serve import ServingPipeline
 
         return ServingPipeline
+    if name in ("FleetEngine", "LaneSpec"):
+        from hipe_tpu.runtime import fleet
+
+        return getattr(fleet, name)
     if name == "DeviceStreamRunner":
         from hipe_tpu.runtime.device_stream import DeviceStreamRunner
 
