@@ -60,6 +60,43 @@ class JpegStream:
             yield decode_batch(chunk, num_threads=self.num_threads)
 
 
+class Prefetcher:
+    """Background-thread stream prefetch (double-buffered host staging).
+
+    Wraps any batch stream so the next batch is produced (e.g. JPEG-decoded)
+    while the engine processes the current one — the host-side analog of the
+    reference's async transfer/compute overlap (`heterogeneous_blur.c:
+    482-535`). `depth` bounds the number of batches staged ahead.
+    """
+
+    def __init__(self, stream, depth: int = 2):
+        self.stream = stream
+        self.depth = depth
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        _END = object()
+
+        def producer():
+            try:
+                for batch in self.stream:
+                    q.put(batch)
+            finally:
+                q.put(_END)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+        t.join()
+
+
 class MixedResolutionStream:
     """Alternating-resolution stream (e.g. 256x256 + 320x240 batches).
 

@@ -107,3 +107,53 @@ def test_cli_mixed_resolution_smoke(capsys):
     out = capsys.readouterr().out
     assert "256x256" in out and "320x240" in out
     assert "PERFORMANCE RESULTS" in out
+
+
+def test_prefetcher_preserves_stream():
+    from hipe_tpu.runtime.stream import Prefetcher, ReplicatedStream
+
+    img = checker_image(8, 8, 3)
+    base = list(ReplicatedStream(img, 10, 4))
+    pre = Prefetcher(ReplicatedStream(img, 10, 4), depth=2)
+    got = list(pre)
+    assert len(got) == len(base)
+    for a, b in zip(got, base):
+        np.testing.assert_array_equal(a, b)
+    # re-iterable
+    assert len(list(pre)) == len(base)
+
+
+def test_engine_with_prefetched_jpeg_stream():
+    import jax
+
+    from hipe_tpu.runtime.engine import Engine, EngineConfig
+    from hipe_tpu.runtime.stream import JpegStream, Prefetcher
+
+    devs = jax.devices("cpu")
+    img = checker_image(24, 32, 3, seed=5)
+    payloads = [encode_bytes(img, quality=95)] * 12
+    eng = Engine(
+        EngineConfig(approach=1, mode="both", gpu_ratio=0.5, batch_size=4,
+                     num_images=12),
+        cpu_device=devs[0], accel_device=devs[1],
+    )
+    stats = eng.run(stream=Prefetcher(JpegStream(payloads, batch_size=4)))
+    assert stats.cpu.images + stats.accel.images == 12
+
+
+def test_engine_trace_capture(tmp_path):
+    import jax
+
+    from hipe_tpu.runtime.engine import Engine, EngineConfig
+
+    devs = jax.devices("cpu")
+    trace_dir = str(tmp_path / "trace")
+    eng = Engine(
+        EngineConfig(approach=1, mode="both", batch_size=4, num_images=8,
+                     trace_dir=trace_dir),
+        cpu_device=devs[0], accel_device=devs[1],
+    )
+    eng.run(image=checker_image(16, 16, 3))
+    import os
+
+    assert os.path.isdir(trace_dir) and os.listdir(trace_dir)
