@@ -238,8 +238,7 @@ class Engine:
                 image, cfg.num_images, cfg.batch_size
             )
         # Record geometry from the first batch shape.
-        probe = next(iter(stream))
-        _, h, w, c = probe.shape
+        _, h, w, c = self._stream_shapes(stream)[0]
         self.stats.height, self.stats.width, self.stats.channels = h, w, c
 
         self._warmup(stream)
@@ -263,12 +262,17 @@ class Engine:
                 trace_ctx.__exit__(None, None, None)
         return self.stats
 
+    @staticmethod
+    def _stream_shapes(stream) -> list[tuple]:
+        """Batch shapes, preferring the cheap path (no decode/materialize)."""
+        if hasattr(stream, "batch_shapes"):
+            return stream.batch_shapes()
+        return [b.shape for b in stream]
+
     def _warmup(self, stream) -> None:
         """Compile every (lane, shape) pair before the wall clock starts."""
         cfg = self.config
-        shapes: set[tuple] = set()
-        for host_batch in stream:
-            shapes.add(host_batch.shape)
+        shapes = set(self._stream_shapes(stream))
         lane_shapes: set[tuple[str, tuple]] = set()
         for shape in shapes:
             bc, h, w, c = shape

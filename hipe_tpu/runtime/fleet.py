@@ -117,8 +117,9 @@ class FleetEngine:
             stream = streamlib.ReplicatedStream(
                 image, self.num_images, self.batch_size
             )
-        probe = next(iter(stream))
-        _, h, w, c = probe.shape
+        from hipe_tpu.runtime.engine import Engine
+
+        _, h, w, c = Engine._stream_shapes(stream)[0]
         self.stats.height, self.stats.width, self.stats.channels = h, w, c
         self._warmup(stream)
         t0 = now_ms()
@@ -178,7 +179,9 @@ class FleetEngine:
             first = False
 
     def _warmup(self, stream) -> None:
-        shapes = {b.shape for b in stream}
+        from hipe_tpu.runtime.engine import Engine
+
+        shapes = set(Engine._stream_shapes(stream))
         halo = self.pipeline.radius
         seen: set[tuple[int, tuple]] = set()
         for shape in shapes:

@@ -41,6 +41,13 @@ class ReplicatedStream:
             # Host-side zero-copy replication; densified at device transfer.
             yield np.broadcast_to(self.image, (bc,) + self.image.shape)
 
+    def batch_shapes(self) -> list[tuple]:
+        """Batch shapes without materializing batches (warmup planning)."""
+        return [
+            (bc,) + self.image.shape
+            for bc in batch_sizes(self.num_images, self.batch_size)
+        ]
+
 
 class JpegStream:
     """Real stream: decode JPEG byte payloads batch-by-batch (native codec)."""
@@ -59,6 +66,16 @@ class JpegStream:
             chunk = self.payloads[start : start + self.batch_size]
             yield decode_batch(chunk, num_threads=self.num_threads)
 
+    def batch_shapes(self) -> list[tuple]:
+        """Batch shapes from one header decode — no full stream decode."""
+        from hipe_tpu.io_.jpeg import decode_bytes
+
+        h, w, c = decode_bytes(self.payloads[0]).shape
+        return [
+            (bc, h, w, c)
+            for bc in batch_sizes(self.num_images, self.batch_size)
+        ]
+
 
 class Prefetcher:
     """Background-thread stream prefetch (double-buffered host staging).
@@ -72,6 +89,9 @@ class Prefetcher:
     def __init__(self, stream, depth: int = 2):
         self.stream = stream
         self.depth = depth
+
+    def batch_shapes(self) -> list[tuple]:
+        return self.stream.batch_shapes()
 
     def __iter__(self) -> Iterator[np.ndarray]:
         import queue
@@ -117,3 +137,10 @@ class MixedResolutionStream:
         for i, bc in enumerate(sizes):
             img = self.images[i % len(self.images)]
             yield np.broadcast_to(img, (bc,) + img.shape)
+
+    def batch_shapes(self) -> list[tuple]:
+        sizes = batch_sizes(self.num_images, self.batch_size)
+        return [
+            (bc,) + self.images[i % len(self.images)].shape
+            for i, bc in enumerate(sizes)
+        ]
