@@ -90,10 +90,16 @@ def test_approach1_output_correct():
 
 
 def test_approach2_chain_pipeline():
+    img = checker_image(32, 48, 3, seed=2)
     eng = _engine(approach=2, mode="both", gpu_ratio=0.5, batch_size=4,
                   num_images=8, pipeline="chain")
-    stats = eng.run(image=checker_image(32, 48, 3, seed=2))
+    stats = eng.run(image=img)
     assert stats.halo == 3  # blur(1) + sharpen(1) + edge(1)
+    # compute-then-discard slab semantics stay exact for chains
+    want = oracle.sobel_edge_oracle(
+        oracle.sharpen3x3_oracle(oracle.gaussian_blur_int_oracle(img))
+    )
+    np.testing.assert_array_equal(eng.first_output[0], want)
 
 
 def test_report_renders_all_sections():
