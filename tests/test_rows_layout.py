@@ -159,3 +159,40 @@ def test_tiled_large_plane_kernel(h, w, radius, tile_h):
     np.testing.assert_array_equal(
         got.transpose(1, 2, 0), want
     )
+
+
+@pytest.mark.parametrize("channels", [1, 4])
+def test_channel_counts_beyond_rgb(channels):
+    """Grayscale and RGBA streams work through every layer (C-generic ops)."""
+    batch = np.stack(
+        [checker_image(32, 128, channels, seed=s) for s in range(2)]
+    )
+    rows = jnp.asarray(batch.reshape(2, 32, 128 * channels))
+    pipe = plib.PIPELINES["blur3"]
+    got = np.asarray(
+        pipe.apply_rows(rows, channels, use_pallas=False)
+    ).reshape(batch.shape)
+    want = np.stack([oracle.gaussian_blur_int_oracle(b) for b in batch])
+    np.testing.assert_array_equal(got, want)
+    # pallas rows kernel in interpret mode
+    got_p = np.asarray(
+        pallas_blur.gaussian_blur_rows_pallas(rows, channels, 1,
+                                              interpret=True)
+    ).reshape(batch.shape)
+    np.testing.assert_array_equal(got_p, want)
+
+
+def test_engine_grayscale_stream():
+    import jax
+
+    from hipe_tpu.runtime.engine import Engine, EngineConfig
+
+    devs = jax.devices("cpu")
+    img = checker_image(24, 32, 1, seed=3)
+    eng = Engine(
+        EngineConfig(approach=1, mode="both", batch_size=4, num_images=8),
+        cpu_device=devs[0], accel_device=devs[1],
+    )
+    eng.run(image=img)
+    want = oracle.gaussian_blur_int_oracle(img)
+    np.testing.assert_array_equal(eng.first_output[0], want)
