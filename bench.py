@@ -41,6 +41,9 @@ def log(msg: str) -> None:
 
 def main() -> int:
     import jax
+    from hipe_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from hipe_tpu.io_.jpeg import decode_file
     from hipe_tpu.runtime.device_stream import DeviceStreamRunner

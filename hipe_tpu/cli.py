@@ -73,6 +73,9 @@ def _build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
+    from hipe_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     approach = 1 if args.approach == "approach1" else 2
     mode = getattr(args, "mode", "both")
     pipeline = (
