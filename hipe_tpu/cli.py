@@ -83,6 +83,23 @@ def main(argv: list[str] | None = None) -> int:
         if "," in args.pipeline
         else args.pipeline
     )
+    # Fail fast with a clean message (the reference's cl_error analog,
+    # heterogeneous_blur.c:25-30).
+    from hipe_tpu.models.pipelines import PIPELINES
+    from hipe_tpu.ops.blur import FILTERS
+
+    if isinstance(pipeline, tuple):
+        bad = [nm for nm in pipeline if nm not in FILTERS]
+        valid = sorted(FILTERS)
+    else:
+        bad = [] if pipeline in PIPELINES or pipeline in FILTERS else [pipeline]
+        valid = sorted(set(PIPELINES) | set(FILTERS))
+    if bad:
+        print(
+            f"Error: unknown pipeline/filter {bad} (choose from {valid})",
+            file=sys.stderr,
+        )
+        return 1
 
     cfg = EngineConfig(
         approach=approach,
@@ -115,7 +132,11 @@ def main(argv: list[str] | None = None) -> int:
     from hipe_tpu.io_.jpeg import decode_file
 
     paths = args.image.split(",")
-    images = [np.ascontiguousarray(decode_file(p)) for p in paths]
+    try:
+        images = [np.ascontiguousarray(decode_file(p)) for p in paths]
+    except (FileNotFoundError, ValueError) as e:
+        print(f"Error: cannot load input image: {e}", file=sys.stderr)
+        return 1
     image = images[0]
     h, w, c = image.shape
     for p, im in zip(paths, images):
