@@ -56,19 +56,27 @@ class DeviceCounters:
 
 
 class StageClock:
-    """Accumulates staged (in/kernel/out) timings into a DeviceCounters."""
+    """Accumulates staged (in/kernel/out) timings into a DeviceCounters.
+
+    Thread-safe: pipelined engines may have two in-flight batches timing
+    stages on the same lane concurrently.
+    """
 
     def __init__(self, counters: DeviceCounters):
+        import threading
+
         self.counters = counters
+        self._lock = threading.Lock()
 
     def stage(self, name: str):
-        return _Stage(self.counters, name)
+        return _Stage(self.counters, name, self._lock)
 
 
 class _Stage:
-    def __init__(self, counters: DeviceCounters, name: str):
+    def __init__(self, counters: DeviceCounters, name: str, lock):
         self.counters = counters
         self.attr = {"in": "in_ms", "kernel": "kernel_ms", "out": "out_ms"}[name]
+        self.lock = lock
 
     def __enter__(self):
         self.t0 = now_ms()
@@ -76,9 +84,11 @@ class _Stage:
 
     def __exit__(self, *exc):
         dt = now_ms() - self.t0
-        setattr(
-            self.counters, self.attr, getattr(self.counters, self.attr) + dt
-        )
+        with self.lock:
+            setattr(
+                self.counters, self.attr,
+                getattr(self.counters, self.attr) + dt,
+            )
         return False
 
 

@@ -59,6 +59,10 @@ class EngineConfig:
     accel_path: str = "pallas"  # 'pallas' | 'xla' kernel path on the TPU lane
     save_output: str | None = None  # A2: save batch-0 image 0 (SAVE_IMAGE)
     trace_dir: str | None = None  # capture a jax.profiler trace of the run
+    # Batches in flight per lane. 1 reproduces the reference's per-batch
+    # clFinish barrier (heterogeneous_blur.c:538-539); 2+ overlaps batch
+    # k+1's transfers with batch k's compute (TPU-native double buffering).
+    pipeline_depth: int = 1
     verbose: bool = False
 
     def validate(self) -> "EngineConfig":
@@ -158,14 +162,24 @@ class Engine:
                 "accel", accel_device, self.pipeline, self.stats.accel,
                 path=cfg.accel_path, profile=cfg.profile,
             )
-        self._pool = ThreadPoolExecutor(max_workers=2)
+        depth = max(1, self.config.pipeline_depth)
+        self._pool = ThreadPoolExecutor(max_workers=2 * depth)
+
+    def _drain(self, window, limit: int) -> None:
+        """Wait for the oldest in-flight batch(es) beyond `limit`."""
+        while len(window) > limit:
+            batch_idx, futures, finalize = window.pop(0)
+            outs = [f.result() for f in futures]
+            if finalize is not None:
+                finalize(outs)
 
     # ---- approach 1: image-level distribution ----
 
     def _run_approach1(self, stream) -> None:
         cfg = self.config
-        first = True
-        for host_batch in stream:
+        depth = max(1, cfg.pipeline_depth)
+        window: list = []
+        for batch_idx, host_batch in enumerate(stream):
             bc = host_batch.shape[0]
             if cfg.mode == "both":
                 num_cpu, num_acc = pt.split_images(bc, cfg.gpu_ratio)
@@ -188,32 +202,42 @@ class Engine:
                 )
                 lane.counters.images += num_acc
                 lane.counters.units += num_acc
-            outs = [f.result() for f in futures]
-            if first:
-                # Keep batch 0's output for verification / inspection.
-                self.first_output = np.concatenate(outs, axis=0)
-            first = False
+
+            def finalize(outs, batch_idx=batch_idx):
+                if batch_idx == 0:
+                    # Keep batch 0's output for verification / inspection.
+                    self.first_output = np.concatenate(outs, axis=0)
+
+            window.append((batch_idx, futures, finalize))
+            self._drain(window, depth - 1)
+        self._drain(window, 0)
 
     # ---- approach 2: split-image distribution ----
 
     def _run_approach2(self, stream) -> None:
         cfg = self.config
-        first = True
-        for host_batch in stream:
+        depth = max(1, cfg.pipeline_depth)
+        window: list = []
+        for batch_idx, host_batch in enumerate(stream):
             bc, h, w, c = host_batch.shape
             rs = pt.row_split(h, cfg.gpu_ratio, halo=self.pipeline.radius)
             self.stats.split_row = rs.split_row
             self.stats.halo = rs.halo
             cpu_slab = host_batch[:, rs.cpu_in[0] : rs.cpu_in[1]]
             acc_slab = host_batch[:, rs.gpu_in[0] : rs.gpu_in[1]]
-            f_cpu = self._pool.submit(self._lanes["cpu"].process, cpu_slab)
-            f_acc = self._pool.submit(self._lanes["accel"].process, acc_slab)
-            cpu_out, acc_out = f_cpu.result(), f_acc.result()
+            futures = [
+                self._pool.submit(self._lanes["cpu"].process, cpu_slab),
+                self._pool.submit(self._lanes["accel"].process, acc_slab),
+            ]
             self.stats.cpu.images += bc
             self.stats.accel.images += bc
             self.stats.cpu.units += bc * rs.cpu_output_rows
             self.stats.accel.units += bc * rs.gpu_output_rows
-            if first:
+
+            def finalize(outs, batch_idx=batch_idx, rs=rs):
+                if batch_idx != 0:
+                    return
+                cpu_out, acc_out = outs
                 # Reassemble batch 0 (split_image_blur.c:548-553): each side
                 # drops its computed-but-discarded halo rows.
                 top = cpu_out[:, : rs.cpu_output_rows]
@@ -223,7 +247,10 @@ class Engine:
                     from hipe_tpu.io_.jpeg import encode_file
 
                     encode_file(self.first_output[0], cfg.save_output)
-            first = False
+
+            window.append((batch_idx, futures, finalize))
+            self._drain(window, depth - 1)
+        self._drain(window, 0)
 
     # ---- driver ----
 

@@ -167,3 +167,20 @@ def test_approach2_mixed_resolution_stream():
     # first batch (image a) reassembles exactly
     want = oracle.gaussian_blur_int_oracle(a)
     np.testing.assert_array_equal(eng.first_output[0], want)
+
+
+@pytest.mark.parametrize("approach", [1, 2])
+def test_pipelined_depth2_equivalent(approach):
+    """pipeline_depth=2 keeps accounting and outputs identical to depth=1."""
+    img = checker_image(32, 48, 3, seed=8)
+    kw = dict(approach=approach, mode="both", gpu_ratio=0.5, batch_size=4,
+              num_images=16)
+    eng1 = _engine(**kw)
+    eng2 = _engine(**kw, pipeline_depth=2)
+    s1 = eng1.run(image=img)
+    s2 = eng2.run(image=img)
+    assert (s1.cpu.images, s1.accel.images, s1.cpu.units, s1.accel.units) == \
+           (s2.cpu.images, s2.accel.images, s2.cpu.units, s2.accel.units)
+    np.testing.assert_array_equal(eng1.first_output, eng2.first_output)
+    want = oracle.gaussian_blur_int_oracle(img)
+    np.testing.assert_array_equal(eng2.first_output[0], want)
