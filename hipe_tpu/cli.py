@@ -65,6 +65,9 @@ def _build_parser() -> argparse.ArgumentParser:
                         choices=["pallas", "xla"])
         sp.add_argument("--no-profile", action="store_true",
                         help="skip stage timing (async fast path)")
+        sp.add_argument("--pipeline-depth", type=int, default=1,
+                        help="batches in flight per lane (1 = reference "
+                             "per-batch barrier; 2 = double-buffered)")
         sp.add_argument("--csv", default=None, metavar="PATH",
                         help="append a per_run.csv-schema row")
         sp.add_argument("--run-index", type=int, default=1)
@@ -109,6 +112,7 @@ def main(argv: list[str] | None = None) -> int:
         num_images=args.num_images,
         pipeline=pipeline,
         profile=not args.no_profile,
+        pipeline_depth=args.pipeline_depth,
         accel_path=args.accel_path,
         save_output=getattr(args, "save_output", None),
         verbose=True,
