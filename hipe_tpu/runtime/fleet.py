@@ -80,6 +80,7 @@ class FleetEngine:
         batch_size: int = pt.DEFAULT_BATCH,
         num_images: int = pt.NUM_IMAGES,
         profile: bool = True,
+        pipeline_depth: int = 1,
     ):
         assert lanes, "need at least one lane"
         assert approach in (1, 2)
@@ -107,7 +108,17 @@ class FleetEngine:
                 _Lane(counters.name, spec.device, self.pipeline, counters,
                       path=path, profile=profile)
             )
-        self._pool = ThreadPoolExecutor(max_workers=len(self._lanes))
+        self.pipeline_depth = max(1, pipeline_depth)
+        self._pool = ThreadPoolExecutor(
+            max_workers=len(self._lanes) * self.pipeline_depth
+        )
+
+    def _drain(self, window: list, limit: int) -> None:
+        while len(window) > limit:
+            futures, finalize = window.pop(0)
+            outs = [f.result() for f in futures]
+            if finalize is not None:
+                finalize(outs)
 
     # ---- drivers ----
 
@@ -134,8 +145,8 @@ class FleetEngine:
         return pt.apportion(bc, self.weights)
 
     def _run_images(self, stream) -> None:
-        first = True
-        for host_batch in stream:
+        window: list = []
+        for batch_idx, host_batch in enumerate(stream):
             counts = self._split_counts(host_batch.shape[0])
             futures, start = [], 0
             for lane, cnt, counters in zip(
@@ -150,15 +161,19 @@ class FleetEngine:
                 counters.images += cnt
                 counters.units += cnt
                 start += cnt
-            outs = [f.result() for f in futures]
-            if first:
-                self.first_output = np.concatenate(outs, axis=0)
-            first = False
+
+            def finalize(outs, batch_idx=batch_idx):
+                if batch_idx == 0:
+                    self.first_output = np.concatenate(outs, axis=0)
+
+            window.append((futures, finalize))
+            self._drain(window, self.pipeline_depth - 1)
+        self._drain(window, 0)
 
     def _run_rows(self, stream) -> None:
         halo = self.pipeline.radius
-        first = True
-        for host_batch in stream:
+        window: list = []
+        for batch_idx, host_batch in enumerate(stream):
             bc, h, w, c = host_batch.shape
             segs = pt.row_partition(h, self.weights, halo=halo)
             futures = []
@@ -169,14 +184,19 @@ class FleetEngine:
                 futures.append(self._pool.submit(lane.process, slab))
                 counters.images += bc
                 counters.units += bc * seg.out_rows
-            outs = [f.result() for f in futures]
-            if first:
+
+            def finalize(outs, batch_idx=batch_idx, segs=segs):
+                if batch_idx != 0:
+                    return
                 parts = []
                 for seg, out in zip(segs, outs):
                     lo = seg.out[0] - seg.inp[0]
                     parts.append(out[:, lo : lo + seg.out_rows])
                 self.first_output = np.concatenate(parts, axis=1)
-            first = False
+
+            window.append((futures, finalize))
+            self._drain(window, self.pipeline_depth - 1)
+        self._drain(window, 0)
 
     def _warmup(self, stream) -> None:
         from hipe_tpu.runtime.engine import Engine

@@ -85,3 +85,16 @@ def test_fleet_rows_units_accounting():
     assert stats.lanes[0].units == 8 * 20
     assert stats.lanes[1].units == 8 * 20
     assert all(c.images == 8 for c in stats.lanes)
+
+
+def test_fleet_pipelined_depth2_equivalent():
+    for approach in (1, 2):
+        e1 = FleetEngine(_lanes(3), approach=approach, batch_size=4,
+                         num_images=12)
+        e2 = FleetEngine(_lanes(3), approach=approach, batch_size=4,
+                         num_images=12, pipeline_depth=2)
+        e1.run(image=IMG)
+        e2.run(image=IMG)
+        np.testing.assert_array_equal(e1.first_output, e2.first_output)
+        assert [c.units for c in e1.stats.lanes] == \
+               [c.units for c in e2.stats.lanes]
