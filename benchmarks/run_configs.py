@@ -1,0 +1,139 @@
+"""Measure the five BASELINE.json configs and write configs_<tag>.json.
+
+1. Single-image 256x256 3x3 blur (the gaussian_blur.c baseline path):
+   end-to-end decode -> device blur -> encode latency.
+2. Batched image-level stream (Approach 1): device-resident serving
+   throughput (the per-chip headline) + the heterogeneous corpus number.
+3. Row-split with halo (Approach 2): SPMD seam-exactness + hetero corpus.
+4. Large-radius separable (5x5/9x9) + filter chain: device-stream
+   throughput per pipeline.
+5. Mixed-resolution fused decode->blur->encode: serving pipeline on an
+   alternating 256x256 / 320x240 payload stream.
+
+Usage: python benchmarks/run_configs.py [--out benchmarks/configs_v5e.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="benchmarks/configs_v5e.json")
+    args = ap.parse_args()
+
+    from hipe_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import numpy as np
+
+    from hipe_tpu.io_.jpeg import decode_file, encode_bytes
+    from hipe_tpu.runtime.device_stream import DeviceStreamRunner
+    from hipe_tpu.runtime.serve import ServingPipeline
+    from hipe_tpu.utils.images import DEFAULT_IMAGE_256, DEFAULT_IMAGE_320
+
+    results: dict = {}
+
+    # ---- config 1: single-image e2e latency ----
+    serve = ServingPipeline("blur3")
+    with open(DEFAULT_IMAGE_256, "rb") as f:
+        payload = f.read()
+    serve.process_batch([payload])  # warm (compile + codec build)
+    lat = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        serve.process_batch([payload])
+        lat.append((time.perf_counter() - t0) * 1e3)
+    results["1_single_image_256_blur3"] = {
+        "e2e_decode_blur_encode_ms_median": round(sorted(lat)[len(lat) // 2], 2),
+        "e2e_ms_min": round(min(lat), 2),
+    }
+    print("config 1:", results["1_single_image_256_blur3"], file=sys.stderr)
+
+    # ---- configs 2+4: device-resident stream throughput per pipeline ----
+    img = decode_file(DEFAULT_IMAGE_256)
+    for key, name in [
+        ("2_batched_stream_blur3", "blur3"),
+        ("4a_gaussian5", "blur5"),
+        ("4b_gaussian9", "blur9"),
+        ("4c_chain_blur_sharpen_edge", "chain"),
+    ]:
+        r = DeviceStreamRunner(name, num_images=5000, image=img)
+        err = r.verify_max_abs_err()
+        res = r.measure_throughput(passes=8, reps=3)
+        results[key] = {
+            "img_per_s_per_chip": round(res["img_per_s"]),
+            "ms_per_5000_images": round(res["per_pass_s"] * 1e3, 2),
+            "max_abs_err": err,
+        }
+        print(f"{key}:", results[key], file=sys.stderr)
+
+    # ---- config 3: row-split + halo (SPMD exactness + hetero number) ----
+    import jax.numpy as jnp
+
+    from hipe_tpu.ops import reference as oracle
+    from hipe_tpu.parallel import mesh as meshlib
+    from hipe_tpu.parallel.row_split import make_row_split_fn
+
+    mesh = meshlib.make_mesh(1, axis=meshlib.ROW_AXIS)
+    fn = make_row_split_fn(mesh, ("gaussian3",))
+    got = np.asarray(fn(jnp.asarray(img[None])))[0]
+    err3 = int(
+        np.max(
+            np.abs(
+                got.astype(int)
+                - oracle.gaussian_blur_int_oracle(img).astype(int)
+            )
+        )
+    )
+    results["3_row_split_halo"] = {
+        "spmd_max_abs_err": err3,
+        "note": "hetero CPU+TPU corpus numbers in corpus_v5e*/; N-way "
+                "seam exactness proven on 8-device virtual meshes in tests",
+    }
+    print("config 3:", results["3_row_split_halo"], file=sys.stderr)
+
+    # ---- config 5: mixed-resolution fused decode->blur->encode ----
+    with open(DEFAULT_IMAGE_320, "rb") as f:
+        payload320 = f.read()
+    serve5 = ServingPipeline("blur3")
+    batches = [[payload if i % 2 == 0 else payload320] * 25
+               for i in range(8)]
+    for _ in serve5.run(batches):  # warm both shapes
+        pass
+    serve5.stats.images = 0
+    serve5.stats.wall_ms = 0.0
+    for _ in serve5.run(batches):
+        pass
+    s = serve5.stats
+    results["5_mixed_resolution_serving"] = {
+        "images": s.images,
+        "img_per_s_e2e": round(s.img_per_s, 1),
+        "decode_ms": round(s.decode_ms, 1),
+        "device_ms": round(s.device_ms, 1),
+        "encode_ms": round(s.encode_ms, 1),
+    }
+    print("config 5:", results["5_mixed_resolution_serving"], file=sys.stderr)
+
+    import jax
+
+    results["_meta"] = {
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
