@@ -192,8 +192,10 @@ def gaussian_blur_planar_pallas(
             return out[:, :h]
         path = "vpu"
     if path == "mxu":
+        # Budget above the 16 MB scoped limit is fine: liveness-based reuse
+        # keeps actual usage lower (interleaved k-sweep on v5e: k=20 best).
         k = block_planes or _pick_block_planes(
-            n, h, w, ntaps=len(taps), budget_bytes=16 * 2**20
+            n, h, w, ntaps=len(taps), budget_bytes=24 * 2**20
         )
         assert n % k == 0, (n, k)
         kernel = functools.partial(_blur_mxu_kernel, taps=taps, h_pad=h_pad)
