@@ -45,3 +45,31 @@ def test_decode_batch_matches_single():
 def test_decode_invalid_raises():
     with pytest.raises(ValueError):
         jpeg.decode_bytes(b"not a jpeg at all")
+
+
+def test_decode_truncated_and_corrupted_payloads():
+    """Native codec error paths: no crash, clean ValueError (setjmp path)."""
+    with open(DEFAULT_IMAGE_256, "rb") as f:
+        good = f.read()
+    rng = np.random.default_rng(0)
+    cases = [
+        good[: len(good) // 3],            # truncated body
+        good[:2],                          # just the SOI marker
+        b"\xff\xd8" + bytes(rng.integers(0, 256, 500, dtype=np.uint8)),
+        good[:200] + bytes(50) + good[260:],  # corrupted header region
+    ]
+    for i, payload in enumerate(cases):
+        try:
+            out = jpeg.decode_bytes(payload)
+            # libjpeg tolerates some damage by emitting partial scans —
+            # acceptable as long as shape/dtype are sane
+            assert out.dtype == np.uint8 and out.ndim == 3, i
+        except ValueError:
+            pass  # clean failure is the expected path
+
+
+def test_decode_batch_with_one_bad_payload_raises():
+    with open(DEFAULT_IMAGE_256, "rb") as f:
+        good = f.read()
+    with pytest.raises(ValueError):
+        jpeg.decode_batch([good, b"junk-not-a-jpeg", good])
