@@ -234,14 +234,18 @@ def gaussian_blur_planar_pallas(
     )(x)
 
 
-def _chain_kernel(x_ref, o_ref, *, names: tuple, h_pad: bool):
+def _chain_kernel(x_ref, o_ref, *, names: tuple, trim: int):
     # Fused multi-filter chain: every stage stays in VMEM/registers; only the
-    # uint8 input and final uint8 output touch HBM.
+    # uint8 input and final uint8 output touch HBM. Halo mode (trim > 0)
+    # uses the same clamp-then-trim slab semantics as the MXU chain so both
+    # paths are value-identical everywhere.
     from hipe_tpu.ops import blur as xblur
 
     x = x_ref[:]
     for name in names:
-        x = xblur.FILTERS[name](x, h_axis=1, w_axis=2, h_pad=h_pad)
+        x = xblur.FILTERS[name](x, h_axis=1, w_axis=2, h_pad=True)
+    if trim:
+        x = x[:, trim:-trim, :]
     o_ref[:] = x
 
 
@@ -637,7 +641,10 @@ def filter_chain_planar_pallas(
     # Chains run stages sequentially, so peak liveness ≈ one 3-tap stage.
     k = block_planes or _pick_block_planes(n, h, w, ntaps=3)
     assert n % k == 0, (n, k)
-    kernel = functools.partial(_chain_kernel, names=tuple(names), h_pad=h_pad)
+    kernel = functools.partial(
+        _chain_kernel, names=tuple(names),
+        trim=chain_radius(names) if not h_pad else 0,
+    )
     return pl.pallas_call(
         kernel,
         grid=(n // k,),
