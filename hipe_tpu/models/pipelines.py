@@ -11,7 +11,6 @@ separable Gaussians, and the blur->sharpen->edge multi-pass chain.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Sequence
 
 import jax
@@ -35,10 +34,6 @@ class Pipeline:
     def __call__(self, x: jax.Array) -> jax.Array:
         """XLA path on (..., H, W, C) uint8 batches."""
         return xblur.filter_chain(x, self.filters)
-
-    @functools.cached_property
-    def jitted(self):
-        return jax.jit(self.__call__)
 
     def apply_planar(self, planes: jax.Array, *, use_pallas: bool = True,
                      h_pad: bool = True, interpret: bool = False) -> jax.Array:

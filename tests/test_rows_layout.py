@@ -196,3 +196,39 @@ def test_engine_grayscale_stream():
     eng.run(image=img)
     want = oracle.gaussian_blur_int_oracle(img)
     np.testing.assert_array_equal(eng.first_output[0], want)
+
+
+def test_nhwc_wrapper_and_cache_helper():
+    """Convenience NHWC wrapper + compilation-cache helper."""
+    batch = np.stack([checker_image(32, 128, 3, seed=s) for s in range(2)])
+    got = np.asarray(
+        pallas_blur.gaussian_blur_nhwc_pallas(
+            jnp.asarray(batch), 1, interpret=True
+        )
+    )
+    want = np.stack([oracle.gaussian_blur_int_oracle(b) for b in batch])
+    np.testing.assert_array_equal(got, want)
+
+    import jax
+
+    from hipe_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache("/tmp/hipe_cache_test")
+    assert jax.config.jax_compilation_cache_dir == "/tmp/hipe_cache_test"
+
+
+def test_engine_custom_filter_tuple_pipeline():
+    import jax
+
+    from hipe_tpu.runtime.engine import Engine, EngineConfig
+
+    devs = jax.devices("cpu")
+    img = checker_image(24, 32, 3, seed=4)
+    eng = Engine(
+        EngineConfig(approach=1, mode="both", batch_size=4, num_images=8,
+                     pipeline=("gaussian3", "sharpen")),
+        cpu_device=devs[0], accel_device=devs[1],
+    )
+    eng.run(image=img)
+    want = oracle.sharpen3x3_oracle(oracle.gaussian_blur_int_oracle(img))
+    np.testing.assert_array_equal(eng.first_output[0], want)
