@@ -59,15 +59,30 @@ def main() -> int:
         "blur3", num_images=num_images, image=img, use_pallas=on_tpu
     )
 
+    # Measured fastest-path selection (XLA vs Pallas vs aliased Pallas over
+    # a block sweep) — the calibration-loop analog, never assumed.
+    timings = runner.autotune(passes=4 if on_tpu else 1, reps=2)
+    for label, t in sorted(timings.items(), key=lambda kv: kv[1]):
+        log(f"  autotune {label:22s} {t * 1e3:8.2f} ms/pass")
+    log(f"chosen config: {runner.tuning['chosen']}")
+
     max_abs_err = runner.verify_max_abs_err()
     log(f"max_abs_err vs oracle: {max_abs_err}")
 
-    res = runner.measure_throughput(passes=10 if on_tpu else 2, reps=5)
-    img_per_s = res["img_per_s"]
-    log(
-        f"per-pass {res['per_pass_s'] * 1e3:.2f} ms  ->  {img_per_s:,.0f} "
-        f"img/s (~{res['hbm_gb_per_s']:.0f} GB/s HBM)"
-    )
+    # Repeated measurement sessions: report the median (headline), keep the
+    # spread (shared-chip variance on this setup is real; the reference
+    # likewise committed 3 runs per config).
+    sessions = []
+    for i in range(3):
+        res = runner.measure_throughput(passes=10 if on_tpu else 2, reps=3)
+        sessions.append(res)
+        log(
+            f"session {i}: per-pass {res['per_pass_s'] * 1e3:.2f} ms -> "
+            f"{res['img_per_s']:,.0f} img/s "
+            f"(~{res['hbm_gb_per_s']:.0f} GB/s HBM)"
+        )
+    rates = sorted(r["img_per_s"] for r in sessions)
+    img_per_s = rates[len(rates) // 2]  # median of 3
 
     result = {
         "metric": "img_per_s_per_chip_5000x256x256_blur3_stream",
@@ -81,6 +96,13 @@ def main() -> int:
         "max_abs_err_target": 1,
         "backend": backend,
         "num_images": num_images,
+        "sessions_img_s": [round(r, 1) for r in rates],
+        "img_s_min": round(rates[0], 1),
+        "img_s_max": round(rates[-1], 1),
+        "chosen_config": runner.tuning["chosen"],
+        "autotune_ms_per_pass": {
+            k: round(v * 1e3, 3) for k, v in timings.items()
+        },
     }
     print(json.dumps(result))
     return 0

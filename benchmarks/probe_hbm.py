@@ -1,0 +1,274 @@
+"""HBM-throughput probe for the flagship blur3 stream (real TPU).
+
+Measures, at the flagship shape (15000, 256, 256) uint8 planar stream,
+steady-state per-pass throughput of:
+
+- copy ceilings: a Pallas block copy and an XLA elementwise op;
+- the XLA blur (concat-pad and roll-clamp variants) — the candidate fast
+  path flagged in ROADMAP.md (XLA elementwise measured ~626 GB/s vs the
+  Pallas kernels' ~310-370 GB/s);
+- the current Pallas MXU-hybrid kernel, with and without input/output
+  aliasing (``pl.pallas_call(input_output_aliases=...)``), and a block-size
+  sweep for the aliased variant.
+
+Timing is pass-count differencing (time(1+K) - time(1))/K with chained
+passes, identical to `hipe_tpu.runtime.device_stream`, so the ~30 ms tunnel
+dispatch latency cancels. Every variant is verified bit-exact against the
+oracle on one image before being timed.
+
+Run serially on the real chip: `python benchmarks/probe_hbm.py`.
+Results land in benchmarks/probe_hbm.json (one dict per variant).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+NUM_IMAGES = 5000
+PASSES = 10
+REPS = 5
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from hipe_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from hipe_tpu.io_.jpeg import decode_file
+    from hipe_tpu.ops import blur as xblur
+    from hipe_tpu.ops import pallas_blur as pb
+    from hipe_tpu.ops import reference as oracle
+    from hipe_tpu.utils.images import DEFAULT_IMAGE_256, hwc_to_planar
+
+    on_tpu = jax.default_backend() != "cpu"
+    num_images = NUM_IMAGES if on_tpu else 16
+    img = decode_file(DEFAULT_IMAGE_256)
+    h, w, c = img.shape
+    n = num_images * c
+    planes = jnp.asarray(hwc_to_planar(img[None]))
+
+    @jax.jit
+    def materialize(p):
+        return jnp.broadcast_to(p[None], (num_images, c, h, w)).reshape(n, h, w)
+
+    stream = materialize(planes)
+    np.asarray(stream[0, 0, :4])  # commit
+
+    want = hwc_to_planar(oracle.gaussian_blur_int_oracle(img, 1)[None])
+
+    # ---- variants ----------------------------------------------------
+
+    def _copy_kernel(x_ref, o_ref):
+        o_ref[:] = x_ref[:]
+
+    def _xor_kernel(x_ref, o_ref):
+        # forces a real read-modify-write (a pure copy can be a DMA fastpath)
+        o_ref[:] = x_ref[:] ^ jnp.uint8(1)
+
+    def make_pallas_simple(kernel, k, alias):
+        f = pl.pallas_call(
+            kernel,
+            grid=(n // k,),
+            in_specs=[pl.BlockSpec((k, h, w), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((k, h, w), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.uint8),
+            input_output_aliases={0: 0} if alias else {},
+        )
+        return f
+
+    def pallas_blur_mxu(k=None, alias=False):
+        taps, _ = xblur.binomial_taps(1)
+        k = k or pb._pick_block_planes(n, h, w, ntaps=len(taps),
+                                       budget_bytes=24 * 2**20)
+        kernel = functools.partial(pb._blur_mxu_kernel, taps=taps, h_pad=True)
+        band = jnp.asarray(pb._band_matrix_np(w, 1), jnp.bfloat16)
+
+        call = pl.pallas_call(
+            kernel,
+            grid=(n // k,),
+            in_specs=[
+                pl.BlockSpec((k, h, w), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((w, w), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((k, h, w), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.uint8),
+            input_output_aliases={0: 0} if alias else {},
+        )
+
+        def f(x):
+            return call(x, band)
+
+        return f
+
+    def pallas_vpu(k=None, alias=False):
+        taps, shift = xblur.binomial_taps(1)
+        k = k or pb._pick_block_planes(n, h, w, ntaps=len(taps))
+        kernel = functools.partial(pb._blur_kernel, taps=taps, shift=shift,
+                                   h_pad=True)
+        return pl.pallas_call(
+            kernel,
+            grid=(n // k,),
+            in_specs=[pl.BlockSpec((k, h, w), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((k, h, w), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.uint8),
+            input_output_aliases={0: 0} if alias else {},
+        )
+
+    def xla_blur_concat(x):
+        return xblur.gaussian_blur_planar(x, 1)
+
+    def _clamp_shift(x, d, axis):
+        """x shifted by d along axis with clamp-to-edge, roll+where form."""
+        m = x.shape[axis]
+        rolled = jnp.roll(x, d, axis=axis)
+        idx = lax.broadcasted_iota(jnp.int32, x.shape, axis)
+        if d > 0:
+            edge = lax.slice_in_dim(x, 0, 1, axis=axis)
+            return jnp.where(idx < d, edge, rolled)
+        edge = lax.slice_in_dim(x, m - 1, m, axis=axis)
+        return jnp.where(idx >= m + d, edge, rolled)
+
+    def xla_blur_roll(x):
+        xi = x.astype(jnp.int32)
+        acc = None
+        for d, t in ((-1, 1), (0, 2), (1, 1)):
+            term = _clamp_shift(xi, d, 2)
+            term = term if t == 1 else term * t
+            acc = term if acc is None else acc + term
+        acc2 = None
+        for d, t in ((-1, 1), (0, 2), (1, 1)):
+            term = _clamp_shift(acc, d, 1)
+            term = term if t == 1 else term * t
+            acc2 = term if acc2 is None else acc2 + term
+        return (acc2 >> 4).astype(jnp.uint8)
+
+    def xla_blur_roll16(x):
+        # int16 accumulate: max value 16*255 = 4080 < 32767, exact.
+        xi = x.astype(jnp.int16)
+        acc = None
+        for d, t in ((-1, 1), (0, 2), (1, 1)):
+            term = _clamp_shift(xi, d, 2)
+            term = term if t == 1 else term * jnp.int16(t)
+            acc = term if acc is None else acc + term
+        acc2 = None
+        for d, t in ((-1, 1), (0, 2), (1, 1)):
+            term = _clamp_shift(acc, d, 1)
+            term = term if t == 1 else term * jnp.int16(t)
+            acc2 = term if acc2 is None else acc2 + term
+        return (acc2 >> 4).astype(jnp.uint8)
+
+    variants = {
+        "copy_pallas": make_pallas_simple(_copy_kernel, 20, False),
+        "xor_pallas": make_pallas_simple(_xor_kernel, 20, False),
+        "xor_pallas_alias": make_pallas_simple(_xor_kernel, 20, True),
+        "xor_pallas_k40_alias": make_pallas_simple(_xor_kernel, 40, True),
+        "xor_xla": lambda x: x ^ jnp.uint8(1),
+        "xla_blur_concat": xla_blur_concat,
+        "xla_blur_roll": xla_blur_roll,
+        "xla_blur_roll16": xla_blur_roll16,
+        "pallas_mxu_k20": pallas_blur_mxu(20),
+        "pallas_mxu_k40": pallas_blur_mxu(40),
+        "pallas_mxu_k20_alias": pallas_blur_mxu(20, alias=True),
+        "pallas_mxu_k24_alias": pallas_blur_mxu(24, alias=True),
+        "pallas_mxu_k30_alias": pallas_blur_mxu(30, alias=True),
+        "pallas_mxu_k40_alias": pallas_blur_mxu(40, alias=True),
+        "pallas_mxu_k50_alias": pallas_blur_mxu(50, alias=True),
+        "pallas_mxu_k60_alias": pallas_blur_mxu(60, alias=True),
+        "pallas_vpu_k20": pallas_vpu(20),
+        "pallas_vpu_k20_alias": pallas_vpu(20, alias=True),
+        "pallas_vpu_k40_alias": pallas_vpu(40, alias=True),
+    }
+    blur_variants = {k for k in variants if "blur" in k or "mxu" in k
+                     or ("vpu" in k)}
+
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "probe_hbm.json")
+
+    def flush(results):
+        with open(out_path, "w") as f:
+            json.dump({"shape": [n, h, w], "num_images": num_images,
+                       "passes": PASSES, "reps": REPS,
+                       "backend": jax.default_backend(),
+                       "results": results}, f, indent=1)
+
+    results = {}
+    for name, fn in variants.items():
+        try:
+            _run_variant(jax, jnp, lax, np, name, fn, blur_variants,
+                         stream, want, c, n, h, w, num_images, results)
+        except Exception as e:  # compile OOM etc.: record and continue
+            results[name] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+            log(f"{name:24s} FAILED: {type(e).__name__}")
+        flush(results)
+    log(f"wrote {out_path}")
+    return 0
+
+
+def _run_variant(jax, jnp, lax, np, name, fn, blur_variants, stream, want,
+                 c, n, h, w, num_images, results):
+    import functools
+    import time
+
+    @functools.partial(jax.jit, static_argnames="r")
+    def chained(s, r, fn=fn):
+        out = lax.fori_loop(0, r, lambda i, x: fn(x), s)
+        return jnp.sum(out[::97, ::3, ::64].astype(jnp.int32))
+
+    # correctness first (blur variants only). Pallas variants are built
+    # for the full stream shape, so run the full stream and slice the
+    # first image's planes on-device (only ~196 KB crosses the tunnel).
+    if name in blur_variants:
+        got = np.asarray(jax.jit(lambda s, fn=fn: fn(s)[:c])(stream))
+        err = int(np.max(np.abs(got.astype(int) - want.astype(int))))
+        assert err == 0, (name, err)
+
+    # warm both pass counts
+    float(np.asarray(chained(stream, 1)))
+    float(np.asarray(chained(stream, 1 + PASSES)))
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        float(np.asarray(chained(stream, 1)))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(np.asarray(chained(stream, 1 + PASSES)))
+        t2 = time.perf_counter() - t0
+        best = min(best, (t2 - t1) / PASSES)
+    gbs = 2 * n * h * w / best / 1e9
+    imgs = num_images / best
+    results[name] = {
+        "per_pass_ms": round(best * 1e3, 3),
+        "hbm_gb_per_s": round(gbs, 1),
+        "img_per_s": round(imgs, 0),
+    }
+    log(f"{name:24s} {best * 1e3:8.2f} ms  {gbs:7.1f} GB/s  "
+        f"{imgs:12,.0f} img/s")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

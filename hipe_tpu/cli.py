@@ -152,7 +152,12 @@ def main(argv: list[str] | None = None) -> int:
     print(meshlib.discover().describe())
 
     if approach == 2:
-        rs = pt.row_split(h, cfg.gpu_ratio, halo=1)
+        # Use the pipeline's actual halo so the banner's input-row counts
+        # (and clamped split_row for extreme ratios) match what the engine
+        # runs (Engine._run_approach2 uses halo=pipeline.radius).
+        from hipe_tpu.models import pipelines as plib
+
+        rs = pt.row_split(h, cfg.gpu_ratio, halo=plib.get(cfg.pipeline).radius)
         print("\nSplit configuration:")
         print(f"  Split row: {rs.split_row} (CPU: rows 0-{rs.split_row - 1}, "
               f"TPU: rows {rs.split_row}-{h - 1})")

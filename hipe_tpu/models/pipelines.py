@@ -36,11 +36,17 @@ class Pipeline:
         return xblur.filter_chain(x, self.filters)
 
     def apply_planar(self, planes: jax.Array, *, use_pallas: bool = True,
-                     h_pad: bool = True, interpret: bool = False) -> jax.Array:
+                     h_pad: bool = True, interpret: bool = False,
+                     alias: bool = False,
+                     block_planes: int | None = None) -> jax.Array:
         """Planar (N, H, W) path; Pallas on TPU, XLA elsewhere.
 
         ``h_pad=False`` treats H as halo-padded by :attr:`radius` rows per
         side and returns the valid interior (row-split shard mode).
+        ``alias=True`` writes in-place into the input's HBM buffer when the
+        shapes allow (h_pad=True) — ~2x DMA throughput on dead inputs (loop
+        carries / donated args); XLA copy-protects live ones. See
+        :func:`hipe_tpu.ops.pallas_blur.gaussian_blur_planar_pallas`.
         """
         # Whole planes must fit VMEM with working-set headroom; very large
         # images (e.g. the reference's 4000x2250 asset) use the halo-tiled
@@ -58,10 +64,12 @@ class Pipeline:
             if len(self.filters) == 1 and self.filters[0].startswith("gaussian"):
                 radius = xblur.FILTER_RADIUS[self.filters[0]]
                 return pallas_blur.gaussian_blur_planar_pallas(
-                    planes, radius, h_pad=h_pad, interpret=interpret
+                    planes, radius, h_pad=h_pad, interpret=interpret,
+                    alias=alias, block_planes=block_planes,
                 )
             return pallas_blur.filter_chain_planar_pallas(
-                planes, self.filters, h_pad=h_pad, interpret=interpret
+                planes, self.filters, h_pad=h_pad, interpret=interpret,
+                alias=alias, block_planes=block_planes,
             )
         return xblur.filter_chain(
             planes, self.filters, h_axis=-2, w_axis=-1, h_pad=h_pad
@@ -127,12 +135,21 @@ class Pipeline:
         with ``make_row_split_fn(..., local_fn=..., radius=pipeline.radius)``
         to run the Pallas kernels per shard on a TPU mesh.
 
-        NOTE: chains applied in one halo-padded 'valid' pass are exact at
-        interior seams but diverge within `radius` rows of the global top and
-        bottom image edges (per-stage clamping vs one summed-radius halo) —
-        acceptable for chains on tall shards; single-filter pipelines are
-        exact everywhere.
+        Single-filter pipelines only: a multi-stage chain applied in one
+        halo-padded 'valid' pass would diverge within `radius` rows of the
+        global top/bottom image edges (per-stage clamping at true edges
+        cannot be reproduced from a replicated-edge halo), so chains raise —
+        use :meth:`nhwc_clamp_fn` with
+        ``make_row_split_fn(..., local_clamp=True)``, which is exact
+        everywhere.
         """
+        if len(self.filters) > 1:
+            raise ValueError(
+                f"pipeline {self.name!r} is a multi-stage chain: "
+                "nhwc_halo_fn would be inexact at global image edges. Use "
+                "nhwc_clamp_fn() with make_row_split_fn(..., "
+                "local_clamp=True) instead."
+            )
 
         def fn(block: jax.Array) -> jax.Array:
             b, h, w, c = block.shape
@@ -142,6 +159,25 @@ class Pipeline:
             )
             oh = out.shape[1]
             return out.reshape(b, c, oh, w).transpose(0, 2, 3, 1)
+
+        return fn
+
+    def nhwc_clamp_fn(self, *, use_pallas: bool = True, interpret: bool = False):
+        """A clamp-mode NHWC block fn (rows in == rows out) for window slabs.
+
+        Pair with ``make_row_split_fn(..., local_fn=..., local_clamp=True,
+        radius=pipeline.radius)``: the shard body supplies a shifted window
+        of real rows and keeps the owned slice, so the whole pipeline —
+        chains included — is bit-exact everywhere (global edges included).
+        """
+
+        def fn(block: jax.Array) -> jax.Array:
+            b, h, w, c = block.shape
+            planes = block.transpose(0, 3, 1, 2).reshape(b * c, h, w)
+            out = self.apply_planar(
+                planes, use_pallas=use_pallas, h_pad=True, interpret=interpret
+            )
+            return out.reshape(b, c, h, w).transpose(0, 2, 3, 1)
 
         return fn
 

@@ -151,7 +151,9 @@ def _pick_block_planes(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("radius", "h_pad", "block_planes", "interpret", "path"),
+    static_argnames=(
+        "radius", "h_pad", "block_planes", "interpret", "path", "alias"
+    ),
 )
 def gaussian_blur_planar_pallas(
     x: jax.Array,
@@ -161,6 +163,7 @@ def gaussian_blur_planar_pallas(
     block_planes: int | None = None,
     interpret: bool = False,
     path: str = "mxu",
+    alias: bool = False,
 ) -> jax.Array:
     """Pallas TPU separable binomial blur over planar (N, H, W) uint8.
 
@@ -171,11 +174,21 @@ def gaussian_blur_planar_pallas(
     ``path='mxu'`` (default) runs the W pass as a banded matmul on the MXU
     (bit-exact, see `_blur_mxu_kernel`); ``path='vpu'`` is the pure-VPU
     stencil kernel.
+
+    ``alias=True`` writes the output into the input's HBM buffer
+    (``input_output_aliases``): measured ~2x DMA throughput on v5e
+    (benchmarks/probe_hbm.json: 288 -> 629+ GB/s) because in-place pages
+    skip the write-allocate path. Semantically safe everywhere — XLA
+    inserts a copy-on-write if the operand is still live — but the speedup
+    (and no-copy) materializes when the input is dead after the call, e.g.
+    a loop carry or a donated jit argument. Requires h_pad=True (shape-
+    preserving); ignored otherwise.
     """
     assert x.dtype == jnp.uint8 and x.ndim == 3
     taps, shift = binomial_taps(radius)
     n, h, w = x.shape
     out_h = h - 2 * radius if not h_pad else h
+    io_alias = {0: 0} if (alias and h_pad and not interpret) else {}
     if path == "mxu" and h % 8 != 0:
         # Mosaic lowers the batched (k,H,W)x(W,W) dot via a (k*H,W) shape
         # cast that requires sublane-aligned H. In clamp mode, pad H with
@@ -187,7 +200,7 @@ def gaussian_blur_planar_pallas(
             xp = jnp.concatenate([x] + [last] * (hp - h), axis=1)
             out = gaussian_blur_planar_pallas(
                 xp, radius, h_pad=True, block_planes=block_planes,
-                interpret=interpret, path="mxu",
+                interpret=interpret, path="mxu", alias=alias,
             )
             return out[:, :h]
         path = "vpu"
@@ -215,6 +228,7 @@ def gaussian_blur_planar_pallas(
                 (k, out_h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((n, out_h, w), jnp.uint8),
+            input_output_aliases=io_alias,
             interpret=interpret,
         )(x, band)
     k = block_planes or _pick_block_planes(n, h, w, ntaps=len(taps))
@@ -230,6 +244,7 @@ def gaussian_blur_planar_pallas(
             (k, out_h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, out_h, w), jnp.uint8),
+        input_output_aliases=io_alias,
         interpret=interpret,
     )(x)
 
@@ -343,7 +358,9 @@ def nhwc_pallas_eligible(h: int, w: int, c: int) -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("channels", "radius", "h_pad", "block_imgs", "interpret"),
+    static_argnames=(
+        "channels", "radius", "h_pad", "block_imgs", "interpret", "alias"
+    ),
 )
 def gaussian_blur_rows_pallas(
     rows: jax.Array,
@@ -353,6 +370,7 @@ def gaussian_blur_rows_pallas(
     h_pad: bool = True,
     block_imgs: int | None = None,
     interpret: bool = False,
+    alias: bool = False,
 ) -> jax.Array:
     """Interleaved-rows blur: (B, H, W*C) uint8 in/out, no transposes.
 
@@ -393,6 +411,9 @@ def gaussian_blur_rows_pallas(
             (k, out_h, lane), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, out_h, lane), jnp.uint8),
+        input_output_aliases=(
+            {0: 0} if (alias and h_pad and not interpret) else {}
+        ),
         interpret=interpret,
     )(rows, band)
 
@@ -529,7 +550,8 @@ def _mxu_stage(name: str, x_i32: jax.Array, bands: dict) -> jax.Array:
 
 
 def _chain_mxu_call(x3d: jax.Array, names: tuple, *, h_pad: bool, c: int,
-                    block: int | None, interpret: bool) -> jax.Array:
+                    block: int | None, interpret: bool,
+                    alias: bool = False) -> jax.Array:
     """Shared pallas_call builder for fused MXU chains (planar c=1 or rows).
 
     `x3d` is (N, H, L) uint8 with L = W*c. Halo mode (h_pad=False) runs
@@ -568,13 +590,18 @@ def _chain_mxu_call(x3d: jax.Array, names: tuple, *, h_pad: bool, c: int,
             (k, out_h, lane), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, out_h, lane), jnp.uint8),
+        input_output_aliases=(
+            {0: 0} if (alias and h_pad and not interpret) else {}
+        ),
         interpret=interpret,
     )(x3d, *band_args)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("channels", "names", "h_pad", "block_imgs", "interpret"),
+    static_argnames=(
+        "channels", "names", "h_pad", "block_imgs", "interpret", "alias"
+    ),
 )
 def filter_chain_rows_pallas(
     rows: jax.Array,
@@ -584,6 +611,7 @@ def filter_chain_rows_pallas(
     h_pad: bool = True,
     block_imgs: int | None = None,
     interpret: bool = False,
+    alias: bool = False,
 ) -> jax.Array:
     """Fused filter chain on interleaved rows (B, H, W*C) — transpose-free."""
     assert rows.dtype == jnp.uint8 and rows.ndim == 3
@@ -592,7 +620,7 @@ def filter_chain_rows_pallas(
     assert nhwc_pallas_eligible(h, lane // channels, channels), rows.shape
     return _chain_mxu_call(
         rows, tuple(names), h_pad=h_pad, c=channels, block=block_imgs,
-        interpret=interpret,
+        interpret=interpret, alias=alias,
     )
 
 
@@ -609,7 +637,8 @@ def _chain_mxu_kernel(x_ref, *refs, names: tuple, trim: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("names", "h_pad", "block_planes", "interpret")
+    jax.jit,
+    static_argnames=("names", "h_pad", "block_planes", "interpret", "alias"),
 )
 def filter_chain_planar_pallas(
     x: jax.Array,
@@ -618,6 +647,7 @@ def filter_chain_planar_pallas(
     h_pad: bool = True,
     block_planes: int | None = None,
     interpret: bool = False,
+    alias: bool = False,
 ) -> jax.Array:
     """Fused filter chain (e.g. blur->sharpen->edge) in one VMEM round-trip.
 
@@ -636,7 +666,7 @@ def filter_chain_planar_pallas(
     if mxu_ok:
         return _chain_mxu_call(
             x, tuple(names), h_pad=h_pad, c=1, block=block_planes,
-            interpret=interpret,
+            interpret=interpret, alias=alias,
         )
     # Chains run stages sequentially, so peak liveness ≈ one 3-tap stage.
     k = block_planes or _pick_block_planes(n, h, w, ntaps=3)
@@ -655,5 +685,8 @@ def filter_chain_planar_pallas(
             (k, out_h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, out_h, w), jnp.uint8),
+        input_output_aliases=(
+            {0: 0} if (alias and h_pad and not interpret) else {}
+        ),
         interpret=interpret,
     )(x)

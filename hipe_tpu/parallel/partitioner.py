@@ -21,7 +21,6 @@ is played by the TPU, so `gpu_ratio` == fraction of work sent to the TPU.
 from __future__ import annotations
 
 import dataclasses
-import math
 import sys
 from typing import Sequence
 
@@ -66,8 +65,13 @@ def split_images(batch_count: int, gpu_ratio: float) -> tuple[int, int]:
     """(num_cpu, num_gpu) for one batch (heterogeneous_blur.c:449-458).
 
     Image i goes to the CPU iff i < num_cpu (the first images of the batch).
+    The reference computes ``(int)(batch_count * gpu_ratio)`` with a C
+    ``float`` ratio (heterogeneous_blur.c:48,450), so the product is fp32 —
+    reproduced here so the count matches the C program for every ratio.
     """
-    num_gpu = int(batch_count * gpu_ratio)
+    import numpy as np
+
+    num_gpu = int(np.float32(batch_count) * np.float32(gpu_ratio))
     return batch_count - num_gpu, num_gpu
 
 
@@ -110,9 +114,14 @@ def row_split(height: int, gpu_ratio: float, halo: int = 1) -> RowSplit:
     ``[0, split_row + halo)`` and owns outputs ``[0, split_row)``; the GPU
     receives ``[split_row - halo, H)`` and owns ``[split_row, H)``. The halo
     rows are computed by both devices and discarded at reassembly
-    (`split_image_blur.c:526,537-539`).
+    (`split_image_blur.c:526,537-539`). The reference's
+    ``(int)(height * (1.0f - gpu_ratio))`` is fp32 arithmetic
+    (split_image_blur.c:69,144), reproduced here with np.float32 so the
+    split row matches the C program for every ratio.
     """
-    split = math.floor(height * (1.0 - gpu_ratio))
+    import numpy as np
+
+    split = int(np.float32(height) * (np.float32(1.0) - np.float32(gpu_ratio)))
     split = max(halo, min(split, height - halo))
     return RowSplit(
         height=height,

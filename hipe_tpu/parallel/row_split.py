@@ -72,6 +72,59 @@ def exchange_halo(
     return jnp.concatenate([top, x, bot], axis=h)
 
 
+def exchange_window(
+    x: jax.Array,
+    radius: int,
+    axis_name: str,
+    h_axis: int = 1,
+) -> tuple[jax.Array, jax.Array]:
+    """Shifted-window slab: own+2R *real* rows per shard, exact for chains.
+
+    Unlike :func:`exchange_halo` (which pads the first/last shard with
+    replicated edge rows — exact for single filters but wrong for chains,
+    whose per-stage clamp at true image edges cannot be reproduced by input
+    replication), this returns a window of real image rows
+    ``[clip(start - R, 0, H - own - 2R), +own+2R)`` plus the offset of the
+    shard's owned region inside it. Running a clamp-mode chain of total
+    radius R on the slab and keeping ``[keep, keep+own)`` is bit-exact
+    everywhere: clamp either lands on a true image edge (correct semantics)
+    or on a slab boundary >= R rows from every kept row (wrongness from a
+    clamped non-edge boundary penetrates at most R rows after the full
+    chain — the reference's compute-then-discard slab argument,
+    `split_image_blur.c:526,537-539`).
+
+    Requires each shard to own >= 2*radius rows (edge shards borrow 2R rows
+    from their single neighbor).
+    """
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    h = h_axis
+    own = x.shape[h]
+    if n == 1:
+        # The whole image: clamp mode is already exact, no window needed.
+        return x, jnp.zeros((), jnp.int32)
+    r2 = 2 * radius
+    assert own >= r2, (
+        f"window exchange needs >= {r2} rows/shard, got {own}"
+    )
+    top2 = lax.slice_in_dim(x, 0, r2, axis=h)
+    bot2 = lax.slice_in_dim(x, own - r2, own, axis=h)
+    from_prev = lax.ppermute(
+        bot2, axis_name, [(i, i + 1) for i in range(n - 1)]
+    )
+    from_next = lax.ppermute(
+        top2, axis_name, [(i + 1, i) for i in range(n - 1)]
+    )
+    cand = jnp.concatenate([from_prev, x, from_next], axis=h)
+    # First shard's window starts at the true top edge (offset past the
+    # garbage from_prev rows); last shard's window ends at the true bottom
+    # edge; interior windows center on the owned region.
+    offset = jnp.where(idx == 0, r2, jnp.where(idx == n - 1, 0, radius))
+    keep = jnp.where(idx == 0, 0, jnp.where(idx == n - 1, r2, radius))
+    slab = lax.dynamic_slice_in_dim(cand, offset, own + r2, axis=h)
+    return slab, keep
+
+
 def make_row_split_fn(
     mesh: Mesh,
     names: Sequence[str] = ("gaussian3",),
@@ -80,6 +133,7 @@ def make_row_split_fn(
     batch_axis: str | None = None,
     local_fn: Callable | None = None,
     radius: int | None = None,
+    local_clamp: bool = False,
     channels: int | None = None,
 ) -> Callable[[jax.Array], jax.Array]:
     """Build the jitted row-split pipeline over `mesh`.
@@ -89,8 +143,19 @@ def make_row_split_fn(
     tiles pad C to 128 lanes on TPU) — H sharded over `axis_name` (and B
     over `batch_axis` if given: DP x SP on a 2-D mesh). `names` is a filter
     chain from :data:`hipe_tpu.ops.blur.FILTERS`; alternatively pass
-    `local_fn` (a halo-consuming fn of signature block->block, e.g. a
-    Pallas kernel wrapper) together with its `radius`.
+    `local_fn` together with its `radius`:
+
+    - ``local_clamp=False`` (default): `local_fn` is a valid-mode
+      halo-consuming fn (rows in == rows out + 2*radius, e.g. a Pallas
+      kernel with ``h_pad=False``). Exact for single filters; multi-stage
+      chains must NOT use this mode (per-stage clamp at global image edges
+      cannot be reproduced from a replicated-edge halo — use
+      ``local_clamp=True``).
+    - ``local_clamp=True``: `local_fn` is a clamp-mode fn (rows in == rows
+      out, e.g. ``Pipeline.nhwc_clamp_fn``) of total stencil radius
+      `radius`; the shard body feeds it a shifted window of real rows
+      (:func:`exchange_window`) and keeps the owned slice — bit-exact
+      everywhere including global edges, for chains too.
     """
     names = tuple(names)
 
@@ -104,6 +169,20 @@ def make_row_split_fn(
                     padded, channels, h_pad=False
                 )
             return block
+
+    elif local_fn is not None and local_clamp:
+        # Clamp-mode local fn over a shifted window of real rows: exact for
+        # chains at global edges (see exchange_window).
+        assert radius is not None, "local_fn requires an explicit radius"
+
+        def local(block: jax.Array) -> jax.Array:
+            slab, keep = exchange_window(block, radius, axis_name, h_axis=1)
+            out = local_fn(slab)
+            if out.shape[1] == block.shape[1]:  # n == 1: no window added
+                return out
+            return lax.dynamic_slice_in_dim(
+                out, keep, block.shape[1], axis=1
+            )
 
     elif local_fn is not None:
         # Single custom stage (e.g. a Pallas kernel): one halo exchange of
@@ -153,3 +232,92 @@ def row_split_blur(
 ) -> jax.Array:
     """One-shot convenience wrapper around :func:`make_row_split_fn`."""
     return make_row_split_fn(mesh, names, **kw)(x)
+
+
+def make_weighted_row_split_fn(
+    mesh: Mesh,
+    names: Sequence[str] = ("gaussian3",),
+    weights: Sequence[float] | None = None,
+    *,
+    axis_name: str = ROW_AXIS,
+    batch_axis: str | None = None,
+    local_fn: Callable | None = None,
+    radius: int | None = None,
+) -> Callable[[jax.Array], jax.Array]:
+    """Ratio-weighted (uneven) row sharding over a homogeneous mesh.
+
+    The reference's core knob is an uneven row split by measured device
+    speed (`split_image_blur.c:144-154`, ratio 0.837 splits 240 rows 39/201
+    between CPU and GPU). SPMD shard_map requires uniform block shapes, so
+    uneven ownership is realized with padded windows: rows are apportioned
+    to shards by `weights` (largest-remainder, every shard >= 1 row), the H
+    axis is relayouted — one static gather — into uniform per-shard windows
+    of ``S + 2R`` *real* rows (S = max share, R = chain radius), each shard
+    runs the clamp-mode chain on its window, and a second static gather
+    reassembles exactly the owned rows. Same exactness argument as
+    :func:`exchange_window`: clamp lands on true edges or >= R rows from
+    every kept row, so the result is bit-identical to the unsplit chain for
+    any weights.
+
+    The two relayout gathers cost ~2 extra HBM passes — worth it only when
+    shard speeds genuinely differ (the reference's heterogeneous scenario;
+    e.g. mixed-generation meshes). For homogeneous meshes use
+    :func:`make_row_split_fn` (even split, halo exchange only).
+
+    `local_fn` optionally overrides the per-shard clamp-mode fn (signature
+    (B, S+2R, W, C) -> same shape, e.g. ``Pipeline.nhwc_clamp_fn()``)
+    together with its total `radius`.
+    """
+    names = tuple(names)
+    n = mesh.shape[axis_name]
+    if weights is None:
+        weights = [1.0] * n
+    assert len(weights) == n, (len(weights), n)
+    r_total = radius if local_fn is not None else xblur.chain_radius(names)
+    assert r_total is not None
+
+    if local_fn is None:
+        def local_fn(block: jax.Array) -> jax.Array:
+            return xblur.filter_chain(block, names, h_axis=1, w_axis=2,
+                                      h_pad=True)
+
+    from hipe_tpu.parallel import partitioner as pt
+
+    pspec = P(batch_axis, axis_name)
+
+    @jax.jit
+    def step(x: jax.Array) -> jax.Array:
+        import numpy as np
+
+        b, height, w, c = x.shape
+        segs = pt.row_partition(height, list(weights), halo=0)
+        counts = [sg.out_rows for sg in segs]
+        starts = np.asarray([sg.out[0] for sg in segs])
+        s = max(counts)
+        win = s + 2 * r_total
+        assert height >= win, (
+            f"weighted split needs H >= max_share + 2*radius ({win}), "
+            f"got {height}"
+        )
+        win_starts = np.clip(starts - r_total, 0, height - win)
+        in_idx = np.concatenate(
+            [np.arange(ws, ws + win) for ws in win_starts]
+        ).astype(np.int32)
+        out_idx = np.concatenate(
+            [
+                i * win + (starts[i] - win_starts[i]) + np.arange(counts[i])
+                for i in range(n)
+            ]
+        ).astype(np.int32)
+
+        xp = jnp.take(x, jnp.asarray(in_idx), axis=1)
+        xp = lax.with_sharding_constraint(xp, NamedSharding(mesh, pspec))
+        shard_fn = jax.shard_map(
+            local_fn, mesh=mesh, in_specs=pspec, out_specs=pspec,
+            check_vma=False,
+        )
+        out_p = shard_fn(xp)
+        out = jnp.take(out_p, jnp.asarray(out_idx), axis=1)
+        return lax.with_sharding_constraint(out, NamedSharding(mesh, pspec))
+
+    return step

@@ -13,6 +13,13 @@ Throughput measurement uses pass-count differencing: chained passes (each
 pass consumes the previous pass's output, so XLA can neither hoist nor elide
 work) timed at two different pass counts; the difference isolates
 steady-state per-pass time from fixed dispatch/sync latency.
+
+The fastest execution config is *measured, not assumed*: :meth:`autotune`
+times the XLA path, the plain Pallas path, and the in-place (input/output-
+aliased) Pallas path over a block-size sweep, then routes through the
+winner. On v5e the aliased Pallas kernel wins by ~2x (in-place HBM writes
+skip the write-allocate path; see benchmarks/probe_hbm.json: 288 GB/s plain
+-> 630-820 GB/s aliased).
 """
 
 from __future__ import annotations
@@ -62,6 +69,7 @@ class DeviceStreamRunner:
         )
 
         n, hh, ww = num_images * c, h, w
+        self.n_planes = n
 
         @jax.jit
         def materialize(p):
@@ -73,10 +81,22 @@ class DeviceStreamRunner:
         # (the reference's memcpy stream simulation, in HBM).
         self.stream = materialize(planes)
 
-        pipe, pallas_flag = self.pipeline, self.use_pallas
+        self.config = {
+            "path": "pallas" if self.use_pallas else "xla",
+            "block": None,
+            "alias": False,
+        }
+        self.tuning: dict | None = None
+        self._build(**self.config)
+
+    def _build(self, path: str, block: int | None, alias: bool) -> None:
+        pipe = self.pipeline
 
         def one_pass(s):
-            return pipe.apply_planar(s, use_pallas=pallas_flag)
+            return pipe.apply_planar(
+                s, use_pallas=(path == "pallas"), alias=alias,
+                block_planes=block,
+            )
 
         self._one_pass = one_pass
 
@@ -90,13 +110,60 @@ class DeviceStreamRunner:
     def _sync(self, v) -> float:
         return float(np.asarray(v))
 
+    def block_candidates(self, lo: int = 16, hi: int = 64) -> list[int]:
+        """Divisors of the plane count in the VMEM-friendly range."""
+        n = self.n_planes
+        return [k for k in range(lo, hi + 1) if n % k == 0]
+
+    def autotune(self, passes: int = 4, reps: int = 2,
+                 candidates: list[int] | None = None) -> dict:
+        """Measure XLA vs Pallas vs aliased-Pallas(block sweep); keep winner.
+
+        The reference's calibration loop tunes its ratio by measurement
+        (README.md:87-93); the TPU analog tunes the kernel execution config.
+        Returns {config_label: per_pass_seconds} and rebuilds the runner
+        around the fastest entry. Configs that fail to compile (e.g. VMEM
+        overflow at large blocks) are skipped.
+        """
+        configs: list[tuple[str, dict]] = [
+            ("xla", {"path": "xla", "block": None, "alias": False}),
+            ("pallas", {"path": "pallas", "block": None, "alias": False}),
+        ]
+        if self.use_pallas:
+            for k in candidates or self.block_candidates():
+                configs.append(
+                    (f"pallas_k{k}_alias",
+                     {"path": "pallas", "block": k, "alias": True})
+                )
+        timings: dict[str, float] = {}
+        best_label, best_cfg, best_t = None, None, float("inf")
+        for label, cfg in configs:
+            try:
+                self._build(**cfg)
+                t = self._measure_per_pass(passes=passes, reps=reps)
+            except Exception:  # noqa: BLE001 — skip uncompilable configs
+                continue
+            timings[label] = t
+            if t < best_t:
+                best_label, best_cfg, best_t = label, cfg, t
+        assert best_cfg is not None, "no execution config compiled"
+        self.config = best_cfg
+        self._build(**best_cfg)
+        self.tuning = {"chosen": best_label, "per_pass_s": timings}
+        return timings
+
     def verify_max_abs_err(self) -> int:
         """Max-abs pixel error of one image vs the reference oracle."""
         from hipe_tpu.ops import reference as oracle
         from hipe_tpu.utils.images import hwc_to_planar
 
         c = self.shape[2]
-        got = np.asarray(self._one_pass(self.stream[:c]))
+        # Run the full stream (tuned Pallas configs are built for its shape)
+        # and slice the first image's planes on-device — only ~H*W*C bytes
+        # cross the host link.
+        got = np.asarray(
+            jax.jit(lambda s: self._one_pass(s)[:c])(self.stream)
+        )
         ref_fn = {
             "blur3": lambda im: oracle.gaussian_blur_int_oracle(im, 1),
             "blur5": lambda im: oracle.gaussian_blur_int_oracle(im, 2),
@@ -113,8 +180,8 @@ class DeviceStreamRunner:
         want = hwc_to_planar(want_img[None])
         return int(np.max(np.abs(got.astype(int) - want.astype(int))))
 
-    def measure_throughput(self, passes: int = 10, reps: int = 3) -> dict:
-        """Steady-state img/s via pass-count differencing, best of `reps`."""
+    def _measure_per_pass(self, passes: int, reps: int) -> float:
+        """Best-of-`reps` steady-state seconds/pass via differencing."""
         self._sync(self._chained(self.stream, 1))
         self._sync(self._chained(self.stream, 1 + passes))
         best = float("inf")
@@ -130,6 +197,11 @@ class DeviceStreamRunner:
             # Timing noise swamped the differencing (short runs on a loaded
             # host); fall back to the raw chained-run estimate.
             best = t2 / (1 + passes)
+        return best
+
+    def measure_throughput(self, passes: int = 10, reps: int = 3) -> dict:
+        """Steady-state img/s via pass-count differencing, best of `reps`."""
+        best = self._measure_per_pass(passes=passes, reps=reps)
         h, w, c = self.shape
         return {
             "per_pass_s": best,

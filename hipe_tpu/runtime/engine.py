@@ -165,6 +165,11 @@ class Engine:
         depth = max(1, self.config.pipeline_depth)
         self._pool = ThreadPoolExecutor(max_workers=2 * depth)
 
+    def _progress(self, msg: str) -> None:
+        """Per-batch progress lines (reference heterogeneous_blur.c:420,599)."""
+        if self.config.verbose:
+            print(msg, flush=True)
+
     def _drain(self, window, limit: int) -> None:
         """Wait for the oldest in-flight batch(es) beyond `limit`."""
         while len(window) > limit:
@@ -172,6 +177,7 @@ class Engine:
             outs = [f.result() for f in futures]
             if finalize is not None:
                 finalize(outs)
+            self._progress(f"Batch {batch_idx + 1} complete.")
 
     # ---- approach 1: image-level distribution ----
 
@@ -180,6 +186,10 @@ class Engine:
         depth = max(1, cfg.pipeline_depth)
         window: list = []
         for batch_idx, host_batch in enumerate(stream):
+            self._progress(
+                f"=== Processing Batch {batch_idx + 1}/"
+                f"{self.stats.num_batches} ==="
+            )
             bc = host_batch.shape[0]
             if cfg.mode == "both":
                 num_cpu, num_acc = pt.split_images(bc, cfg.gpu_ratio)
@@ -219,6 +229,10 @@ class Engine:
         depth = max(1, cfg.pipeline_depth)
         window: list = []
         for batch_idx, host_batch in enumerate(stream):
+            self._progress(
+                f"=== Processing Batch {batch_idx + 1}/"
+                f"{self.stats.num_batches} ==="
+            )
             bc, h, w, c = host_batch.shape
             rs = pt.row_split(h, cfg.gpu_ratio, halo=self.pipeline.radius)
             self.stats.split_row = rs.split_row

@@ -84,6 +84,7 @@ class FleetEngine:
     ):
         assert lanes, "need at least one lane"
         assert approach in (1, 2)
+        self._specs = list(lanes)
         self.approach = approach
         self.batch_size = pt.validate_batch(batch_size, num_images)
         self.num_images = num_images
@@ -220,6 +221,52 @@ class FleetEngine:
                     if key not in seen:
                         seen.add(key)
                         self._lanes[i].warmup((bc, seg.in_rows, w, c))
+
+    def to_run_stats(self):
+        """Two-group RunStats view for the report/CSV metric contract.
+
+        The reference's metric schema is two-device (cpu_* / gpu_* columns,
+        `data/approach2/approach2/per_run.csv`); an N-lane fleet maps onto
+        it by aggregating host-CPU lanes into the cpu group and accelerator
+        lanes into the gpu group (gpu_ratio := accelerator share of the
+        weights). For the canonical CPU+TPU two-lane fleet this is exact.
+        """
+        from hipe_tpu.profiling.events import RunStats
+
+        cpu = DeviceCounters("cpu")
+        acc = DeviceCounters("accel")
+        acc_weight = 0.0
+        for spec, counters in zip(self._specs, self.stats.lanes):
+            is_cpu = getattr(spec.device, "platform", "cpu") == "cpu"
+            (cpu if is_cpu else acc).merge(counters)
+            if not is_cpu:
+                acc_weight += spec.weight
+        total_w = sum(spec.weight for spec in self._specs)
+        mode = "both" if (cpu.units and acc.units) else (
+            "cpu" if cpu.units else "tpu"
+        )
+        rs = RunStats(
+            approach=self.approach,
+            mode=mode,
+            gpu_ratio=acc_weight / total_w if total_w else 0.0,
+            batch_size=self.batch_size,
+            num_images=self.num_images,
+            num_batches=pt.num_batches(self.num_images, self.batch_size),
+            width=self.stats.width,
+            height=self.stats.height,
+            channels=self.stats.channels,
+            pipeline=self.pipeline.name,
+            wall_ms=self.stats.wall_ms,
+            cpu=cpu,
+            accel=acc,
+        )
+        return rs
+
+    def to_csv_row(self, run: int = 1, file: str = "") -> dict:
+        """One per_run.csv-schema row (same contract as Engine runs)."""
+        from hipe_tpu.profiling.report import to_csv_row
+
+        return to_csv_row(self.to_run_stats(), run=run, file=file)
 
     def report(self) -> str:
         s = self.stats

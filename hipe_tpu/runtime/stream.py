@@ -101,11 +101,16 @@ class Prefetcher:
         _END = object()
 
         def producer():
+            # A producer exception (e.g. a corrupt JPEG mid-stream) must
+            # reach the consumer, not silently truncate the stream — the
+            # engine would otherwise report throughput over images it never
+            # processed.
             try:
                 for batch in self.stream:
                     q.put(batch)
-            finally:
                 q.put(_END)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -113,6 +118,9 @@ class Prefetcher:
             item = q.get()
             if item is _END:
                 break
+            if isinstance(item, BaseException):
+                t.join()
+                raise item
             yield item
         t.join()
 

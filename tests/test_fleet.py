@@ -98,3 +98,22 @@ def test_fleet_pipelined_depth2_equivalent():
         np.testing.assert_array_equal(e1.first_output, e2.first_output)
         assert [c.units for c in e1.stats.lanes] == \
                [c.units for c in e2.stats.lanes]
+
+
+def test_fleet_csv_row_contract():
+    """Fleet runs emit per_run.csv-schema rows (two-group aggregation)."""
+    from hipe_tpu.profiling.report import CSV_COLUMNS
+
+    eng = FleetEngine(_lanes(3, weights=[1, 2, 1]), approach=1,
+                      batch_size=12, num_images=24)
+    eng.run(image=IMG)
+    row = eng.to_csv_row(run=2, file="fleet_test")
+    assert set(row) == set(CSV_COLUMNS)
+    assert row["run"] == 2 and row["images"] == 24
+    # all lanes here are cpu-platform -> aggregated into the cpu group
+    assert row["cpu_images"] == 24 and row["gpu_images"] == 0
+    rs = eng.to_run_stats()
+    assert rs.mode == "cpu"
+    assert rs.cpu.units == sum(c.units for c in eng.stats.lanes)
+    assert abs(rs.cpu.total_ms
+               - sum(c.total_ms for c in eng.stats.lanes)) < 1e-9

@@ -78,6 +78,59 @@ def test_row_split_dp_2d_mesh():
     np.testing.assert_array_equal(got, want)
 
 
+def test_weighted_row_split_reference_ratio():
+    """2-way weighted split at the reference's tuned ratio 0.837, H=240.
+
+    The uneven analog of `split_image_blur.c:144-154` on an SPMD mesh:
+    seam-exact vs the unsplit oracle for the reference geometry.
+    """
+    from hipe_tpu.parallel.row_split import make_weighted_row_split_fn
+
+    mesh = _mesh(2)
+    ratio = 0.837
+    fn = make_weighted_row_split_fn(mesh, ("gaussian3",),
+                                    weights=[1 - ratio, ratio])
+    batch = np.stack([checker_image(240, 320, 3, seed=5)])
+    got = np.asarray(fn(jnp.asarray(batch)))
+    want = np.stack([oracle.gaussian_blur_int_oracle(b) for b in batch])
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("names", [("gaussian3",),
+                                   ("gaussian3", "sharpen", "edge")])
+def test_weighted_row_split_8way_uneven(names):
+    """8-way uneven weights (incl. a near-zero share) stay bit-exact."""
+    from hipe_tpu.ops import blur as xblur
+    from hipe_tpu.parallel.row_split import make_weighted_row_split_fn
+
+    mesh = _mesh(8)
+    weights = [0.001, 1, 2, 0.5, 3, 1, 0.25, 2]  # forces a 1-row shard
+    fn = make_weighted_row_split_fn(mesh, names, weights=weights)
+    batch = np.stack([checker_image(96, 64, 3, seed=s) for s in range(2)])
+    got = np.asarray(fn(jnp.asarray(batch)))
+    want = np.asarray(xblur.filter_chain(jnp.asarray(batch), names))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_weighted_row_split_pallas_local_fn():
+    """Weighted split with a Pipeline clamp-mode local fn (Pallas path)."""
+    from hipe_tpu.models import pipelines as plib
+    from hipe_tpu.ops import blur as xblur
+    from hipe_tpu.parallel.row_split import make_weighted_row_split_fn
+
+    pipe = plib.PIPELINES["chain"]
+    mesh = _mesh(4)
+    fn = make_weighted_row_split_fn(
+        mesh, pipe.filters, weights=[1, 2, 3, 2],
+        local_fn=pipe.nhwc_clamp_fn(use_pallas=True, interpret=True),
+        radius=pipe.radius,
+    )
+    batch = np.stack([checker_image(64, 128, 3, seed=9)])
+    got = np.asarray(fn(jnp.asarray(batch)))
+    want = np.asarray(xblur.filter_chain(jnp.asarray(batch), pipe.filters))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_row_split_randomized_geometries():
     """Randomized heights/shard-counts: seams stay exact everywhere."""
     rng = np.random.default_rng(0)

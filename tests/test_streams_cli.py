@@ -157,3 +157,49 @@ def test_engine_trace_capture(tmp_path):
     import os
 
     assert os.path.isdir(trace_dir) and os.listdir(trace_dir)
+
+
+def test_prefetcher_propagates_producer_errors():
+    """A mid-stream decode failure must raise, not truncate the stream."""
+    from hipe_tpu.runtime.stream import Prefetcher, ReplicatedStream
+
+    img = checker_image(8, 8, 3)
+
+    class FailingStream:
+        def __iter__(self):
+            yield from ReplicatedStream(img, 8, 4)
+            raise ValueError("corrupt JPEG")
+
+    pre = Prefetcher(FailingStream(), depth=2)
+    it = iter(pre)
+    got = [next(it), next(it)]
+    assert len(got) == 2
+    import pytest
+
+    with pytest.raises(ValueError, match="corrupt JPEG"):
+        next(it)
+
+
+def test_engine_verbose_progress_lines(capsys):
+    """Per-batch progress lines (reference heterogeneous_blur.c:420,599)."""
+    import jax
+
+    from hipe_tpu.runtime.engine import Engine, EngineConfig
+
+    dev = jax.devices("cpu")[0]
+    cfg = EngineConfig(approach=1, mode="cpu", batch_size=6, num_images=13,
+                       verbose=True)
+    eng = Engine(cfg, cpu_device=dev)
+    eng.run(image=checker_image(16, 16, 3))
+    out = capsys.readouterr().out
+    assert "=== Processing Batch 1/3 ===" in out
+    assert "=== Processing Batch 3/3 ===" in out
+    assert "Batch 3 complete." in out
+
+    # verbose=False keeps stdout clean
+    cfg = EngineConfig(approach=1, mode="cpu", batch_size=6, num_images=13,
+                       verbose=False)
+    eng = Engine(cfg, cpu_device=dev)
+    eng.run(image=checker_image(16, 16, 3))
+    out = capsys.readouterr().out
+    assert "Processing Batch" not in out and "complete." not in out
