@@ -34,6 +34,12 @@ def main() -> int:
                     default=[35, 50, 100, 200, 500])
     ap.add_argument("--image", default="/root/reference/image_320x240.jpg")
     ap.add_argument("--out", default="benchmarks/corpus")
+    ap.add_argument("--single-lane-batches", type=int, nargs="*",
+                    default=None, metavar="B",
+                    help="also run mode=cpu / mode=tpu single-device "
+                         "baselines (the reference's missing "
+                         "gaussian_blur.c analog, heterogeneous_blur.c:"
+                         "52-58) at these batch sizes")
     args = ap.parse_args()
 
     from hipe_tpu.io_.jpeg import decode_file
@@ -42,6 +48,23 @@ def main() -> int:
     from hipe_tpu.runtime.engine import EngineConfig
 
     image = np.ascontiguousarray(decode_file(args.image))
+
+    if args.single_lane_batches:
+        # Single-device baselines: the heterogeneous-vs-single-device
+        # comparison row (reference README.md:84 claims 1.58x vs GPU-only).
+        for mode in ("cpu", "tpu"):
+            cfg = EngineConfig(approach=1, mode=mode, batch_size=100,
+                               num_images=args.num_images)
+            print(f"[single {mode}] sweeping...", file=sys.stderr)
+            stats = sweep_batch_sizes(
+                cfg, image, batch_sizes=args.single_lane_batches,
+                runs=args.runs,
+            )
+            out_dir = f"{args.out}/single_{mode}"
+            write_corpus(stats, out_dir)
+            best = max(stats, key=lambda s: s.images_per_sec)
+            print(f"[single {mode}] best: batch={best.batch_size} "
+                  f"{best.images_per_sec:.0f} img/s", file=sys.stderr)
 
     for approach in (1, 2):
         base = EngineConfig(approach=approach, mode="both", batch_size=100,

@@ -79,6 +79,32 @@ def main() -> int:
         )
         total_err += check(f"planar/chain {h}x{w}", got, want_chain)
 
+        # In-place (input/output-aliased) kernels: same values, and the
+        # live operand must be copy-protected by XLA (planes unchanged).
+        want1 = np.stack(
+            [oracle.gaussian_blur_int_oracle(b, 1) for b in batch]
+        )
+        planes_before = np.asarray(planes)
+        got = planar_to_hwc(
+            np.asarray(
+                pallas_blur.gaussian_blur_planar_pallas(
+                    planes, 1, alias=True
+                )
+            ), 3,
+        )
+        total_err += check(f"planar/blur3/alias {h}x{w}", got, want1)
+        total_err += check(
+            f"alias-copy-protect {h}x{w}", np.asarray(planes), planes_before
+        )
+        got = planar_to_hwc(
+            np.asarray(
+                pallas_blur.filter_chain_planar_pallas(
+                    planes, ("gaussian3", "sharpen", "edge"), alias=True
+                )
+            ), 3,
+        )
+        total_err += check(f"planar/chain/alias {h}x{w}", got, want_chain)
+
     # Halo (valid) modes against split interiors
     img = checker_image(64, 256, 3, seed=7)
     for radius, tag in ((1, "blur3"), (2, "blur5")):

@@ -39,7 +39,20 @@ def main() -> int:
     )
     err = np.max(np.abs(out[0].astype(int) - want.astype(int)))
     print(f"row-split chain over {n} shards: max-abs err vs oracle = {err}")
-    return 0 if err == 0 else 1
+
+    # Ratio-weighted (uneven) ownership — the reference's split_row knob
+    # generalized to N shards (padded windows of real rows, still exact).
+    from hipe_tpu.parallel.row_split import make_weighted_row_split_fn
+
+    weights = [1.0 + 0.5 * i for i in range(n)]
+    wfn = make_weighted_row_split_fn(
+        mesh, ("gaussian3", "sharpen", "edge"), weights=weights
+    )
+    wout = np.asarray(wfn(jnp.asarray(batch)))
+    werr = np.max(np.abs(wout[0].astype(int) - want.astype(int)))
+    print(f"weighted ({[round(w, 1) for w in weights]}) row-split: "
+          f"max-abs err = {werr}")
+    return 0 if err == 0 and werr == 0 else 1
 
 
 if __name__ == "__main__":

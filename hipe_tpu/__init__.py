@@ -53,10 +53,10 @@ def __getattr__(name):
         from hipe_tpu.models import pipelines
 
         return getattr(pipelines, name)
-    if name == "make_row_split_fn":
-        from hipe_tpu.parallel.row_split import make_row_split_fn
+    if name in ("make_row_split_fn", "make_weighted_row_split_fn"):
+        from hipe_tpu.parallel import row_split
 
-        return make_row_split_fn
+        return getattr(row_split, name)
     if name == "make_image_level_fn":
         from hipe_tpu.parallel.image_level import make_image_level_fn
 

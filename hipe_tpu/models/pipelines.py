@@ -50,16 +50,13 @@ class Pipeline:
         """
         # Whole planes must fit VMEM with working-set headroom; very large
         # images (e.g. the reference's 4000x2250 asset) use the halo-tiled
-        # kernel (single blurs) or the XLA path (chains).
+        # kernels (stage-by-stage for chains, exact per-stage edge clamp).
         if use_pallas and planes.shape[1] * planes.shape[2] > 2 * 2**20:
-            if len(self.filters) == 1 and self.filters[0].startswith(
-                "gaussian"
-            ):
-                radius = xblur.FILTER_RADIUS[self.filters[0]]
-                return pallas_blur.gaussian_blur_planar_tiled_pallas(
-                    planes, radius, interpret=interpret
+            if h_pad:
+                return pallas_blur.filter_chain_planar_tiled_pallas(
+                    planes, self.filters, interpret=interpret
                 )
-            use_pallas = False
+            use_pallas = False  # halo (valid) mode on oversized planes: XLA
         if use_pallas:
             if len(self.filters) == 1 and self.filters[0].startswith("gaussian"):
                 radius = xblur.FILTER_RADIUS[self.filters[0]]
@@ -77,7 +74,8 @@ class Pipeline:
 
     def apply_rows(self, rows: jax.Array, channels: int, *,
                    use_pallas: bool = True,
-                   interpret: bool = False) -> jax.Array:
+                   interpret: bool = False,
+                   alias: bool = False) -> jax.Array:
         """Interleaved rows (B, H, W*C) — the canonical TPU device layout.
 
         4-D NHWC uint8 arrays are pathological on TPU (the C=3 lane axis
@@ -107,13 +105,14 @@ class Pipeline:
             # than paying the (cheap) device relayout once.
             radius = xblur.FILTER_RADIUS[self.filters[0]]
             return pallas_blur.gaussian_blur_rows_pallas(
-                rows, channels, radius, interpret=interpret
+                rows, channels, radius, interpret=interpret, alias=alias
             )
         if use_pallas:
             planes = rows.reshape(b, h, w, channels)
             planes = planes.transpose(0, 3, 1, 2).reshape(b * channels, h, w)
+            # The transposed planes are a temporary: always safe to alias.
             out = self.apply_planar(planes, use_pallas=True,
-                                    interpret=interpret)
+                                    interpret=interpret, alias=alias)
             out = out.reshape(b, channels, h, w).transpose(0, 2, 3, 1)
             return out.reshape(b, h, lane)
         return xblur.filter_chain_rows(rows, channels, self.filters)

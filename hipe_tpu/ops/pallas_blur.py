@@ -288,27 +288,51 @@ def _tiled_blur_kernel(top_ref, x_ref, bot_ref, o_ref, *, taps: tuple,
     o_ref[0] = (acc >> (2 * shift)).astype(jnp.uint8)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("radius", "tile_h", "interpret")
-)
-def gaussian_blur_planar_tiled_pallas(
-    x: jax.Array,
-    radius: int = 1,
-    *,
-    tile_h: int = 128,
-    interpret: bool = False,
-) -> jax.Array:
-    """Blur for planes too large to fit VMEM whole (e.g. 4000x2250 frames).
+def _tiled_point_kernel(top_ref, x_ref, bot_ref, o_ref, *, name: str):
+    """One H tile of a radius-1 point stage (sharpen/edge) with halos.
 
-    Tiles each plane along H with `radius` rows of cross-tile halo delivered
-    as clamped-index 8-row neighbor blocks; W is unconstrained (pure-VPU
-    stencil). H is edge-pad-rounded to the tile size outside the kernel —
-    replicated pad rows reproduce clamp semantics exactly, so the result is
-    bit-identical to the unsplit blur.
+    Same tiling scheme as `_tiled_blur_kernel`; the stage math matches
+    :mod:`hipe_tpu.ops.blur` (`sharpen3x3`/`sobel_edge`) bit-for-bit.
     """
-    assert x.dtype == jnp.uint8 and x.ndim == 3
-    assert tile_h % 8 == 0 and tile_h >= 8
-    assert radius <= 8
+    i = pl.program_id(1)
+    n_i = pl.num_programs(1)
+    main = x_ref[0].astype(jnp.int32)  # (tile_h, W)
+    top = top_ref[0].astype(jnp.int32)[-1:]
+    bot = bot_ref[0].astype(jnp.int32)[:1]
+    tpart = jnp.where(i == 0, main[:1], top)
+    bpart = jnp.where(i == n_i - 1, main[-1:], bot)
+    padded = jnp.concatenate([tpart, main, bpart], axis=0)
+    xp = _edge_pad(padded, axis=1, r=1)  # W clamp
+    hn = padded.shape[0] - 2
+    wn = xp.shape[1] - 2
+
+    def v(dy, dx):
+        return lax.slice(xp, (dy, dx), (dy + hn, dx + wn))
+
+    if name == "sharpen":
+        out = 5 * v(1, 1) - v(0, 1) - v(2, 1) - v(1, 0) - v(1, 2)
+        out = jnp.clip(out, 0, 255)
+    elif name == "edge":
+        gx = (v(0, 2) + 2 * v(1, 2) + v(2, 2)) - (
+            v(0, 0) + 2 * v(1, 0) + v(2, 0)
+        )
+        gy = (v(2, 0) + 2 * v(2, 1) + v(2, 2)) - (
+            v(0, 0) + 2 * v(0, 1) + v(0, 2)
+        )
+        out = jnp.minimum(jnp.abs(gx) + jnp.abs(gy), 255)
+    else:
+        raise KeyError(name)
+    o_ref[0] = out.astype(jnp.uint8)
+
+
+def _tiled_call(x: jax.Array, kernel, tile_h: int, interpret: bool):
+    """Shared pallas_call plumbing for halo-tiled large-plane kernels.
+
+    H is edge-pad-rounded to the tile size outside the kernel — replicated
+    pad rows reproduce clamp semantics exactly for a *single* stage, so the
+    result is bit-identical to the unsplit op (chains run stage-by-stage,
+    each with its own pad/trim, so per-stage clamping at true edges holds).
+    """
     n, h, w = x.shape
     hp = -(-h // tile_h) * tile_h
     if hp != h:
@@ -316,10 +340,6 @@ def gaussian_blur_planar_tiled_pallas(
         x = jnp.concatenate([x] + [last] * (hp - h), axis=1)
     th8 = tile_h // 8
     nh8 = hp // 8
-    taps, shift = binomial_taps(radius)
-    kernel = functools.partial(
-        _tiled_blur_kernel, taps=taps, shift=shift, radius=radius
-    )
     out = pl.pallas_call(
         kernel,
         grid=(n, hp // tile_h),
@@ -346,6 +366,64 @@ def gaussian_blur_planar_tiled_pallas(
         interpret=interpret,
     )(x, x, x)
     return out[:, :h] if hp != h else out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius", "tile_h", "interpret")
+)
+def gaussian_blur_planar_tiled_pallas(
+    x: jax.Array,
+    radius: int = 1,
+    *,
+    tile_h: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Blur for planes too large to fit VMEM whole (e.g. 4000x2250 frames).
+
+    Tiles each plane along H with `radius` rows of cross-tile halo delivered
+    as clamped-index 8-row neighbor blocks; W is unconstrained (pure-VPU
+    stencil).
+    """
+    assert x.dtype == jnp.uint8 and x.ndim == 3
+    assert tile_h % 8 == 0 and tile_h >= 8
+    assert radius <= 8
+    taps, shift = binomial_taps(radius)
+    kernel = functools.partial(
+        _tiled_blur_kernel, taps=taps, shift=shift, radius=radius
+    )
+    return _tiled_call(x, kernel, tile_h, interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("names", "tile_h", "interpret")
+)
+def filter_chain_planar_tiled_pallas(
+    x: jax.Array,
+    names: tuple,
+    *,
+    tile_h: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Filter chain on oversized planes: halo-tiled Pallas, stage by stage.
+
+    Each stage runs its own tiled pass with clamp at the true image edges
+    (a fused multi-stage tile pass would need per-stage clamp inside the
+    halo — impossible from replicated rows), so the chain is bit-identical
+    to the unsplit chain; intermediates cost one HBM round-trip per stage,
+    the same as the XLA path but on the ~2x-faster Pallas streaming path.
+    """
+    assert x.dtype == jnp.uint8 and x.ndim == 3
+    from hipe_tpu.ops.blur import FILTER_RADIUS
+
+    for name in names:
+        if name.startswith("gaussian"):
+            x = gaussian_blur_planar_tiled_pallas(
+                x, FILTER_RADIUS[name], tile_h=tile_h, interpret=interpret
+            )
+        else:
+            kernel = functools.partial(_tiled_point_kernel, name=name)
+            x = _tiled_call(x, kernel, tile_h, interpret)
+    return x
 
 
 def nhwc_pallas_eligible(h: int, w: int, c: int) -> bool:

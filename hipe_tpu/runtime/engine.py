@@ -93,12 +93,15 @@ class _Lane:
         use_pallas = path == "pallas"
         # Device data travels in interleaved-rows layout (B, H, W*C): a free
         # host-side reshape that avoids TPU's 4-D NHWC uint8 lane padding
-        # (C=3 -> 128 lanes, ~42x HBM inflation).
+        # (C=3 -> 128 lanes, ~42x HBM inflation). The staged input is dead
+        # after the call, so the accelerator lane donates it and runs the
+        # Pallas kernel in place (~2x DMA throughput; see ops.pallas_blur).
         self.fn = jax.jit(
             lambda rows, c: pipeline.apply_rows(
-                rows, c, use_pallas=use_pallas
+                rows, c, use_pallas=use_pallas, alias=use_pallas
             ),
             static_argnums=1,
+            donate_argnums=0 if use_pallas else (),
         )
 
     def warmup(self, shape: tuple) -> None:

@@ -67,10 +67,15 @@ class ServingPipeline:
             channels = shape[3]
 
             def fn(rows):
+                # The staged input is dead after the call: donate it and run
+                # the Pallas kernel in place (~2x DMA, see ops.pallas_blur).
                 return pipe.apply_rows(rows, channels,
-                                       use_pallas=pallas_flag)
+                                       use_pallas=pallas_flag,
+                                       alias=pallas_flag)
 
-            self._fns[shape] = jax.jit(fn)
+            self._fns[shape] = jax.jit(
+                fn, donate_argnums=0 if pallas_flag else ()
+            )
         return self._fns[shape]
 
     def _decode(self, payloads: list[bytes]) -> np.ndarray:

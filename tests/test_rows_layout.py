@@ -232,3 +232,53 @@ def test_engine_custom_filter_tuple_pipeline():
     eng.run(image=img)
     want = oracle.sharpen3x3_oracle(oracle.gaussian_blur_int_oracle(img))
     np.testing.assert_array_equal(eng.first_output[0], want)
+
+
+@pytest.mark.parametrize("name,oracle_fn", [
+    ("sharpen", oracle.sharpen3x3_oracle),
+    ("edge", oracle.sobel_edge_oracle),
+])
+@pytest.mark.parametrize("h,tile_h", [(300, 64), (100, 32), (47, 16)])
+def test_tiled_point_stages(name, oracle_fn, h, tile_h):
+    """Halo-tiled sharpen/edge (large-image path) == oracle."""
+    img = checker_image(h, 40, 3, seed=h + len(name))
+    planes = jnp.asarray(img.transpose(2, 0, 1))
+    got = np.asarray(
+        pallas_blur.filter_chain_planar_tiled_pallas(
+            planes, (name,), tile_h=tile_h, interpret=True
+        )
+    )
+    np.testing.assert_array_equal(got.transpose(1, 2, 0), oracle_fn(img))
+
+
+def test_tiled_chain_exact():
+    """Stage-by-stage tiled chain == unsplit chain oracle (edges incl.)."""
+    img = checker_image(130, 40, 3, seed=3)
+    planes = jnp.asarray(img.transpose(2, 0, 1))
+    got = np.asarray(
+        pallas_blur.filter_chain_planar_tiled_pallas(
+            planes, ("gaussian3", "sharpen", "edge"), tile_h=32,
+            interpret=True,
+        )
+    )
+    want = oracle.sobel_edge_oracle(
+        oracle.sharpen3x3_oracle(oracle.gaussian_blur_int_oracle(img))
+    )
+    np.testing.assert_array_equal(got.transpose(1, 2, 0), want)
+
+
+def test_oversized_chain_routes_to_tiled_pallas():
+    """apply_planar on oversized planes keeps chains on the Pallas path."""
+    # 2049x1025 > the 2 MiB whole-plane VMEM threshold
+    img = checker_image(2049, 1025, 1, seed=9)[..., 0]
+    planes = jnp.asarray(img[None])
+    pipe = plib.PIPELINES["chain"]
+    got = np.asarray(
+        pipe.apply_planar(planes, use_pallas=True, interpret=True)
+    )[0]
+    want = oracle.sobel_edge_oracle(
+        oracle.sharpen3x3_oracle(
+            oracle.gaussian_blur_int_oracle(img[..., None])
+        )
+    )[..., 0]
+    np.testing.assert_array_equal(got, want)
