@@ -67,12 +67,14 @@ def main() -> int:
         ("4c_chain_blur_sharpen_edge", "chain"),
     ]:
         r = DeviceStreamRunner(name, num_images=5000, image=img)
+        r.autotune(passes=4, reps=2)  # measured-fastest config per pipeline
         err = r.verify_max_abs_err()
         res = r.measure_throughput(passes=8, reps=3)
         results[key] = {
             "img_per_s_per_chip": round(res["img_per_s"]),
             "ms_per_5000_images": round(res["per_pass_s"] * 1e3, 2),
             "max_abs_err": err,
+            "config": r.tuning["chosen"],
         }
         print(f"{key}:", results[key], file=sys.stderr)
 

@@ -1,0 +1,59 @@
+"""Per-pipeline device-resident stream corpus (device_stream_<tag>.json).
+
+Measures every registered pipeline on the 5000-image 256x256 HBM-resident
+stream with the execution config autotuned per pipeline (XLA vs Pallas vs
+in-place Pallas x block sweep), plus bit-exactness vs the oracle.
+
+Usage: python benchmarks/run_device_stream.py [--out benchmarks/device_stream_v5e.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="benchmarks/device_stream_v5e.json")
+    ap.add_argument("--num-images", type=int, default=5000)
+    args = ap.parse_args()
+
+    from hipe_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from hipe_tpu.io_.jpeg import decode_file
+    from hipe_tpu.models.pipelines import PIPELINES
+    from hipe_tpu.runtime.device_stream import DeviceStreamRunner
+    from hipe_tpu.utils.images import DEFAULT_IMAGE_256
+
+    img = decode_file(DEFAULT_IMAGE_256)
+    rows = []
+    for name in PIPELINES:
+        r = DeviceStreamRunner(name, num_images=args.num_images, image=img)
+        r.autotune(passes=4, reps=2)
+        err = r.verify_max_abs_err()
+        res = r.measure_throughput(passes=8, reps=3)
+        row = {
+            "pipeline": name,
+            "max_abs_err": err,
+            "ms_per_pass": round(res["per_pass_s"] * 1e3, 2),
+            "img_per_s": round(res["img_per_s"]),
+            "hbm_gb_per_s": round(res["hbm_gb_per_s"], 1),
+            "config": r.tuning["chosen"],
+        }
+        rows.append(row)
+        print(row, file=sys.stderr)
+    with open(args.out, "w") as f:
+        json.dump(rows, f, indent=1)
+    print(f"wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
