@@ -68,6 +68,11 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--pipeline-depth", type=int, default=1,
                         help="batches in flight per lane (1 = reference "
                              "per-batch barrier; 2 = double-buffered)")
+        sp.add_argument("--scheduler", default="static",
+                        choices=["static", "greedy"],
+                        help="static = fixed-ratio split (reference); "
+                             "greedy = batch-level work stealing "
+                             "(approach 1 'both' only)")
         sp.add_argument("--csv", default=None, metavar="PATH",
                         help="append a per_run.csv-schema row")
         sp.add_argument("--run-index", type=int, default=1)
@@ -113,6 +118,7 @@ def main(argv: list[str] | None = None) -> int:
         pipeline=pipeline,
         profile=not args.no_profile,
         pipeline_depth=args.pipeline_depth,
+        scheduler=args.scheduler,
         accel_path=args.accel_path,
         save_output=getattr(args, "save_output", None),
         verbose=True,

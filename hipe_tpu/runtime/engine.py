@@ -64,14 +64,35 @@ class EngineConfig:
     # k+1's transfers with batch k's compute (TPU-native double buffering).
     pipeline_depth: int = 1
     verbose: bool = False
+    # 'static' = the reference's fixed-ratio split per batch; 'greedy' =
+    # batch-level work stealing (approach 1, mode 'both'): each lane pulls
+    # the next whole batch when free, so load balance adapts to measured
+    # lane speed at run time (imbalance bounded by ~one batch) without any
+    # ratio tuning — and without per-batch shape changes, which would
+    # recompile (the full-scale corpus shows static-ratio imbalance
+    # drifting to 25-60% when lane speeds shift with scale).
+    scheduler: str = "static"
 
     def validate(self) -> "EngineConfig":
         self.gpu_ratio = pt.validate_ratio(self.gpu_ratio)
         self.batch_size = pt.validate_batch(self.batch_size, self.num_images)
         assert self.approach in (1, 2)
         assert self.mode in ("both", "cpu", "tpu", "gpu", "accel")
+        assert self.scheduler in ("static", "greedy")
         if self.mode in ("gpu", "accel"):
             self.mode = "tpu"
+        if self.scheduler == "greedy" and (
+            self.approach != 1 or self.mode != "both"
+        ):
+            # Warn-and-default, like the reference's CLI validation.
+            import sys
+
+            print(
+                "Warning: greedy scheduling applies to approach 1 mode "
+                "'both'; using static",
+                file=sys.stderr,
+            )
+            self.scheduler = "static"
         if self.approach == 2:
             # The reference's split-image program is inherently two-device.
             assert self.mode == "both", "approach 2 requires mode='both'"
@@ -225,6 +246,56 @@ class Engine:
             self._drain(window, depth - 1)
         self._drain(window, 0)
 
+    # ---- approach 1, greedy scheduler: batch-level work stealing ----
+
+    def _run_greedy(self, stream) -> None:
+        """Each lane pulls the next whole batch when free.
+
+        Dynamic load balancing with zero shape churn: lanes keep their
+        compiled full-batch/remainder shapes; the work split emerges from
+        measured speed instead of a pre-tuned ratio. The final imbalance
+        is bounded by roughly one batch per lane.
+        """
+        import threading
+
+        it = iter(enumerate(stream))
+        lock = threading.Lock()
+        n_batches = self.stats.num_batches
+        errors: list[BaseException] = []
+
+        def worker(lane: _Lane) -> None:
+            while True:
+                with lock:
+                    item = next(it, None)
+                if item is None:
+                    return
+                batch_idx, host_batch = item
+                self._progress(
+                    f"=== Processing Batch {batch_idx + 1}/{n_batches} ==="
+                )
+                try:
+                    out = lane.process(host_batch)
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    errors.append(e)
+                    return
+                bc = host_batch.shape[0]
+                lane.counters.images += bc
+                lane.counters.units += bc
+                if batch_idx == 0:
+                    self.first_output = out
+                self._progress(f"Batch {batch_idx + 1} complete.")
+
+        threads = [
+            threading.Thread(target=worker, args=(lane,), daemon=True)
+            for lane in self._lanes.values()
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errors:
+            raise errors[0]
+
     # ---- approach 2: split-image distribution ----
 
     def _run_approach2(self, stream) -> None:
@@ -296,7 +367,9 @@ class Engine:
             trace_ctx.__enter__()
         t0 = now_ms()
         try:
-            if cfg.approach == 1:
+            if cfg.approach == 1 and cfg.scheduler == "greedy":
+                self._run_greedy(stream)
+            elif cfg.approach == 1:
                 self._run_approach1(stream)
             else:
                 self._run_approach2(stream)
@@ -320,7 +393,11 @@ class Engine:
         lane_shapes: set[tuple[str, tuple]] = set()
         for shape in shapes:
             bc, h, w, c = shape
-            if cfg.approach == 1:
+            if cfg.approach == 1 and cfg.scheduler == "greedy":
+                # Any lane may take any batch (incl. the remainder batch).
+                for lane_name in self._lanes:
+                    lane_shapes.add((lane_name, (bc, h, w, c)))
+            elif cfg.approach == 1:
                 if cfg.mode == "both":
                     num_cpu, num_acc = pt.split_images(bc, cfg.gpu_ratio)
                 elif cfg.mode == "cpu":

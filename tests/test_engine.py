@@ -184,3 +184,34 @@ def test_pipelined_depth2_equivalent(approach):
     np.testing.assert_array_equal(eng1.first_output, eng2.first_output)
     want = oracle.gaussian_blur_int_oracle(img)
     np.testing.assert_array_equal(eng2.first_output[0], want)
+
+
+def test_greedy_scheduler_processes_all_and_exact():
+    """Work-stealing scheduler: full coverage, exact output, ~1-batch skew."""
+    import jax
+
+    from hipe_tpu.ops import reference as oracle
+    from hipe_tpu.runtime.engine import Engine, EngineConfig
+    from hipe_tpu.utils.images import checker_image
+
+    devs = jax.devices("cpu")
+    img = checker_image(24, 32, 3, seed=5)
+    cfg = EngineConfig(approach=1, mode="both", batch_size=4, num_images=18,
+                       scheduler="greedy", accel_path="xla")
+    eng = Engine(cfg, cpu_device=devs[0], accel_device=devs[1])
+    stats = eng.run(image=img)
+    assert stats.cpu.images + stats.accel.images == 18
+    assert stats.cpu.units + stats.accel.units == 18
+    # batch 0's output was captured by whichever lane took it
+    want = oracle.gaussian_blur_int_oracle(img)
+    np.testing.assert_array_equal(eng.first_output[0], want)
+    assert "PERFORMANCE RESULTS" in eng.report()
+
+
+def test_greedy_scheduler_warns_and_defaults_off_contract():
+    from hipe_tpu.runtime.engine import EngineConfig
+
+    cfg = EngineConfig(approach=2, mode="both", scheduler="greedy").validate()
+    assert cfg.scheduler == "static"
+    cfg = EngineConfig(approach=1, mode="cpu", scheduler="greedy").validate()
+    assert cfg.scheduler == "static"
