@@ -44,6 +44,20 @@ def _build_parser() -> argparse.ArgumentParser:
     a1.add_argument("batch_size", nargs="?", type=int,
                     default=pt.DEFAULT_BATCH)
 
+    st = sub.add_parser(
+        "stream",
+        help="device-resident HBM stream (the TPU-native serving fast path)",
+    )
+    st.add_argument("pipeline_name", nargs="?", default="blur3")
+    st.add_argument("--num-images", type=int, default=pt.NUM_IMAGES)
+    st.add_argument("--image", default=None,
+                    help="input JPEG (default: the 256x256 asset)")
+    st.add_argument("--no-autotune", action="store_true",
+                    help="skip the measured execution-config selection")
+    st.add_argument("--passes", type=int, default=10)
+    st.add_argument("--json", action="store_true",
+                    help="print one JSON result line (bench.py schema-like)")
+
     a2 = sub.add_parser("approach2", help="split-image distribution")
     a2.add_argument("gpu_ratio", nargs="?", type=float,
                     default=pt.DEFAULT_RATIO)
@@ -79,11 +93,65 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _main_stream(args) -> int:
+    """The device-resident stream mode: decode once, process in HBM."""
+    import json
+
+    from hipe_tpu.io_.jpeg import decode_file
+    from hipe_tpu.models.pipelines import PIPELINES
+    from hipe_tpu.runtime.device_stream import DeviceStreamRunner
+    from hipe_tpu.utils.images import DEFAULT_IMAGE_256
+
+    if args.pipeline_name not in PIPELINES:
+        print(
+            f"Error: unknown pipeline {args.pipeline_name!r} "
+            f"(choose from {sorted(PIPELINES)})",
+            file=sys.stderr,
+        )
+        return 1
+    try:
+        image = decode_file(args.image or DEFAULT_IMAGE_256)
+    except (FileNotFoundError, ValueError) as e:
+        print(f"Error: cannot load input image: {e}", file=sys.stderr)
+        return 1
+    h, w, c = image.shape
+    print("========== DEVICE-STREAM CONFIGURATION ==========")
+    print(f"Pipeline: {args.pipeline_name}")
+    print(f"Stream: {args.num_images} images of {w}x{h}x{c} (HBM-resident)")
+    runner = DeviceStreamRunner(
+        args.pipeline_name, num_images=args.num_images, image=image
+    )
+    if not args.no_autotune:
+        timings = runner.autotune()
+        for label, t in sorted(timings.items(), key=lambda kv: kv[1]):
+            print(f"  autotune {label:22s} {t * 1e3:8.2f} ms/pass")
+        print(f"Chosen config: {runner.tuning['chosen']}")
+    err = runner.verify_max_abs_err()
+    res = runner.measure_throughput(passes=args.passes, reps=3)
+    print("\n========== DEVICE-STREAM RESULTS ==========")
+    print(f"   Max-abs error vs oracle: {err}")
+    print(f"   Per-pass time: {res['per_pass_s'] * 1e3:.2f} ms")
+    print(f"   Overall throughput: {res['mpix_per_s']:.2f} Megapixels/sec")
+    print(f"   Images per second: {res['img_per_s']:.2f}")
+    print(f"   Effective HBM bandwidth: {res['hbm_gb_per_s']:.0f} GB/s")
+    if args.json:
+        print(json.dumps({
+            "pipeline": args.pipeline_name,
+            "num_images": args.num_images,
+            "img_per_s": round(res["img_per_s"], 1),
+            "max_abs_err": err,
+            "config": (runner.tuning or {}).get("chosen", "default"),
+        }))
+    return 0 if err <= 1 else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     from hipe_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.approach == "stream":
+        return _main_stream(args)
     approach = 1 if args.approach == "approach1" else 2
     mode = getattr(args, "mode", "both")
     pipeline = (

@@ -203,3 +203,29 @@ def test_engine_verbose_progress_lines(capsys):
     eng.run(image=checker_image(16, 16, 3))
     out = capsys.readouterr().out
     assert "Processing Batch" not in out and "complete." not in out
+
+
+def test_cli_stream_mode(capsys):
+    """Device-resident stream subcommand (runs on the CPU backend here)."""
+    from hipe_tpu import cli
+
+    rc = cli.main([
+        "stream", "blur3", "--num-images", "8", "--passes", "2",
+        "--no-autotune", "--json",
+        "--image", "/root/reference/image_256x256.jpg",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "DEVICE-STREAM RESULTS" in out
+    assert "Max-abs error vs oracle: 0" in out
+    import json as jsonlib
+
+    last = out.strip().splitlines()[-1]
+    payload = jsonlib.loads(last)
+    assert payload["max_abs_err"] == 0 and payload["num_images"] == 8
+
+
+def test_cli_stream_unknown_pipeline():
+    from hipe_tpu import cli
+
+    assert cli.main(["stream", "nosuch", "--num-images", "4"]) == 1
