@@ -19,12 +19,23 @@ from hipe_tpu.ops import blur as xblur
 from hipe_tpu.ops import pallas_blur
 
 
+# Whole (H, W) planes above this pixel count can't fit VMEM with working-
+# set headroom; apply_planar then routes to the halo-tiled kernels.
+WHOLE_PLANE_PIXEL_LIMIT = 2 * 2**20
+
+
 @dataclasses.dataclass(frozen=True)
 class Pipeline:
     """A named uint8->uint8 filter chain."""
 
     name: str
     filters: tuple
+
+    @staticmethod
+    def routes_tiled(h: int, w: int) -> bool:
+        """Whether apply_planar sends (h, w) planes to the tiled kernels
+        (which take no alias/block_planes knobs)."""
+        return h * w > WHOLE_PLANE_PIXEL_LIMIT
 
     @property
     def radius(self) -> int:
@@ -51,7 +62,7 @@ class Pipeline:
         # Whole planes must fit VMEM with working-set headroom; very large
         # images (e.g. the reference's 4000x2250 asset) use the halo-tiled
         # kernels (stage-by-stage for chains, exact per-stage edge clamp).
-        if use_pallas and planes.shape[1] * planes.shape[2] > 2 * 2**20:
+        if use_pallas and self.routes_tiled(planes.shape[1], planes.shape[2]):
             if h_pad:
                 return pallas_blur.filter_chain_planar_tiled_pallas(
                     planes, self.filters, interpret=interpret

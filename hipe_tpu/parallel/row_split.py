@@ -290,15 +290,30 @@ def make_weighted_row_split_fn(
         import numpy as np
 
         b, height, w, c = x.shape
+        if n == 1:
+            # Whole image on one shard: clamp mode alone is exact; no
+            # window, gathers, or exchange needed.
+            return local_fn(x)
         segs = pt.row_partition(height, list(weights), halo=0)
         counts = [sg.out_rows for sg in segs]
-        starts = np.asarray([sg.out[0] for sg in segs])
+        # The window needs max_share + 2R real rows; for extreme weights
+        # (or short images) cap the largest shares and redistribute rows
+        # to the smallest — weights are a performance hint, exactness
+        # never depends on the exact share split.
+        cap = height - 2 * r_total
+        assert n * cap >= height, (
+            f"image too short for a weighted {n}-way split of radius "
+            f"{r_total}: H={height}"
+        )
+        while max(counts) > cap:
+            i = max(range(n), key=lambda k: counts[k])
+            j = min(range(n), key=lambda k: counts[k])
+            excess = counts[i] - cap
+            counts[i] -= excess
+            counts[j] += excess
+        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
         s = max(counts)
         win = s + 2 * r_total
-        assert height >= win, (
-            f"weighted split needs H >= max_share + 2*radius ({win}), "
-            f"got {height}"
-        )
         win_starts = np.clip(starts - r_total, 0, height - win)
         in_idx = np.concatenate(
             [np.arange(ws, ws + win) for ws in win_starts]

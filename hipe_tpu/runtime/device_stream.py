@@ -129,7 +129,11 @@ class DeviceStreamRunner:
             ("xla", {"path": "xla", "block": None, "alias": False}),
             ("pallas", {"path": "pallas", "block": None, "alias": False}),
         ]
-        if self.use_pallas:
+        h, w, _ = self.shape
+        if self.use_pallas and not plib.Pipeline.routes_tiled(h, w):
+            # Oversized planes route to the tiled kernels, which take no
+            # alias/block knobs — sweeping them would time identical
+            # programs and report a fictitious chosen config.
             for k in candidates or self.block_candidates():
                 configs.append(
                     (f"pallas_k{k}_alias",

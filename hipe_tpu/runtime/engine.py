@@ -93,6 +93,15 @@ class EngineConfig:
                 file=sys.stderr,
             )
             self.scheduler = "static"
+        if self.scheduler == "greedy" and self.pipeline_depth != 1:
+            import sys
+
+            print(
+                "Warning: pipeline_depth has no effect under the greedy "
+                "scheduler (lanes are self-paced); using 1",
+                file=sys.stderr,
+            )
+            self.pipeline_depth = 1
         if self.approach == 2:
             # The reference's split-image program is inherently two-device.
             assert self.mode == "both", "approach 2 requires mode='both'"
@@ -258,24 +267,31 @@ class Engine:
         """
         import threading
 
-        it = iter(enumerate(stream))
+        # Prefetch so batch production (e.g. JPEG decode) runs in its own
+        # thread; the lock below then only guards a fast queue pop instead
+        # of serializing decode with the other lane's work acquisition.
+        it = iter(enumerate(streamlib.Prefetcher(stream, depth=2)))
         lock = threading.Lock()
         n_batches = self.stats.num_batches
         errors: list[BaseException] = []
 
         def worker(lane: _Lane) -> None:
-            while True:
-                with lock:
-                    item = next(it, None)
-                if item is None:
-                    return
-                batch_idx, host_batch = item
-                self._progress(
-                    f"=== Processing Batch {batch_idx + 1}/{n_batches} ==="
-                )
+            while not errors:
                 try:
+                    with lock:
+                        item = next(it, None)
+                    if item is None:
+                        return
+                    batch_idx, host_batch = item
+                    self._progress(
+                        f"=== Processing Batch {batch_idx + 1}/"
+                        f"{n_batches} ==="
+                    )
                     out = lane.process(host_batch)
                 except BaseException as e:  # noqa: BLE001 — re-raised below
+                    # Covers both lane failures and stream-producer errors
+                    # (e.g. a corrupt JPEG mid-stream): the run must raise,
+                    # not report stats over a silently truncated stream.
                     errors.append(e)
                     return
                 bc = host_batch.shape[0]

@@ -215,3 +215,40 @@ def test_greedy_scheduler_warns_and_defaults_off_contract():
     assert cfg.scheduler == "static"
     cfg = EngineConfig(approach=1, mode="cpu", scheduler="greedy").validate()
     assert cfg.scheduler == "static"
+
+
+def test_greedy_scheduler_raises_on_stream_error():
+    """A mid-stream producer error must raise, not truncate silently."""
+    import jax
+    import pytest
+
+    from hipe_tpu.runtime.engine import Engine, EngineConfig
+    from hipe_tpu.runtime.stream import ReplicatedStream
+    from hipe_tpu.utils.images import checker_image
+
+    img = checker_image(16, 16, 3, seed=1)
+
+    class FailingStream:
+        num_images = 12
+
+        def __iter__(self):
+            yield from ReplicatedStream(img, 4, 4)
+            raise ValueError("corrupt JPEG mid-stream")
+
+        def batch_shapes(self):
+            return ReplicatedStream(img, 12, 4).batch_shapes()
+
+    devs = jax.devices("cpu")
+    cfg = EngineConfig(approach=1, mode="both", batch_size=4, num_images=12,
+                       scheduler="greedy", accel_path="xla")
+    eng = Engine(cfg, cpu_device=devs[0], accel_device=devs[1])
+    with pytest.raises(ValueError, match="corrupt JPEG"):
+        eng.run(stream=FailingStream())
+
+
+def test_greedy_scheduler_depth_warns_and_defaults():
+    from hipe_tpu.runtime.engine import EngineConfig
+
+    cfg = EngineConfig(approach=1, mode="both", scheduler="greedy",
+                       pipeline_depth=2).validate()
+    assert cfg.pipeline_depth == 1

@@ -145,3 +145,33 @@ def test_row_split_randomized_geometries():
         np.testing.assert_array_equal(
             got, oracle.gaussian_blur_int_oracle(img)
         )
+
+
+def test_weighted_row_split_single_shard():
+    """n=1 mesh: no window machinery, just the exact clamp-mode chain."""
+    from hipe_tpu.ops import blur as xblur
+    from hipe_tpu.parallel.row_split import make_weighted_row_split_fn
+
+    mesh = _mesh(1)
+    names = ("gaussian3", "sharpen", "edge")
+    fn = make_weighted_row_split_fn(mesh, names)
+    batch = np.stack([checker_image(32, 16, 3, seed=2)])
+    got = np.asarray(fn(jnp.asarray(batch)))
+    want = np.asarray(xblur.filter_chain(jnp.asarray(batch), names))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_weighted_row_split_extreme_weights_redistribute():
+    """Weights the reference CLI accepts (ratio 0.99) must not crash:
+    shares are capped so windows fit, and the output stays exact."""
+    from hipe_tpu.ops import blur as xblur
+    from hipe_tpu.parallel.row_split import make_weighted_row_split_fn
+
+    mesh = _mesh(2)
+    names = ("gaussian3", "sharpen", "edge")  # radius 3
+    ratio = 0.99
+    fn = make_weighted_row_split_fn(mesh, names, weights=[1 - ratio, ratio])
+    batch = np.stack([checker_image(240, 64, 3, seed=8)])
+    got = np.asarray(fn(jnp.asarray(batch)))
+    want = np.asarray(xblur.filter_chain(jnp.asarray(batch), names))
+    np.testing.assert_array_equal(got, want)

@@ -55,3 +55,19 @@ def test_serving_pipeline_streaming_mixed_resolution():
     assert serve.stats.wall_ms > 0
     # per-shape jit cache has exactly the two resolutions
     assert len(serve._fns) == 2
+
+
+def test_autotune_skips_block_sweep_on_tiled_geometry():
+    """Oversized planes route to tiled kernels (no alias/block knobs):
+    autotune must not sweep fictitious alias/block configs there, and
+    must skip configs that fail to compile (TPU kernels on this CPU
+    backend) instead of crashing."""
+    img = checker_image(2049, 1025, 3, seed=0)
+    r = DeviceStreamRunner("blur3", num_images=1, image=img,
+                           use_pallas=True)
+    from hipe_tpu.models.pipelines import Pipeline
+
+    assert Pipeline.routes_tiled(*r.shape[:2])
+    timings = r.autotune(passes=1, reps=1)
+    assert not any("alias" in label for label in timings)
+    assert r.tuning["chosen"] == "xla"  # only compilable config here
