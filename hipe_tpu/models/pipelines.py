@@ -49,7 +49,8 @@ class Pipeline:
     def apply_planar(self, planes: jax.Array, *, use_pallas: bool = True,
                      h_pad: bool = True, interpret: bool = False,
                      alias: bool = False,
-                     block_planes: int | None = None) -> jax.Array:
+                     block_planes: int | None = None,
+                     vmem_limit_mb: int | None = None) -> jax.Array:
         """Planar (N, H, W) path; Pallas on TPU, XLA elsewhere.
 
         ``h_pad=False`` treats H as halo-padded by :attr:`radius` rows per
@@ -74,10 +75,12 @@ class Pipeline:
                 return pallas_blur.gaussian_blur_planar_pallas(
                     planes, radius, h_pad=h_pad, interpret=interpret,
                     alias=alias, block_planes=block_planes,
+                    vmem_limit_mb=vmem_limit_mb,
                 )
             return pallas_blur.filter_chain_planar_pallas(
                 planes, self.filters, h_pad=h_pad, interpret=interpret,
                 alias=alias, block_planes=block_planes,
+                vmem_limit_mb=vmem_limit_mb,
             )
         return xblur.filter_chain(
             planes, self.filters, h_axis=-2, w_axis=-1, h_pad=h_pad

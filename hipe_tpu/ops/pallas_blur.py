@@ -131,6 +131,20 @@ def _blur_mxu_kernel(x_ref, band_ref, o_ref, *, taps: tuple, h_pad: bool):
     o_ref[:] = acc.astype(jnp.int32).astype(jnp.uint8)
 
 
+def _compiler_params(vmem_limit_mb: int | None):
+    """Optional raised scoped-VMEM cap (Mosaic defaults to 16 MB; v5e has
+    128 MB/core). Large aliased blocks need it: measured on v5e, block
+    k=200 @ 96 MB streams 760 GB/s vs 637 at the default-cap k=40
+    (benchmarks/probe_vmem.json)."""
+    if not vmem_limit_mb:
+        return {}
+    return {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 2**20
+        )
+    }
+
+
 def _pick_block_planes(
     n: int, h: int, w: int, ntaps: int = 3, budget_bytes: int = 8 * 2**20
 ) -> int:
@@ -152,7 +166,8 @@ def _pick_block_planes(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "radius", "h_pad", "block_planes", "interpret", "path", "alias"
+        "radius", "h_pad", "block_planes", "interpret", "path", "alias",
+        "vmem_limit_mb",
     ),
 )
 def gaussian_blur_planar_pallas(
@@ -164,6 +179,7 @@ def gaussian_blur_planar_pallas(
     interpret: bool = False,
     path: str = "mxu",
     alias: bool = False,
+    vmem_limit_mb: int | None = None,
 ) -> jax.Array:
     """Pallas TPU separable binomial blur over planar (N, H, W) uint8.
 
@@ -201,6 +217,7 @@ def gaussian_blur_planar_pallas(
             out = gaussian_blur_planar_pallas(
                 xp, radius, h_pad=True, block_planes=block_planes,
                 interpret=interpret, path="mxu", alias=alias,
+                vmem_limit_mb=vmem_limit_mb,
             )
             return out[:, :h]
         path = "vpu"
@@ -230,6 +247,7 @@ def gaussian_blur_planar_pallas(
             out_shape=jax.ShapeDtypeStruct((n, out_h, w), jnp.uint8),
             input_output_aliases=io_alias,
             interpret=interpret,
+            **_compiler_params(vmem_limit_mb),
         )(x, band)
     k = block_planes or _pick_block_planes(n, h, w, ntaps=len(taps))
     assert n % k == 0, (n, k)
@@ -629,7 +647,8 @@ def _mxu_stage(name: str, x_i32: jax.Array, bands: dict) -> jax.Array:
 
 def _chain_mxu_call(x3d: jax.Array, names: tuple, *, h_pad: bool, c: int,
                     block: int | None, interpret: bool,
-                    alias: bool = False) -> jax.Array:
+                    alias: bool = False,
+                    vmem_limit_mb: int | None = None) -> jax.Array:
     """Shared pallas_call builder for fused MXU chains (planar c=1 or rows).
 
     `x3d` is (N, H, L) uint8 with L = W*c. Halo mode (h_pad=False) runs
@@ -672,6 +691,7 @@ def _chain_mxu_call(x3d: jax.Array, names: tuple, *, h_pad: bool, c: int,
             {0: 0} if (alias and h_pad and not interpret) else {}
         ),
         interpret=interpret,
+        **_compiler_params(vmem_limit_mb),
     )(x3d, *band_args)
 
 
@@ -716,7 +736,10 @@ def _chain_mxu_kernel(x_ref, *refs, names: tuple, trim: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("names", "h_pad", "block_planes", "interpret", "alias"),
+    static_argnames=(
+        "names", "h_pad", "block_planes", "interpret", "alias",
+        "vmem_limit_mb",
+    ),
 )
 def filter_chain_planar_pallas(
     x: jax.Array,
@@ -726,6 +749,7 @@ def filter_chain_planar_pallas(
     block_planes: int | None = None,
     interpret: bool = False,
     alias: bool = False,
+    vmem_limit_mb: int | None = None,
 ) -> jax.Array:
     """Fused filter chain (e.g. blur->sharpen->edge) in one VMEM round-trip.
 
@@ -744,7 +768,7 @@ def filter_chain_planar_pallas(
     if mxu_ok:
         return _chain_mxu_call(
             x, tuple(names), h_pad=h_pad, c=1, block=block_planes,
-            interpret=interpret, alias=alias,
+            interpret=interpret, alias=alias, vmem_limit_mb=vmem_limit_mb,
         )
     # Chains run stages sequentially, so peak liveness ≈ one 3-tap stage.
     k = block_planes or _pick_block_planes(n, h, w, ntaps=3)

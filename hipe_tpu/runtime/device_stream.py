@@ -85,17 +85,19 @@ class DeviceStreamRunner:
             "path": "pallas" if self.use_pallas else "xla",
             "block": None,
             "alias": False,
+            "vmem_mb": None,
         }
         self.tuning: dict | None = None
         self._build(**self.config)
 
-    def _build(self, path: str, block: int | None, alias: bool) -> None:
+    def _build(self, path: str, block: int | None, alias: bool,
+               vmem_mb: int | None = None) -> None:
         pipe = self.pipeline
 
         def one_pass(s):
             return pipe.apply_planar(
                 s, use_pallas=(path == "pallas"), alias=alias,
-                block_planes=block,
+                block_planes=block, vmem_limit_mb=vmem_mb,
             )
 
         self._one_pass = one_pass
@@ -111,9 +113,28 @@ class DeviceStreamRunner:
         return float(np.asarray(v))
 
     def block_candidates(self, lo: int = 16, hi: int = 64) -> list[int]:
-        """Divisors of the plane count in the VMEM-friendly range."""
+        """Divisors of the plane count in the default-VMEM-cap range."""
         n = self.n_planes
         return [k for k in range(lo, hi + 1) if n % k == 0]
+
+    def big_block_candidates(self, lo: int = 65, hi: int = 250,
+                             limit: int = 4) -> list[tuple[int, int]]:
+        """(block, vmem_limit_mb) pairs past Mosaic's 16 MB scoped cap.
+
+        v5e has 128 MB VMEM/core; measured (probe_vmem.json) k=200 @ 96 MB
+        streams 760 GB/s vs 637 at the default cap. The limit is sized
+        from the kernel's measured working set (~7 B/px incl. pipelining),
+        capped at 110 MB; uncompilable pairs are skipped by autotune.
+        """
+        n, px = self.n_planes, self.shape[0] * self.shape[1]
+        out = []
+        for k in range(hi, lo - 1, -1):
+            if n % k == 0:
+                mb = min(110, -(-k * px * 7 // 2**20))
+                out.append((k, mb))
+                if len(out) >= limit:
+                    break
+        return out
 
     def autotune(self, passes: int = 4, reps: int = 2,
                  candidates: list[int] | None = None) -> dict:
@@ -126,8 +147,10 @@ class DeviceStreamRunner:
         overflow at large blocks) are skipped.
         """
         configs: list[tuple[str, dict]] = [
-            ("xla", {"path": "xla", "block": None, "alias": False}),
-            ("pallas", {"path": "pallas", "block": None, "alias": False}),
+            ("xla", {"path": "xla", "block": None, "alias": False,
+                     "vmem_mb": None}),
+            ("pallas", {"path": "pallas", "block": None, "alias": False,
+                        "vmem_mb": None}),
         ]
         h, w, _ = self.shape
         if self.use_pallas and not plib.Pipeline.routes_tiled(h, w):
@@ -137,8 +160,16 @@ class DeviceStreamRunner:
             for k in candidates or self.block_candidates():
                 configs.append(
                     (f"pallas_k{k}_alias",
-                     {"path": "pallas", "block": k, "alias": True})
+                     {"path": "pallas", "block": k, "alias": True,
+                      "vmem_mb": None})
                 )
+            if candidates is None:
+                for k, mb in self.big_block_candidates():
+                    configs.append(
+                        (f"pallas_k{k}_vmem{mb}M_alias",
+                         {"path": "pallas", "block": k, "alias": True,
+                          "vmem_mb": mb})
+                    )
         timings: dict[str, float] = {}
         best_label, best_cfg, best_t = None, None, float("inf")
         for label, cfg in configs:
