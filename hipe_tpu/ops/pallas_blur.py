@@ -205,6 +205,8 @@ def gaussian_blur_planar_pallas(
     n, h, w = x.shape
     out_h = h - 2 * radius if not h_pad else h
     io_alias = {0: 0} if (alias and h_pad and not interpret) else {}
+    if interpret:
+        vmem_limit_mb = None  # Mosaic-only knob; meaningless in interpret
     if path == "mxu" and h % 8 != 0:
         # Mosaic lowers the batched (k,H,W)x(W,W) dot via a (k*H,W) shape
         # cast that requires sublane-aligned H. In clamp mode, pad H with
@@ -657,6 +659,8 @@ def _chain_mxu_call(x3d: jax.Array, names: tuple, *, h_pad: bool, c: int,
     """
     from hipe_tpu.ops.blur import chain_radius
 
+    if interpret:
+        vmem_limit_mb = None  # Mosaic-only knob; meaningless in interpret
     n, h, lane = x3d.shape
     w = lane // c
     trim = chain_radius(names) if not h_pad else 0

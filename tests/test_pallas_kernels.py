@@ -67,3 +67,31 @@ def test_pallas_filter_chain_fused():
         ]
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_vmem_limit_ignored_in_interpret_mode():
+    """vmem_limit_mb is a Mosaic knob; interpret mode must ignore it."""
+    import jax.numpy as jnp
+
+    from hipe_tpu.ops import pallas_blur, reference as oracle
+    from hipe_tpu.utils.images import checker_image
+
+    img = checker_image(32, 48, 3, seed=4)
+    planes = jnp.asarray(img.transpose(2, 0, 1))
+    got = np.asarray(
+        pallas_blur.gaussian_blur_planar_pallas(
+            planes, 1, interpret=True, alias=True, vmem_limit_mb=96
+        )
+    )
+    want = oracle.gaussian_blur_int_oracle(img).transpose(2, 0, 1)
+    np.testing.assert_array_equal(got, want)
+    got = np.asarray(
+        pallas_blur.filter_chain_planar_pallas(
+            planes, ("gaussian3", "sharpen"), interpret=True,
+            vmem_limit_mb=96,
+        )
+    )
+    want2 = oracle.sharpen3x3_oracle(
+        oracle.gaussian_blur_int_oracle(img)
+    ).transpose(2, 0, 1)
+    np.testing.assert_array_equal(got, want2)
