@@ -87,6 +87,10 @@ def _build_parser() -> argparse.ArgumentParser:
                         help="static = fixed-ratio split (reference); "
                              "greedy = batch-level work stealing "
                              "(approach 1 'both' only)")
+        sp.add_argument("--elastic", action="store_true",
+                        help="greedy only: survive a lane failure by "
+                             "redistributing its batches to healthy lanes "
+                             "(default: fail fast, like the reference)")
         sp.add_argument("--csv", default=None, metavar="PATH",
                         help="append a per_run.csv-schema row")
         sp.add_argument("--run-index", type=int, default=1)
@@ -187,6 +191,7 @@ def main(argv: list[str] | None = None) -> int:
         profile=not args.no_profile,
         pipeline_depth=args.pipeline_depth,
         scheduler=args.scheduler,
+        elastic=args.elastic,
         accel_path=args.accel_path,
         save_output=getattr(args, "save_output", None),
         verbose=True,

@@ -72,6 +72,13 @@ class EngineConfig:
     # recompile (the full-scale corpus shows static-ratio imbalance
     # drifting to 25-60% when lane speeds shift with scale).
     scheduler: str = "static"
+    # Elastic recovery (greedy scheduler only): when a lane fails mid-run
+    # (e.g. an accelerator drops out), its batch is requeued and surviving
+    # lanes finish the stream; the run raises only if every lane is dead
+    # or the same batch fails on a second lane (data, not device, fault).
+    # Off by default — the reference is fail-fast (heterogeneous_blur.c:
+    # 25-30), and silent capacity loss should be an explicit opt-in.
+    elastic: bool = False
 
     def validate(self) -> "EngineConfig":
         self.gpu_ratio = pt.validate_ratio(self.gpu_ratio)
@@ -273,26 +280,50 @@ class Engine:
         it = iter(enumerate(streamlib.Prefetcher(stream, depth=2)))
         lock = threading.Lock()
         n_batches = self.stats.num_batches
+        elastic = self.config.elastic
         errors: list[BaseException] = []
+        retry: list[tuple] = []  # batches orphaned by a failed lane
+        alive = {name: True for name in self._lanes}
 
-        def worker(lane: _Lane) -> None:
+        def worker(name: str, lane: _Lane) -> None:
             while not errors:
+                item = None
                 try:
                     with lock:
-                        item = next(it, None)
+                        if retry:
+                            item = retry.pop()
+                        else:
+                            item = next(it, None)
                     if item is None:
                         return
-                    batch_idx, host_batch = item
+                    batch_idx, host_batch, *attempt = item
                     self._progress(
                         f"=== Processing Batch {batch_idx + 1}/"
                         f"{n_batches} ==="
                     )
                     out = lane.process(host_batch)
                 except BaseException as e:  # noqa: BLE001 — re-raised below
-                    # Covers both lane failures and stream-producer errors
-                    # (e.g. a corrupt JPEG mid-stream): the run must raise,
-                    # not report stats over a silently truncated stream.
-                    errors.append(e)
+                    # Covers lane failures and stream-producer errors (e.g.
+                    # a corrupt JPEG mid-stream). Elastic mode requeues the
+                    # orphaned batch for surviving lanes (a device fault
+                    # kills one lane, not the run); a second failure of the
+                    # same batch means the batch itself is bad — raise.
+                    alive[name] = False
+                    second_try = bool(item) and bool(item[2:])
+                    if (not elastic or item is None or second_try
+                            or not any(alive.values())):
+                        errors.append(e)
+                        return
+                    import sys
+
+                    print(
+                        f"Warning: lane '{name}' failed "
+                        f"({type(e).__name__}); redistributing its batch "
+                        "to surviving lanes",
+                        file=sys.stderr,
+                    )
+                    with lock:
+                        retry.append((item[0], item[1], 1))
                     return
                 bc = host_batch.shape[0]
                 lane.counters.images += bc
@@ -302,13 +333,28 @@ class Engine:
                 self._progress(f"Batch {batch_idx + 1} complete.")
 
         threads = [
-            threading.Thread(target=worker, args=(lane,), daemon=True)
-            for lane in self._lanes.values()
+            threading.Thread(target=worker, args=(name, lane), daemon=True)
+            for name, lane in self._lanes.items()
         ]
         for t in threads:
             t.start()
         for t in threads:
             t.join()
+        if not errors and retry:
+            # Every healthy lane exited before draining the requeue (e.g.
+            # the failure happened as the stream ran dry): finish inline.
+            survivors = [n for n, ok in alive.items() if ok]
+            if not survivors:
+                raise RuntimeError("all lanes failed")
+            lane = self._lanes[survivors[0]]
+            while retry:
+                batch_idx, host_batch, *_ = retry.pop()
+                out = lane.process(host_batch)
+                bc = host_batch.shape[0]
+                lane.counters.images += bc
+                lane.counters.units += bc
+                if batch_idx == 0:
+                    self.first_output = out
         if errors:
             raise errors[0]
 

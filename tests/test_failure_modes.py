@@ -46,3 +46,47 @@ def test_jpeg_pil_fallback(monkeypatch):
 def test_approach2_rejects_single_device_mode():
     with pytest.raises(AssertionError, match="approach 2"):
         EngineConfig(approach=2, mode="cpu").validate()
+
+
+def _flaky_engine(elastic):
+    import jax
+
+    from hipe_tpu.runtime.engine import Engine, EngineConfig
+
+    devs = jax.devices("cpu")
+    cfg = EngineConfig(approach=1, mode="both", batch_size=4, num_images=20,
+                       scheduler="greedy", accel_path="xla", elastic=elastic)
+    eng = Engine(cfg, cpu_device=devs[0], accel_device=devs[1])
+    lane = eng._lanes["accel"]
+    orig = lane.process
+    calls = {"n": 0}
+
+    def flaky(batch):
+        # Fail on the lane's FIRST batch so the requeue path always runs.
+        calls["n"] += 1
+        if calls["n"] >= 1:
+            raise RuntimeError("device lost")
+        return orig(batch)
+
+    lane.process = flaky
+    return eng
+
+
+def test_greedy_elastic_survives_lane_failure():
+    """A lane dying mid-run redistributes its batch; the run completes."""
+    from hipe_tpu.utils.images import checker_image
+
+    eng = _flaky_engine(elastic=True)
+    stats = eng.run(image=checker_image(16, 16, 3, seed=3))
+    assert stats.cpu.images + stats.accel.images == 20
+    assert hasattr(eng, "first_output")
+
+
+def test_greedy_fail_fast_without_elastic():
+    import pytest
+
+    from hipe_tpu.utils.images import checker_image
+
+    eng = _flaky_engine(elastic=False)
+    with pytest.raises(RuntimeError, match="device lost"):
+        eng.run(image=checker_image(16, 16, 3, seed=3))
