@@ -175,3 +175,29 @@ def test_weighted_row_split_extreme_weights_redistribute():
     got = np.asarray(fn(jnp.asarray(batch)))
     want = np.asarray(xblur.filter_chain(jnp.asarray(batch), names))
     np.testing.assert_array_equal(got, want)
+
+
+def test_weighted_row_split_randomized_properties():
+    """Random geometry x weights x chains: redistribution keeps exactness."""
+    from hipe_tpu.ops import blur as xblur
+    from hipe_tpu.parallel.row_split import make_weighted_row_split_fn
+
+    rng = np.random.default_rng(42)
+    all_names = [("gaussian3",), ("gaussian5",),
+                 ("gaussian3", "sharpen"), ("gaussian3", "sharpen", "edge")]
+    for _ in range(5):
+        n = int(rng.choice([2, 4, 8]))
+        names = all_names[int(rng.integers(len(all_names)))]
+        r = xblur.chain_radius(names)
+        # H large enough for feasibility: n*(H-2R) >= H
+        h = int(rng.integers(max(4 * r + 2, 24), 80))
+        w = int(rng.integers(9, 40))
+        weights = rng.random(n) + 0.01
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        mesh = _mesh(n)
+        fn = make_weighted_row_split_fn(mesh, names, weights=list(weights))
+        got = np.asarray(fn(jnp.asarray(img[None])))
+        want = np.asarray(xblur.filter_chain(jnp.asarray(img[None]), names))
+        np.testing.assert_array_equal(got, want, err_msg=str(
+            (n, names, h, w, weights.round(3).tolist())
+        ))
