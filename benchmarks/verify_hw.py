@@ -19,6 +19,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def decode_file_4k():
+    """The reference's unused 4000x2250 input.jpg, if present."""
+    from hipe_tpu.io_.jpeg import decode_file
+
+    return decode_file("/root/reference/input.jpg")
+
+
 def main() -> int:
     import jax.numpy as jnp
 
@@ -120,6 +127,44 @@ def main() -> int:
             ), 3,
         )[0]
         total_err += check(f"halo/{tag}", got, want[lo:hi])
+
+    # Halo-tiled kernels (the oversized-plane path) on hardware: blur,
+    # point stages, and the stage-by-stage chain — geometry forces the
+    # tiled route (H*W > 2 MiB whole-plane limit).
+    big = checker_image(1504, 1400, 3, seed=13)
+    bp = jnp.asarray(big.transpose(2, 0, 1))
+    assert plib.Pipeline.routes_tiled(1504, 1400)
+    tiled_cases = [
+        ("blur3", ("gaussian3",),
+         lambda b: oracle.gaussian_blur_int_oracle(b, 1)),
+        ("sharpen", ("sharpen",), oracle.sharpen3x3_oracle),
+        ("edge", ("edge",), oracle.sobel_edge_oracle),
+        ("chain", ("gaussian3", "sharpen", "edge"),
+         lambda b: oracle.sobel_edge_oracle(
+             oracle.sharpen3x3_oracle(oracle.gaussian_blur_int_oracle(b)))),
+    ]
+    for tag, names, ofn in tiled_cases:
+        got = np.asarray(
+            pallas_blur.filter_chain_planar_tiled_pallas(bp, names)
+        ).transpose(1, 2, 0)
+        total_err += check(f"tiled/{tag} 1504x1400", got, ofn(big))
+
+    # The reference's 4000x2250 asset through the pipeline dispatch (routes
+    # to the tiled kernels), chain included.
+    try:
+        huge = decode_file_4k()
+    except Exception:
+        huge = None
+    if huge is not None:
+        hp4 = jnp.asarray(hwc_to_planar(huge[None]))
+        pipe = plib.PIPELINES["chain"]
+        got = planar_to_hwc(
+            np.asarray(pipe.apply_planar(hp4, use_pallas=True)), 3
+        )[0]
+        want4 = oracle.sobel_edge_oracle(
+            oracle.sharpen3x3_oracle(oracle.gaussian_blur_int_oracle(huge))
+        )
+        total_err += check("tiled/chain 4000x2250 asset", got, want4)
 
     # Pipeline dispatch (apply_rows) on hardware for every pipeline
     batch = np.stack([checker_image(64, 128, 3, seed=s) for s in range(2)])
