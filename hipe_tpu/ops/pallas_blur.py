@@ -266,6 +266,7 @@ def gaussian_blur_planar_pallas(
         out_shape=jax.ShapeDtypeStruct((n, out_h, w), jnp.uint8),
         input_output_aliases=io_alias,
         interpret=interpret,
+        **_compiler_params(vmem_limit_mb),
     )(x)
 
 
@@ -795,4 +796,5 @@ def filter_chain_planar_pallas(
             {0: 0} if (alias and h_pad and not interpret) else {}
         ),
         interpret=interpret,
+        **_compiler_params(None if interpret else vmem_limit_mb),
     )(x)

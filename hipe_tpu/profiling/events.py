@@ -83,6 +83,12 @@ class _Stage:
         return self
 
     def __exit__(self, *exc):
+        if exc and exc[0] is not None:
+            # A stage that raised didn't complete: don't account its
+            # partial time. (Matters for elastic recovery, where a dead
+            # lane's counters would otherwise pollute the report's
+            # per-device ratios with timing from an aborted attempt.)
+            return False
         dt = now_ms() - self.t0
         with self.lock:
             setattr(

@@ -130,7 +130,9 @@ class DeviceStreamRunner:
         out = []
         for k in range(hi, lo - 1, -1):
             if n % k == 0:
-                mb = min(110, -(-k * px * 7 // 2**20))
+                # Never tighten below Mosaic's 16 MB default (small images
+                # would otherwise fail blocks that compile fine uncapped).
+                mb = min(110, max(24, -(-k * px * 7 // 2**20)))
                 out.append((k, mb))
                 if len(out) >= limit:
                     break

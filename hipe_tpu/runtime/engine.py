@@ -109,6 +109,15 @@ class EngineConfig:
                 file=sys.stderr,
             )
             self.pipeline_depth = 1
+        if self.elastic and self.scheduler != "greedy":
+            import sys
+
+            print(
+                "Warning: elastic recovery requires the greedy scheduler; "
+                "running fail-fast",
+                file=sys.stderr,
+            )
+            self.elastic = False
         if self.approach == 2:
             # The reference's split-image program is inherently two-device.
             assert self.mode == "both", "approach 2 requires mode='both'"

@@ -48,7 +48,9 @@ def test_approach2_rejects_single_device_mode():
         EngineConfig(approach=2, mode="cpu").validate()
 
 
-def _flaky_engine(elastic):
+def _flaky_engine(elastic, *, both_lanes=False):
+    import time
+
     import jax
 
     from hipe_tpu.runtime.engine import Engine, EngineConfig
@@ -57,18 +59,27 @@ def _flaky_engine(elastic):
     cfg = EngineConfig(approach=1, mode="both", batch_size=4, num_images=20,
                        scheduler="greedy", accel_path="xla", elastic=elastic)
     eng = Engine(cfg, cpu_device=devs[0], accel_device=devs[1])
-    lane = eng._lanes["accel"]
-    orig = lane.process
-    calls = {"n": 0}
 
-    def flaky(batch):
-        # Fail on the lane's FIRST batch so the requeue path always runs.
-        calls["n"] += 1
-        if calls["n"] >= 1:
+    def make_flaky(lane):
+        def flaky(batch):
+            # Fail on the lane's first batch so the path always exercises.
             raise RuntimeError("device lost")
-        return orig(batch)
 
-    lane.process = flaky
+        lane.process = flaky
+
+    make_flaky(eng._lanes["accel"])
+    if both_lanes:
+        make_flaky(eng._lanes["cpu"])
+    else:
+        # Slow the healthy lane slightly so the flaky lane reliably pulls
+        # at least one batch regardless of thread-start timing.
+        orig = eng._lanes["cpu"].process
+
+        def slow(batch):
+            time.sleep(0.01)
+            return orig(batch)
+
+        eng._lanes["cpu"].process = slow
     return eng
 
 
@@ -80,13 +91,25 @@ def test_greedy_elastic_survives_lane_failure():
     stats = eng.run(image=checker_image(16, 16, 3, seed=3))
     assert stats.cpu.images + stats.accel.images == 20
     assert hasattr(eng, "first_output")
+    # The dead lane's aborted attempt must not pollute the timing report
+    # (ratios would be computed from a batch that produced no output).
+    assert stats.accel.images == 0 and stats.accel.total_ms == 0.0
 
 
 def test_greedy_fail_fast_without_elastic():
+    # Both lanes flaky: whichever thread pulls first raises — no
+    # dependence on thread scheduling.
     import pytest
 
     from hipe_tpu.utils.images import checker_image
 
-    eng = _flaky_engine(elastic=False)
+    eng = _flaky_engine(elastic=False, both_lanes=True)
     with pytest.raises(RuntimeError, match="device lost"):
         eng.run(image=checker_image(16, 16, 3, seed=3))
+
+
+def test_elastic_without_greedy_warns_and_defaults():
+    from hipe_tpu.runtime.engine import EngineConfig
+
+    cfg = EngineConfig(approach=1, mode="both", elastic=True).validate()
+    assert cfg.elastic is False
