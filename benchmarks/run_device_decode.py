@@ -1,0 +1,181 @@
+"""Device-side JPEG decode benchmark: host codec vs the TPU decode split.
+
+Measures, for a replicated JPEG stream (the reference's stream simulation,
+`/root/reference/heterogeneous_blur.c:431-442`):
+
+1. host full decode (native libjpeg batch codec, all cores) — img/s
+2. host entropy-only decode (jpeg_read_coefficients) — img/s
+   (what the host must sustain to feed the device decoder)
+3. device decode (HBM-resident coefficients -> RGB) — img/s
+4. device decode fused with blur3 — img/s
+
+Device rates use the same chained pass-count differencing as bench.py so
+the ~30 ms tunnel dispatch latency cancels. The decode chain feeds a
+data-dependent zero (min(rgb) >> 8) back into the coefficients so XLA can
+neither hoist nor elide any pass.
+
+Run on the real TPU, serially:  python benchmarks/run_device_decode.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("HIPE_FORCE_CPU"):
+    # The axon site hook overrides JAX_PLATFORMS; this is the reliable way
+    # to smoke-test the script off-TPU (see CLAUDE.md).
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def sync(v) -> float:
+    return float(np.asarray(v))
+
+
+def measure_host(fn, payloads, reps: int = 3) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn(payloads)
+        best = min(best, time.perf_counter() - t0)
+    return len(payloads) / best
+
+
+def measure_device_chain(chained, arrs, passes: int, reps: int = 3) -> float:
+    """Steady-state seconds/pass via pass-count differencing."""
+    sync(chained(arrs, 1))
+    sync(chained(arrs, 1 + passes))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(chained(arrs, 1))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sync(chained(arrs, 1 + passes))
+        t2 = time.perf_counter() - t0
+        best = min(best, (t2 - t1) / passes)
+    if best <= 0.0:
+        best = t2 / (1 + passes)
+    return best
+
+
+def main() -> int:
+    from hipe_tpu.io_ import jpeg
+    from hipe_tpu.models import pipelines as plib
+    from hipe_tpu.ops import jpeg_decode as jd
+    from hipe_tpu.utils.cache import enable_compilation_cache
+    from hipe_tpu.utils.images import load_test_image
+
+    enable_compilation_cache()
+    backend = jax.default_backend()
+    on_tpu = backend != "cpu"
+    num_images = 2000 if on_tpu else 32
+    quality = 90
+    log(f"backend={backend} num_images={num_images} quality={quality}")
+
+    img = load_test_image()  # 256x256 RGB asset
+    payload = jpeg.encode_bytes_opts(img, quality=quality, subsampling="420")
+    payloads = [payload] * num_images
+    log(f"jpeg size {len(payload)} bytes, image {img.shape}")
+
+    results: dict = {
+        "metric": "device_decode_256x256_q90_h2v2",
+        "backend": backend,
+        "num_images": num_images,
+    }
+
+    # 1. host full decode (all cores)
+    rate = measure_host(lambda p: jpeg.decode_batch(p), payloads)
+    results["host_full_decode_img_s"] = round(rate, 1)
+    log(f"host full decode:     {rate:12,.0f} img/s")
+
+    # 2. host entropy-only decode
+    from concurrent.futures import ThreadPoolExecutor
+    import os
+
+    pool = ThreadPoolExecutor(max_workers=os.cpu_count() or 1)
+    rate = measure_host(
+        lambda p: list(pool.map(jpeg.read_coefficients, p)), payloads
+    )
+    results["host_entropy_decode_img_s"] = round(rate, 1)
+    log(f"host entropy decode:  {rate:12,.0f} img/s")
+
+    # 3+4. device decode (and fused decode+blur) on HBM-resident coefficients
+    co = jpeg.read_coefficients(payload)
+    geo = jd.geometry_of(co)
+    qtables = [c.qtable for c in co.components]
+    comp_batches = [
+        jax.device_put(
+            np.broadcast_to(
+                c.coefs, (num_images, *c.coefs.shape)
+            ).copy()  # distinct HBM pages per image, as bench.py's stream
+        )
+        for c in co.components
+    ]
+
+    pipe = plib.get("blur3")
+
+    def make_chained(fuse_blur: bool):
+        def one_pass(arrs):
+            rgb = jd.decode_planes(geo, list(arrs), qtables)
+            if fuse_blur:
+                b, h, w, c = rgb.shape
+                rows = pipe.apply_rows(
+                    rgb.reshape(b, h, w * c), c,
+                    use_pallas=on_tpu, alias=on_tpu,
+                )
+                rgb = rows.reshape(b, h, w, c)
+            # Data-dependent zero ties this pass's output into the next
+            # pass's input: XLA cannot hoist or elide any decode.
+            z = (jnp.min(rgb).astype(jnp.int16) >> 8)
+            return [a + z for a in arrs]
+
+        @jax.jit
+        def chained(arrs, r):
+            out = lax.fori_loop(0, r, lambda i, x: one_pass(x), arrs)
+            return sum(jnp.sum(a[::97, ::3, ::5, ::7].astype(jnp.int32))
+                       for a in out)
+
+        return jax.jit(chained, static_argnames="r")
+
+    # correctness gate first
+    dev_rgb = np.asarray(jd.decode_coefficients(co))
+    host_rgb = jpeg.decode_bytes(payload)
+    err = int(np.abs(dev_rgb.astype(int) - host_rgb.astype(int)).max())
+    results["decode_max_abs_err"] = err
+    log(f"device decode max_abs_err vs host codec: {err}")
+
+    passes = 8 if on_tpu else 2
+    for label, fuse in (("device_decode", False), ("device_decode_blur3", True)):
+        per_pass = measure_device_chain(make_chained(fuse), comp_batches,
+                                        passes=passes)
+        rate = num_images / per_pass
+        results[f"{label}_img_s"] = round(rate, 1)
+        coef_bytes = sum(
+            num_images * int(np.prod(c.coefs.shape)) * 2
+            for c in co.components
+        )
+        gbs = 2 * coef_bytes / per_pass / 1e9
+        log(f"{label:22s} {rate:12,.0f} img/s (~{gbs:.0f} GB/s coef traffic)")
+
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

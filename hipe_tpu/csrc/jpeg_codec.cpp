@@ -131,6 +131,183 @@ int hipe_jpeg_encode(const unsigned char* img, int w, int h, int c,
   return rc;
 }
 
+// ---- Entropy-only decode: quantized DCT coefficients out ----
+//
+// The TPU-native decode split: the host does only the serial, branchy part
+// of JPEG decode (Huffman/arithmetic entropy decoding, via
+// jpeg_read_coefficients), and ships quantized DCT coefficient planes to the
+// device, where dequantize + IDCT + chroma upsample + YCbCr->RGB run as
+// batched vector code (hipe_tpu/ops/jpeg_decode.py). Replaces the all-host
+// decode the reference inherits from CImg (CImg/CImg.h:51770 load_jpeg).
+
+enum {
+  INFO_NCOMPS = 0,
+  INFO_WIDTH = 1,
+  INFO_HEIGHT = 2,
+  INFO_MAX_H = 3,
+  INFO_MAX_V = 4,
+  INFO_PROGRESSIVE = 5,
+  INFO_PER_COMP = 6,   // start of per-component records
+  COMP_FIELDS = 5,     // h_samp, v_samp, width_in_blocks, height_in_blocks, qno
+  INFO_LEN = 6 + 4 * 5,
+};
+
+// Header-only scan of the coefficient geometry. Returns 0 on success.
+int hipe_jpeg_coef_info(const unsigned char* buf, size_t len, int* info) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit_handler;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(buf), len);
+  jpeg_read_header(&cinfo, TRUE);
+  if (cinfo.num_components > 4) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  info[INFO_NCOMPS] = cinfo.num_components;
+  info[INFO_WIDTH] = static_cast<int>(cinfo.image_width);
+  info[INFO_HEIGHT] = static_cast<int>(cinfo.image_height);
+  int max_h = 1, max_v = 1;
+  for (int i = 0; i < cinfo.num_components; ++i) {
+    if (cinfo.comp_info[i].h_samp_factor > max_h)
+      max_h = cinfo.comp_info[i].h_samp_factor;
+    if (cinfo.comp_info[i].v_samp_factor > max_v)
+      max_v = cinfo.comp_info[i].v_samp_factor;
+  }
+  info[INFO_MAX_H] = max_h;
+  info[INFO_MAX_V] = max_v;
+  info[INFO_PROGRESSIVE] = cinfo.progressive_mode ? 1 : 0;
+  for (int i = 0; i < cinfo.num_components; ++i) {
+    jpeg_component_info* comp = &cinfo.comp_info[i];
+    int* rec = info + INFO_PER_COMP + COMP_FIELDS * i;
+    rec[0] = comp->h_samp_factor;
+    rec[1] = comp->v_samp_factor;
+    // width/height_in_blocks are filled by start_decompress normally; for a
+    // header-only pass compute them the way jdinput.c does (ceil of the
+    // downsampled dimension / DCTSIZE, padded to the MCU grid).
+    long wb = ((long)cinfo.image_width * comp->h_samp_factor + 8L * max_h - 1) /
+              (8L * max_h);
+    long hb = ((long)cinfo.image_height * comp->v_samp_factor + 8L * max_v - 1) /
+              (8L * max_v);
+    rec[2] = (int)wb;
+    rec[3] = (int)hb;
+    rec[4] = comp->quant_tbl_no;
+  }
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Entropy-decode the whole image (baseline or progressive) and copy the
+// quantized coefficients (natural order, as the entropy decoder stores them,
+// jdhuff.c) into caller-allocated per-component buffers of
+// height_in_blocks * width_in_blocks * 64 int16 each. qtabs receives the
+// four quant-table slots (natural order, jdmarker.c get_dqt), 64 uint16
+// per slot, zero-filled when absent. Returns 0 on success.
+int hipe_jpeg_read_coefs(const unsigned char* buf, size_t len,
+                         short* const* comp_out, unsigned short* qtabs) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit_handler;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(buf), len);
+  jpeg_read_header(&cinfo, TRUE);
+  if (cinfo.num_components > 4) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  jvirt_barray_ptr* coef_arrays = jpeg_read_coefficients(&cinfo);
+  if (coef_arrays == nullptr) {
+    jpeg_destroy_decompress(&cinfo);
+    return 3;
+  }
+  for (int ci = 0; ci < cinfo.num_components; ++ci) {
+    jpeg_component_info* comp = &cinfo.comp_info[ci];
+    short* dst = comp_out[ci];
+    const size_t row_coefs = (size_t)comp->width_in_blocks * DCTSIZE2;
+    for (JDIMENSION row = 0; row < comp->height_in_blocks; ++row) {
+      JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
+          (j_common_ptr)&cinfo, coef_arrays[ci], row, 1, FALSE);
+      memcpy(dst + (size_t)row * row_coefs, rows[0],
+             row_coefs * sizeof(short));
+    }
+  }
+  memset(qtabs, 0, 4 * DCTSIZE2 * sizeof(unsigned short));
+  for (int n = 0; n < 4; ++n) {
+    if (cinfo.quant_tbl_ptrs[n] != nullptr)
+      memcpy(qtabs + n * DCTSIZE2, cinfo.quant_tbl_ptrs[n]->quantval,
+             DCTSIZE2 * sizeof(unsigned short));
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Encode with explicit chroma subsampling (subsamp: 0 = encoder default
+// 4:2:0, 1 = 4:4:4, 2 = 4:2:2) and optional progressive scan script —
+// test/bench surface for the device-decode paths. Same contract as
+// hipe_jpeg_encode otherwise.
+int hipe_jpeg_encode_opts(const unsigned char* img, int w, int h, int c,
+                          int quality, int subsamp, int progressive,
+                          unsigned char* out, size_t out_cap,
+                          size_t* out_len) {
+  jpeg_compress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit_handler;
+  unsigned char* mem = nullptr;
+  unsigned long mem_len = 0;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_compress(&cinfo);
+    if (mem) free(mem);
+    return 1;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_mem_dest(&cinfo, &mem, &mem_len);
+  cinfo.image_width = static_cast<JDIMENSION>(w);
+  cinfo.image_height = static_cast<JDIMENSION>(h);
+  cinfo.input_components = c;
+  cinfo.in_color_space = c == 1 ? JCS_GRAYSCALE : JCS_RGB;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  if (c == 3 && subsamp != 0) {
+    cinfo.comp_info[0].h_samp_factor = subsamp == 1 ? 1 : 2;
+    cinfo.comp_info[0].v_samp_factor = 1;
+    cinfo.comp_info[1].h_samp_factor = 1;
+    cinfo.comp_info[1].v_samp_factor = 1;
+    cinfo.comp_info[2].h_samp_factor = 1;
+    cinfo.comp_info[2].v_samp_factor = 1;
+  }
+  if (progressive) jpeg_simple_progression(&cinfo);
+  jpeg_start_compress(&cinfo, TRUE);
+  const size_t stride = static_cast<size_t>(w) * c;
+  while (cinfo.next_scanline < cinfo.image_height) {
+    JSAMPROW row = const_cast<unsigned char*>(img) +
+                   cinfo.next_scanline * stride;
+    jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  int rc = 0;
+  if (mem_len <= out_cap) {
+    memcpy(out, mem, mem_len);
+    *out_len = mem_len;
+  } else {
+    rc = 3;
+  }
+  free(mem);
+  return rc;
+}
+
 // ---- Batched multithreaded decode (input pipeline hot path) ----
 
 struct BatchTask {

@@ -11,6 +11,7 @@ if the native build is unavailable.
 from __future__ import annotations
 
 import ctypes
+import dataclasses
 import os
 import subprocess
 import threading
@@ -79,6 +80,22 @@ def _load() -> ctypes.CDLL | None:
             u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
         lib.hipe_jpeg_decode_batch.restype = ctypes.c_int
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        lib.hipe_jpeg_coef_info.argtypes = [
+            u8p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.hipe_jpeg_coef_info.restype = ctypes.c_int
+        lib.hipe_jpeg_read_coefs.argtypes = [
+            u8p, ctypes.c_size_t, ctypes.POINTER(i16p),
+            ctypes.POINTER(ctypes.c_uint16),
+        ]
+        lib.hipe_jpeg_read_coefs.restype = ctypes.c_int
+        lib.hipe_jpeg_encode_opts.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            u8p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.hipe_jpeg_encode_opts.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -161,6 +178,114 @@ def encode_bytes(img: np.ndarray, quality: int = 90) -> bytes:
 def encode_file(img: np.ndarray, path: str, quality: int = 90) -> None:
     with open(path, "wb") as f:
         f.write(encode_bytes(img, quality))
+
+
+# ---- Entropy-only decode (feeds the TPU-side device decode) ----
+
+
+@dataclasses.dataclass
+class ComponentCoefs:
+    """One component's quantized DCT coefficients (entropy-decoded only)."""
+
+    coefs: np.ndarray      # (height_in_blocks, width_in_blocks, 64) int16,
+                           # natural (row-major) order as jdhuff.c stores it
+    qtable: np.ndarray     # (64,) uint16, natural order (jdmarker.c get_dqt)
+    h_samp: int
+    v_samp: int
+
+
+@dataclasses.dataclass
+class JpegCoefficients:
+    """Entropy-decoded JPEG: everything the device needs to finish decoding.
+
+    The host-side half of the TPU-native decode split: libjpeg's
+    jpeg_read_coefficients does the serial Huffman work (baseline or
+    progressive); dequantize + IDCT + upsample + color conversion run on
+    device (hipe_tpu/ops/jpeg_decode.py).
+    """
+
+    width: int
+    height: int
+    components: list[ComponentCoefs]
+    max_h: int
+    max_v: int
+    progressive: bool
+
+    @property
+    def num_components(self) -> int:
+        return len(self.components)
+
+
+def read_coefficients(data: bytes) -> JpegCoefficients:
+    """Entropy-decode a JPEG to quantized DCT coefficients (no IDCT)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "native codec unavailable: coefficient decode requires libjpeg"
+        )
+    buf = np.frombuffer(data, dtype=np.uint8)
+    info = (ctypes.c_int * 26)()
+    rc = lib.hipe_jpeg_coef_info(_as_u8p(buf), buf.size, info)
+    if rc != 0:
+        raise ValueError(f"JPEG coefficient scan failed (rc={rc})")
+    ncomps = info[0]
+    width, height, max_h, max_v, progressive = (
+        info[1], info[2], info[3], info[4], bool(info[5])
+    )
+    comp_arrays: list[np.ndarray] = []
+    qnos: list[int] = []
+    samps: list[tuple[int, int]] = []
+    for i in range(ncomps):
+        h_samp, v_samp, wb, hb, qno = info[6 + 5 * i : 6 + 5 * (i + 1)]
+        comp_arrays.append(np.empty((hb, wb, 64), dtype=np.int16))
+        qnos.append(qno)
+        samps.append((h_samp, v_samp))
+    qtabs = np.zeros((4, 64), dtype=np.uint16)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    ptrs = (i16p * ncomps)(
+        *[a.ctypes.data_as(i16p) for a in comp_arrays]
+    )
+    rc = lib.hipe_jpeg_read_coefs(
+        _as_u8p(buf), buf.size, ptrs,
+        qtabs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+    )
+    if rc != 0:
+        raise ValueError(f"JPEG coefficient decode failed (rc={rc})")
+    components = [
+        ComponentCoefs(coefs=arr, qtable=qtabs[qno].copy(),
+                       h_samp=hs, v_samp=vs)
+        for arr, qno, (hs, vs) in zip(comp_arrays, qnos, samps)
+    ]
+    return JpegCoefficients(
+        width=width, height=height, components=components,
+        max_h=max_h, max_v=max_v, progressive=progressive,
+    )
+
+
+def encode_bytes_opts(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "420",
+    progressive: bool = False,
+) -> bytes:
+    """Encode with explicit chroma subsampling ("420" | "444" | "422")."""
+    assert img.dtype == np.uint8 and img.ndim == 3
+    sub_code = {"420": 0, "444": 1, "422": 2}[subsampling]
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native codec unavailable")
+    img = np.ascontiguousarray(img)
+    h, w, c = img.shape
+    cap = ctypes.c_size_t(w * h * c + 65536)
+    out = np.empty(cap.value, dtype=np.uint8)
+    out_len = ctypes.c_size_t()
+    rc = lib.hipe_jpeg_encode_opts(
+        _as_u8p(img), w, h, c, quality, sub_code, int(progressive),
+        _as_u8p(out), cap, out_len,
+    )
+    if rc != 0:
+        raise ValueError(f"JPEG encode failed (rc={rc})")
+    return bytes(out[: out_len.value].tobytes())
 
 
 # ---- PIL fallbacks (environments without g++/libjpeg) ----

@@ -48,6 +48,7 @@ class ServingPipeline:
         quality: int = 90,
         decode_threads: int | None = None,
         use_pallas: bool | None = None,
+        decode_on_device: bool = False,
     ):
         self.pipeline = plib.get(pipeline) if isinstance(pipeline, str) else pipeline
         self.device = device or jax.devices()[0]
@@ -56,7 +57,12 @@ class ServingPipeline:
         if use_pallas is None:
             use_pallas = getattr(self.device, "platform", "cpu") != "cpu"
         self.use_pallas = use_pallas
+        # decode_on_device: host does entropy decode only; dequant + IDCT +
+        # upsample + YCbCr run on the device fused with the filter
+        # (ops/jpeg_decode.py), bit-exact vs the host codec.
+        self.decode_on_device = decode_on_device
         self._fns: dict[tuple, callable] = {}
+        self._fused_fns: dict[tuple, callable] = {}
         self._pool = ThreadPoolExecutor(max_workers=4)
         self.stats = ServeStats()
 
@@ -105,29 +111,120 @@ class ServingPipeline:
         self.stats.encode_ms += now_ms() - t0
         return out
 
+    # ---- device-decode path: entropy decode on host, the rest fused with
+    # the filter in one jitted program (no decoded-RGB host round trip) ----
+
+    def _fused_decode_filter_fn(self, geo, qkey):
+        """Per-(geometry, quant-tables) jitted decode+filter program."""
+        key = (geo, qkey)
+        if key not in self._fused_fns:
+            from hipe_tpu.ops import jpeg_decode as jd
+
+            qtables = [np.array(q, dtype=np.uint16) for q in qkey]
+            pipe, pallas_flag = self.pipeline, self.use_pallas
+
+            def fn(*comp_coefs):
+                rgb = jd.decode_planes(geo, list(comp_coefs), qtables)
+                b = rgb.shape[0]
+                h, w, c = geo.height, geo.width, rgb.shape[-1]
+                rows = rgb.reshape(b, h, w * c)
+                # The decoded intermediate is dead after the filter, so the
+                # aliased in-place Pallas kernel applies without a
+                # copy-protect (see ops.pallas_blur on input/output aliasing)
+                out = pipe.apply_rows(rows, c, use_pallas=pallas_flag,
+                                      alias=pallas_flag)
+                return out.reshape(b, h, w, c)
+
+            self._fused_fns[key] = jax.jit(fn)
+        return self._fused_fns[key]
+
+    def _filter_device_coefs(self, payloads: list[bytes]) -> np.ndarray:
+        """Entropy-decode on host, decode+filter on device, batch output.
+
+        Payload groups with matching (geometry, quant tables) — the common
+        case for a stream from one encoder — batch into one device call;
+        geometries the device decoder does not cover fall back to the host
+        codec per group.
+        """
+        from hipe_tpu.io_.jpeg import read_coefficients
+        from hipe_tpu.ops import jpeg_decode as jd
+
+        t0 = now_ms()
+        cos = list(self._pool.map(read_coefficients, payloads))
+        self.stats.decode_ms += now_ms() - t0
+
+        groups: dict[tuple, list[int]] = {}
+        keys = []
+        for i, co in enumerate(cos):
+            geo = jd.geometry_of(co)
+            qkey = tuple(
+                tuple(int(v) for v in c.qtable) for c in co.components
+            )
+            keys.append((geo, qkey))
+            groups.setdefault((geo, qkey), []).append(i)
+
+        t0 = now_ms()
+        out: list[np.ndarray | None] = [None] * len(cos)
+        for (geo, qkey), idxs in groups.items():
+            if not jd.supported(geo):
+                # Host fallback keeps exotic sampling factors working.
+                batch = self._decode([payloads[i] for i in idxs])
+                res = self._filter_device(batch)
+            else:
+                comp_batches = [
+                    jax.device_put(
+                        np.stack([cos[i].components[ci].coefs for i in idxs]),
+                        self.device,
+                    )
+                    for ci in range(geo.ncomps)
+                ]
+                fn = self._fused_decode_filter_fn(geo, qkey)
+                res = np.asarray(fn(*comp_batches))
+            for j, i in enumerate(idxs):
+                out[i] = res[j]
+        self.stats.device_ms += now_ms() - t0
+        return np.stack(out)
+
     def process_batch(self, payloads: list[bytes],
                       encode: bool = True) -> list[bytes] | np.ndarray:
         """Synchronous single batch: decode -> filter -> (encode)."""
-        filtered = self._filter_device(self._decode(payloads))
+        if self.decode_on_device:
+            filtered = self._filter_device_coefs(payloads)
+        else:
+            filtered = self._filter_device(self._decode(payloads))
         return self._encode(filtered) if encode else filtered
 
     def run(self, payload_batches: Iterable[list[bytes]],
             encode: bool = True) -> Iterator[list[bytes] | np.ndarray]:
-        """Streaming mode: decode of batch k+1 overlaps device batch k."""
-        t_start = now_ms()
-        it = iter(payload_batches)
-        pending = None
-        for payloads in it:
-            fut = self._pool.submit(self._decode, payloads)
-            if pending is not None:
-                batch = pending.result()
+        """Streaming mode: host decode of batch k+1 overlaps device batch k.
+
+        In decode_on_device mode the prefetched host stage is just the
+        entropy decode; IDCT/upsample/color run on device with the filter.
+        """
+        if self.decode_on_device:
+            def host_stage(p):
+                return p  # entropy decode runs inside the device stage pool
+
+            def device_stage(payloads):
+                self.stats.images += len(payloads)
+                return self._filter_device_coefs(payloads)
+        else:
+            def host_stage(p):
+                return self._decode(p)
+
+            def device_stage(batch):
                 self.stats.images += len(batch)
-                filtered = self._filter_device(batch)
+                return self._filter_device(batch)
+
+        t_start = now_ms()
+        pending = None
+        for payloads in payload_batches:
+            fut = self._pool.submit(host_stage, payloads)
+            if pending is not None:
+                filtered = device_stage(pending.result())
                 yield self._encode(filtered) if encode else filtered
             pending = fut
         if pending is not None:
-            batch = pending.result()
-            self.stats.images += len(batch)
-            filtered = self._filter_device(batch)
+            filtered = device_stage(pending.result())
             yield self._encode(filtered) if encode else filtered
         self.stats.wall_ms += now_ms() - t_start

@@ -1,0 +1,118 @@
+"""Device-side JPEG decode: bit-exact vs the host libjpeg pipeline.
+
+The TPU-native decode split (host entropy decode -> device dequant + IDCT +
+upsample + color convert, ops/jpeg_decode.py) must reproduce libjpeg's
+default integer decode byte-for-byte: jpeg_idct_islow (jidctint.c), fancy
+upsampling (jdsample.c), ycc_rgb_convert (jdcolor.c). The reference decodes
+entirely on host via CImg (/root/reference/heterogeneous_blur.c:106-137);
+equivalence to that path is equivalence to libjpeg itself.
+"""
+
+import numpy as np
+import pytest
+
+from hipe_tpu.io_ import jpeg
+from hipe_tpu.ops import jpeg_decode as jd
+
+if not jpeg.native_available():  # pragma: no cover
+    pytest.skip("native libjpeg codec unavailable", allow_module_level=True)
+
+
+def _roundtrip_exact(img, **enc):
+    data = jpeg.encode_bytes_opts(img, **enc)
+    host = jpeg.decode_bytes(data)
+    co = jpeg.read_coefficients(data)
+    dev = np.asarray(jd.decode_coefficients(co))
+    np.testing.assert_array_equal(host, dev)
+    return co
+
+
+def _rand(h, w, c, seed=0):
+    return np.random.default_rng(seed).integers(
+        0, 256, (h, w, c), dtype=np.uint8
+    )
+
+
+def test_asset_bit_exact():
+    for name in ("image_256x256.jpg", "image_320x240.jpg"):
+        with open(f"/root/reference/{name}", "rb") as f:
+            data = f.read()
+        host = jpeg.decode_bytes(data)
+        dev = np.asarray(jd.decode_coefficients(jpeg.read_coefficients(data)))
+        np.testing.assert_array_equal(host, dev)
+
+
+def test_h2v2_odd_dims():
+    # Odd dims exercise MCU padding, crop, and upsample edge replication.
+    _roundtrip_exact(_rand(33, 17, 3), quality=75, subsampling="420")
+
+
+def test_h2v1_and_h1v1():
+    _roundtrip_exact(_rand(32, 24, 3, seed=1), quality=85, subsampling="422")
+    _roundtrip_exact(_rand(31, 25, 3, seed=2), quality=90, subsampling="444")
+
+
+def test_grayscale():
+    _roundtrip_exact(_rand(40, 56, 1, seed=3), quality=80)
+
+
+def test_progressive():
+    # jpeg_read_coefficients completes multi-scan streams; the device half
+    # is scan-agnostic, so progressive decodes identically.
+    co = _roundtrip_exact(
+        _rand(48, 36, 3, seed=4), quality=70, subsampling="420",
+        progressive=True,
+    )
+    assert co.progressive
+
+
+def test_low_quality_heavy_quant():
+    # Low quality -> large quant values -> the widest IDCT dynamic range.
+    _roundtrip_exact(_rand(24, 24, 3, seed=5), quality=10, subsampling="420")
+
+
+def test_batch_decoder_matches_singles():
+    imgs = [_rand(16, 24, 3, seed=s) for s in range(4)]
+    datas = [
+        jpeg.encode_bytes_opts(im, quality=75, subsampling="420")
+        for im in imgs
+    ]
+    cos = [jpeg.read_coefficients(d) for d in datas]
+    geo = jd.geometry_of(cos[0])
+    fn = jd.make_batch_decoder(geo, [c.qtable for c in cos[0].components])
+    batched = [
+        np.stack([co.components[ci].coefs for co in cos])
+        for ci in range(3)
+    ]
+    out = np.asarray(fn(*batched))
+    assert out.shape == (4, 16, 24, 3)
+    for i, d in enumerate(datas):
+        np.testing.assert_array_equal(out[i], jpeg.decode_bytes(d))
+
+
+def test_unsupported_geometry_detected():
+    geo = jd.DecodeGeometry(
+        width=16, height=16, ncomps=3,
+        comps=((4, 1, 2, 2), (1, 1, 1, 2), (1, 1, 1, 2)),
+        max_h=4, max_v=1,
+    )
+    assert not jd.supported(geo)
+    with pytest.raises(ValueError):
+        jd.decode_planes(
+            geo,
+            [np.zeros((2, 2, 64), np.int16)] * 3,
+            [np.ones(64, np.uint16)] * 3,
+        )
+
+
+def test_range_limit_matches_table():
+    # The arithmetic range limit must equal libjpeg's wrap-around table
+    # (jdmaster.c prepare_range_limit_table) over the full index space.
+    table = np.zeros(1024, dtype=np.int32)
+    table[0:128] = np.arange(128) + 128
+    table[128:512] = 255
+    table[512:896] = 0
+    table[896:1024] = np.arange(128)
+    vals = np.arange(-2048, 2048, dtype=np.int32)
+    got = np.asarray(jd._range_limit(vals))
+    np.testing.assert_array_equal(got, table[vals & 1023])

@@ -37,6 +37,27 @@ def test_serving_pipeline_decode_filter_encode():
     np.testing.assert_array_equal(out[0], want)
 
 
+def test_serving_pipeline_device_decode_matches_host_path():
+    # decode_on_device (host entropy decode + on-device IDCT/upsample/color,
+    # fused with the filter) must produce byte-identical batches to the
+    # host-codec path for any pipeline.
+    img = checker_image(24, 40, 3, seed=7)
+    payloads = [encode_bytes(img, quality=85)] * 4
+    host_serve = ServingPipeline("chain", use_pallas=False)
+    dev_serve = ServingPipeline("chain", use_pallas=False,
+                                decode_on_device=True)
+    want = host_serve.process_batch(payloads, encode=False)
+    got = dev_serve.process_batch(payloads, encode=False)
+    np.testing.assert_array_equal(got, want)
+    assert dev_serve.stats.images == 0  # process_batch doesn't count stream
+    # Streaming mode with the same fused path.
+    got_stream = list(dev_serve.run([payloads, payloads], encode=False))
+    np.testing.assert_array_equal(got_stream[0], want)
+    np.testing.assert_array_equal(got_stream[1], want)
+    assert dev_serve.stats.images == 8
+    assert len(dev_serve._fused_fns) == 1  # one geometry+qtable group
+
+
 def test_serving_pipeline_streaming_mixed_resolution():
     a = checker_image(16, 24, 3, seed=3)
     b = checker_image(24, 32, 3, seed=4)
