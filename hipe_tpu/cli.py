@@ -58,6 +58,27 @@ def _build_parser() -> argparse.ArgumentParser:
     st.add_argument("--json", action="store_true",
                     help="print one JSON result line (bench.py schema-like)")
 
+    sv = sub.add_parser(
+        "serve",
+        help="decode -> filter -> encode streaming pipeline (JPEG in/out)",
+    )
+    sv.add_argument("pipeline_name", nargs="?", default="blur3")
+    sv.add_argument("--num-images", type=int, default=500)
+    sv.add_argument("--batch-size", type=int, default=100)
+    sv.add_argument("--image", default=None,
+                    help="input JPEG(s), comma-separated for a "
+                         "mixed-resolution stream (default: 256x256 asset)")
+    sv.add_argument("--quality", type=int, default=90,
+                    help="JPEG quality for the simulated input stream "
+                         "and the encoded outputs")
+    sv.add_argument("--decode-on-device", action="store_true",
+                    help="host does entropy decode only; IDCT/upsample/"
+                         "color run on the TPU fused with the filter")
+    sv.add_argument("--no-encode", action="store_true",
+                    help="skip output JPEG encode")
+    sv.add_argument("--json", action="store_true",
+                    help="print one JSON result line")
+
     a2 = sub.add_parser("approach2", help="split-image distribution")
     a2.add_argument("gpu_ratio", nargs="?", type=float,
                     default=pt.DEFAULT_RATIO)
@@ -149,6 +170,76 @@ def _main_stream(args) -> int:
     return 0 if err <= 1 else 1
 
 
+def _main_serve(args) -> int:
+    """Streaming decode -> filter -> encode service over a JPEG stream."""
+    import json
+
+    from hipe_tpu.io_.jpeg import decode_file, encode_bytes
+    from hipe_tpu.models.pipelines import PIPELINES
+    from hipe_tpu.runtime.serve import ServingPipeline
+    from hipe_tpu.utils.images import DEFAULT_IMAGE_256
+
+    if args.pipeline_name not in PIPELINES:
+        print(
+            f"Error: unknown pipeline {args.pipeline_name!r} "
+            f"(choose from {sorted(PIPELINES)})",
+            file=sys.stderr,
+        )
+        return 1
+    paths = (args.image or DEFAULT_IMAGE_256).split(",")
+    try:
+        payloads = [
+            encode_bytes(decode_file(p), quality=args.quality) for p in paths
+        ]
+    except (FileNotFoundError, ValueError) as e:
+        print(f"Error: cannot load input image: {e}", file=sys.stderr)
+        return 1
+    batch = max(1, min(args.batch_size, args.num_images))
+    print("========== SERVING CONFIGURATION ==========")
+    print(f"Pipeline: {args.pipeline_name}")
+    print(f"Stream: {args.num_images} JPEGs ({len(paths)} source image(s)), "
+          f"batch {batch}, quality {args.quality}")
+    decode_desc = (
+        "device (entropy on host, IDCT/upsample/color on TPU)"
+        if args.decode_on_device else "host (native libjpeg)"
+    )
+    print(f"Decode: {decode_desc}")
+    serve = ServingPipeline(
+        args.pipeline_name, quality=args.quality,
+        decode_on_device=args.decode_on_device,
+    )
+
+    def batches():
+        sent = 0
+        while sent < args.num_images:
+            n = min(batch, args.num_images - sent)
+            yield [payloads[(sent + i) % len(payloads)] for i in range(n)]
+            sent += n
+
+    n_out = sum(len(r) for r in serve.run(batches(),
+                                          encode=not args.no_encode))
+    st = serve.stats
+    print("\n========== SERVING RESULTS ==========")
+    print(f"   Images processed: {n_out}")
+    print(f"   Host decode time: {st.decode_ms:.1f} ms")
+    print(f"   Device time: {st.device_ms:.1f} ms")
+    print(f"   Encode time: {st.encode_ms:.1f} ms")
+    print(f"   Wall time: {st.wall_ms:.1f} ms")
+    print(f"   Images per second: {st.img_per_s:.2f}")
+    if args.json:
+        print(json.dumps({
+            "pipeline": args.pipeline_name,
+            "num_images": n_out,
+            "decode_on_device": bool(args.decode_on_device),
+            "img_per_s": round(st.img_per_s, 1),
+            "decode_ms": round(st.decode_ms, 1),
+            "device_ms": round(st.device_ms, 1),
+            "encode_ms": round(st.encode_ms, 1),
+            "wall_ms": round(st.wall_ms, 1),
+        }))
+    return 0 if n_out == args.num_images else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     from hipe_tpu.utils.cache import enable_compilation_cache
@@ -156,6 +247,8 @@ def main(argv: list[str] | None = None) -> int:
     enable_compilation_cache()
     if args.approach == "stream":
         return _main_stream(args)
+    if args.approach == "serve":
+        return _main_serve(args)
     approach = 1 if args.approach == "approach1" else 2
     mode = getattr(args, "mode", "both")
     pipeline = (

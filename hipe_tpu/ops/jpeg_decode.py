@@ -139,6 +139,69 @@ def _idct_1d(d: list[jnp.ndarray], final: bool) -> list[jnp.ndarray]:
     ]
 
 
+def _dequant_planes(coefs: jnp.ndarray, qtable: np.ndarray) -> list:
+    """(..., Hb, Wb, 64) coefficients -> 64 dequantized (..., Hb*Wb) planes.
+
+    TPU layout strategy: one explicit device transpose turns the input into
+    64 coefficient planes with the whole block grid flattened into the lane
+    axis, so every IDCT op runs at full VPU width (a (..., Hb, Wb) plane
+    would use only Wb of 128 lanes).
+    """
+    q = np.asarray(qtable, dtype=np.int32)
+    bshape = coefs.shape[:-3]
+    n = coefs.shape[-3] * coefs.shape[-2]
+    # Relayout in the narrow dtype; widen to int32 only at the dequant
+    # multiply (halves the transpose's HBM traffic).
+    t = jnp.swapaxes(coefs.reshape(*bshape, n, 64), -1, -2)
+    return [t[..., k, :].astype(jnp.int32) * int(q[k]) for k in range(64)]
+
+
+def _idct_planes_core(planes: list) -> list:
+    """64 dequantized planes -> 64 uint8 sample-position planes.
+
+    Column pass (fixed block column c walks rows, index r*8+c), then row
+    pass, then the range limit — the full jidctint.c pipeline as an
+    unrolled elementwise graph over whatever plane shape the caller chose.
+    """
+    ws: list = [None] * 64
+    for c in range(8):
+        col = _idct_1d([planes[r * 8 + c] for r in range(8)], final=False)
+        for r in range(8):
+            ws[r * 8 + c] = col[r]
+    out: list = [None] * 64
+    for r in range(8):
+        row = _idct_1d([ws[r * 8 + c] for c in range(8)], final=True)
+        for c in range(8):
+            out[r * 8 + c] = _range_limit(row[c]).astype(jnp.uint8)
+    return out
+
+
+def _grid_from_planes(out: list, hb: int, wb: int,
+                      rs: range, cs_: range) -> jnp.ndarray:
+    """Assemble sample-position planes into a pixel grid, transpose-free.
+
+    samples[..., len(rs)*i + ri, len(cs_)*j + ci] =
+        out[rs[ri]*8 + cs_[ci]][..., i*wb + j]
+
+    With rs=cs_=range(8) this is the full (..., hb*8, wb*8) image; with a
+    parity subset (e.g. rs=range(0, 8, 2)) it is a phase grid of the image
+    — used to feed the fused upsample+color path without ever assembling
+    (or strided-reslicing) the full-resolution plane. Two stack+reshape
+    interleaves; no transpose, no gather.
+    """
+    first = out[0]
+    bshape = first.shape[:-1]
+    rows = [
+        jnp.stack(
+            [out[r * 8 + c].reshape(*bshape, hb, wb) for c in cs_],
+            axis=-1,
+        ).reshape(*bshape, hb, wb * len(cs_))
+        for r in rs
+    ]
+    grid = jnp.stack(rows, axis=-2)  # (..., hb, len(rs), wb*len(cs_))
+    return grid.reshape(*bshape, hb * len(rs), wb * len(cs_))
+
+
 def idct8x8_islow(coefs: jnp.ndarray, qtable: np.ndarray) -> jnp.ndarray:
     """Dequantize + 2-D islow IDCT of a block grid, bit-exact vs jidctint.c.
 
@@ -146,31 +209,9 @@ def idct8x8_islow(coefs: jnp.ndarray, qtable: np.ndarray) -> jnp.ndarray:
     order (as the entropy decoder stores them, jdhuff.c). qtable: (64,)
     host-side quant table. Returns (..., Hb*8, Wb*8) uint8 sample planes.
     """
-    q = np.asarray(qtable, dtype=np.int32)
-    x = coefs.astype(jnp.int32)
-    # 64 planes, dequantized: plane k multiplies by the scalar q[k].
-    planes = [x[..., k] * int(q[k]) for k in range(64)]
-    # Column pass: fixed column c walks rows r (index r*8+c).
-    ws: list = [None] * 64
-    for c in range(8):
-        col = _idct_1d([planes[r * 8 + c] for r in range(8)], final=False)
-        for r in range(8):
-            ws[r * 8 + c] = col[r]
-    # Row pass: fixed row r walks columns c.
-    out: list = [None] * 64
-    for r in range(8):
-        row = _idct_1d([ws[r * 8 + c] for c in range(8)], final=True)
-        for c in range(8):
-            out[r * 8 + c] = _range_limit(row[c])
-    # Assemble: samples[..., 8*i+r, 8*j+c] = out[r*8+c][..., i, j].
-    grid = jnp.stack(
-        [jnp.stack(out[r * 8 : r * 8 + 8], axis=-1) for r in range(8)],
-        axis=-2,
-    )  # (..., Hb, Wb, 8r, 8c)
-    grid = jnp.moveaxis(grid, -2, -3)  # (..., Hb, 8r, Wb, 8c)
-    bshape = grid.shape[:-4]
-    hb, wb = grid.shape[-4], grid.shape[-2]
-    return grid.reshape(*bshape, hb * 8, wb * 8).astype(jnp.uint8)
+    hb, wb = coefs.shape[-3], coefs.shape[-2]
+    out = _idct_planes_core(_dequant_planes(coefs, qtable))
+    return _grid_from_planes(out, hb, wb, range(8), range(8))
 
 
 def _clamp_rows(x: jnp.ndarray, offset: int) -> jnp.ndarray:
@@ -247,6 +288,100 @@ def ycc_to_rgb(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(rgb, 0, 255).astype(jnp.uint8)
 
 
+def _rgb_rows(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray) -> jnp.ndarray:
+    """Color-convert one phase grid and interleave channels: (..., h, w*3)."""
+    cbc = cb.astype(jnp.int32) - 128
+    crc = cr.astype(jnp.int32) - 128
+    y = y.astype(jnp.int32)
+    r = y + ((_FIX_1_40200 * crc + _ONE_HALF) >> _SCALEBITS)
+    b = y + ((_FIX_1_77200 * cbc + _ONE_HALF) >> _SCALEBITS)
+    g = y + ((-_FIX_0_34414 * cbc + _ONE_HALF + -_FIX_0_71414 * crc)
+             >> _SCALEBITS)
+    rgb = jnp.stack([r, g, b], axis=-1)
+    rgb = jnp.clip(rgb, 0, 255).astype(jnp.uint8)
+    h, w = rgb.shape[-3], rgb.shape[-2]
+    return rgb.reshape(*rgb.shape[:-3], h, w * 3)
+
+
+def _interleave_col_phases(rgb_e: jnp.ndarray, rgb_o: jnp.ndarray):
+    """Two column-phase rows arrays (..., h, w2*3) -> (..., h, 2*w2*3)."""
+    w2 = rgb_e.shape[-1] // 3
+    pair = jnp.stack(
+        [rgb_e.reshape(*rgb_e.shape[:-1], w2, 3),
+         rgb_o.reshape(*rgb_o.shape[:-1], w2, 3)],
+        axis=-2,
+    )  # (..., h, w2, 2, 3)
+    return pair.reshape(*rgb_e.shape[:-1], w2 * 6)
+
+
+def _decode_rgb_rows_from_planes(
+    geo: DecodeGeometry,
+    y_planes: list, cb_planes: list, cr_planes: list,
+) -> jnp.ndarray:
+    """Sample-position planes -> interleaved-rows RGB, fully phase-fused.
+
+    The performance core of the device decode. Instead of assembling the
+    full-resolution Y plane and materializing full-resolution int32 chroma
+    (the naive jdsample/jdcolor port — measured 3x the cost of the IDCT
+    itself), this works phase by phase at subsampled resolution:
+
+    - Y *phase grids* (even/odd rows x even/odd cols) are assembled
+      directly from the 64 IDCT position planes by parity subsetting —
+      pure stack+reshape, no strided re-slicing of an assembled plane.
+    - Chroma upsampling computes each output phase at chroma resolution in
+      int16 (column sums <= 4*255), algebraically identical to
+      h2v2/h2v1_fancy_upsample (jdsample.c) including edge replication.
+    - Color conversion runs per phase; a single interleave emits the
+      framework's canonical rows layout (..., H, W*3).
+    """
+    hgt, wid = geo.height, geo.width
+    _, _, ywb, yhb = geo.comps[0]
+    _, _, cwb, chb = geo.comps[1]
+    hr = geo.max_h // geo.comps[1][0]
+    vr = geo.max_v // geo.comps[1][1]
+    dh, dw = _downsampled_dims(geo, 1)
+    cb = _grid_from_planes(cb_planes, chb, cwb,
+                           range(8), range(8))[..., :dh, :dw].astype(jnp.int16)
+    cr = _grid_from_planes(cr_planes, chb, cwb,
+                           range(8), range(8))[..., :dh, :dw].astype(jnp.int16)
+
+    def col_phases(cs):
+        left = _clamp_cols(cs, -1)
+        right = _clamp_cols(cs, 1)
+        if vr == 2:  # h2v2: >> 4 with biases 8/7 (jdsample.c)
+            return (3 * cs + left + 8) >> 4, (3 * cs + right + 7) >> 4
+        return (3 * cs + left + 1) >> 2, (3 * cs + right + 2) >> 2
+
+    def y_phase(pr, pc):
+        rs = range(pr, 8, 2) if pr is not None else range(8)
+        cs_ = range(pc, 8, 2)
+        return _grid_from_planes(y_planes, yhb, ywb, rs, cs_)[..., :dh, :dw]
+
+    if (hr, vr) == (2, 2):
+        rows_out = []
+        for p, voff in ((0, -1), (1, 1)):
+            cs_cb = 3 * cb + _clamp_rows(cb, voff)
+            cs_cr = 3 * cr + _clamp_rows(cr, voff)
+            cb_e, cb_o = col_phases(cs_cb)
+            cr_e, cr_o = col_phases(cs_cr)
+            rgb_e = _rgb_rows(y_phase(p, 0), cb_e, cr_e)
+            rgb_o = _rgb_rows(y_phase(p, 1), cb_o, cr_o)
+            rows_out.append(_interleave_col_phases(rgb_e, rgb_o))
+        full = jnp.stack(rows_out, axis=-2)  # (..., dh, 2, 2*dw*3)
+        full = full.reshape(*full.shape[:-3], dh * 2, full.shape[-1])
+    elif (hr, vr) == (2, 1):
+        cb_e, cb_o = col_phases(cb)
+        cr_e, cr_o = col_phases(cr)
+        rgb_e = _rgb_rows(y_phase(None, 0), cb_e, cr_e)
+        rgb_o = _rgb_rows(y_phase(None, 1), cb_o, cr_o)
+        full = _interleave_col_phases(rgb_e, rgb_o)
+    else:  # (1, 1)
+        y = _grid_from_planes(y_planes, yhb, ywb,
+                              range(8), range(8))[..., :hgt, :wid]
+        full = _rgb_rows(y, cb, cr)
+    return full[..., :hgt, : wid * 3]
+
+
 class DecodeGeometry(NamedTuple):
     """Static shape/subsampling info for one jit specialization."""
 
@@ -295,12 +430,14 @@ def supported(geo: DecodeGeometry) -> bool:
     y_h, y_v, _, _ = geo.comps[0]
     if (y_h, y_v) != (geo.max_h, geo.max_v):
         return False
+    if geo.comps[1][:2] != geo.comps[2][:2]:
+        return False  # Cb/Cr with different factors: host path
     for ci in (1, 2):
         h_samp, v_samp, _, _ = geo.comps[ci]
-        hr = geo.max_h // h_samp
-        vr = geo.max_v // v_samp
         if geo.max_h % h_samp or geo.max_v % v_samp:
             return False
+        hr = geo.max_h // h_samp
+        vr = geo.max_v // v_samp
         if (hr, vr) not in ((1, 1), (2, 1), (2, 2)):
             return False
     return True
@@ -310,35 +447,48 @@ def decode_planes(
     geo: DecodeGeometry,
     comp_coefs: list[jnp.ndarray],
     qtables: list[np.ndarray],
+    layout: str = "hwc",
 ) -> jnp.ndarray:
-    """Finish decoding on device: coefficients -> (..., H, W, C) uint8.
+    """Finish decoding on device: coefficients -> decoded uint8 pixels.
 
     comp_coefs[i]: (..., Hb_i, Wb_i, 64) int16 quantized coefficients.
     qtables[i]: (64,) uint16 host-side quant table for component i.
     Leading batch dims broadcast through every stage.
+
+    layout: "hwc" -> (..., H, W, C); "rows" -> (..., H, W*C), the
+    framework's canonical interleaved-rows device layout (4-D NHWC uint8
+    tiles pathologically on TPU — see utils/images.py). The two are a free
+    reshape of one another; on-device consumers should take "rows".
     """
     if not supported(geo):
         raise ValueError(f"unsupported sampling geometry: {geo.comps}")
-    samples = [
-        idct8x8_islow(comp_coefs[ci], qtables[ci])
-        for ci in range(geo.ncomps)
-    ]
     if geo.ncomps == 1:
-        y = samples[0][..., : geo.height, : geo.width]
-        return y[..., None]
-    planes = []
-    for ci in range(geo.ncomps):
-        dh, dw = _downsampled_dims(geo, ci)
-        plane = samples[ci][..., :dh, :dw].astype(jnp.int32)
-        h_samp, v_samp, _, _ = geo.comps[ci]
-        hr = geo.max_h // h_samp
-        vr = geo.max_v // v_samp
-        if (hr, vr) == (2, 2):
-            plane = fancy_upsample_h2v2(plane)
-        elif (hr, vr) == (2, 1):
-            plane = fancy_upsample_h2v1(plane)
-        planes.append(plane[..., : geo.height, : geo.width])
-    return ycc_to_rgb(planes[0], planes[1], planes[2])
+        y = idct8x8_islow(comp_coefs[0], qtables[0])
+        y = y[..., : geo.height, : geo.width]
+        return y if layout == "rows" else y[..., None]
+    # All three components' IDCTs run as ONE unrolled plane graph: the
+    # dequantized planes are concatenated along the flattened block-grid
+    # (lane) axis, so the per-op shapes are 1.5x larger and the op count
+    # is 1/3rd of three separate IDCTs.
+    dqs = [
+        _dequant_planes(comp_coefs[ci], qtables[ci]) for ci in range(3)
+    ]
+    ns = [
+        comp_coefs[ci].shape[-3] * comp_coefs[ci].shape[-2]
+        for ci in range(3)
+    ]
+    cat = [
+        jnp.concatenate([dqs[0][k], dqs[1][k], dqs[2][k]], axis=-1)
+        for k in range(64)
+    ]
+    out = _idct_planes_core(cat)
+    y_planes = [o[..., : ns[0]] for o in out]
+    cb_planes = [o[..., ns[0] : ns[0] + ns[1]] for o in out]
+    cr_planes = [o[..., ns[0] + ns[1] :] for o in out]
+    rows = _decode_rgb_rows_from_planes(geo, y_planes, cb_planes, cr_planes)
+    if layout == "rows":
+        return rows
+    return rows.reshape(*rows.shape[:-1], geo.width, 3)
 
 
 @functools.lru_cache(maxsize=64)

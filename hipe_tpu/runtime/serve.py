@@ -124,10 +124,11 @@ class ServingPipeline:
             pipe, pallas_flag = self.pipeline, self.use_pallas
 
             def fn(*comp_coefs):
-                rgb = jd.decode_planes(geo, list(comp_coefs), qtables)
-                b = rgb.shape[0]
-                h, w, c = geo.height, geo.width, rgb.shape[-1]
-                rows = rgb.reshape(b, h, w * c)
+                rows = jd.decode_planes(geo, list(comp_coefs), qtables,
+                                        layout="rows")
+                b = rows.shape[0]
+                h, w = geo.height, geo.width
+                c = rows.shape[-1] // w
                 # The decoded intermediate is dead after the filter, so the
                 # aliased in-place Pallas kernel applies without a
                 # copy-protect (see ops.pallas_blur on input/output aliasing)

@@ -105,6 +105,48 @@ def test_unsupported_geometry_detected():
         )
 
 
+def test_phase_fused_decode_matches_generic_pipeline():
+    # The production decode path (concatenated-IDCT + phase-fused
+    # upsample/color, no full-res Y assembly) must agree on every pixel
+    # with the independent generic pipeline built from the literal ports:
+    # idct8x8_islow + fancy_upsample_h2v2/h2v1 + ycc_to_rgb.
+    rng = np.random.default_rng(11)
+    for (hgt, wid), (hs, vs) in (
+        ((13, 21), (2, 2)), ((16, 24), (2, 2)),
+        ((13, 21), (2, 1)), ((9, 7), (1, 1)),
+    ):
+        dh = -(-hgt // vs)
+        dw = -(-wid // hs)
+        yhb, ywb = -(-hgt // 8), -(-wid // 8)
+        chb, cwb = -(-dh // 8), -(-dw // 8)
+        geo = jd.DecodeGeometry(
+            width=wid, height=hgt, ncomps=3,
+            comps=((hs, vs, ywb, yhb), (1, 1, cwb, chb), (1, 1, cwb, chb)),
+            max_h=hs, max_v=vs,
+        )
+        coefs = [
+            rng.integers(-256, 256, (2, hb, wb, 64), dtype=np.int16)
+            for hb, wb in ((yhb, ywb), (chb, cwb), (chb, cwb))
+        ]
+        qts = [np.full(64, 3, np.uint16), np.full(64, 5, np.uint16),
+               np.full(64, 5, np.uint16)]
+        got = np.asarray(jd.decode_planes(geo, coefs, qts))
+        y = np.asarray(jd.idct8x8_islow(coefs[0], qts[0]))[..., :hgt, :wid]
+        ups = {
+            (2, 2): jd.fancy_upsample_h2v2,
+            (2, 1): jd.fancy_upsample_h2v1,
+            (1, 1): lambda p: p.astype(np.int32),
+        }[(hs, vs)]
+        cbp = np.asarray(jd.idct8x8_islow(coefs[1], qts[1]))[..., :dh, :dw]
+        crp = np.asarray(jd.idct8x8_islow(coefs[2], qts[2]))[..., :dh, :dw]
+        want = np.asarray(jd.ycc_to_rgb(
+            np.asarray(y, np.int32),
+            np.asarray(ups(cbp))[..., :hgt, :wid],
+            np.asarray(ups(crp))[..., :hgt, :wid],
+        ))
+        np.testing.assert_array_equal(got, want, err_msg=f"{(hs, vs)}")
+
+
 def test_range_limit_matches_table():
     # The arithmetic range limit must equal libjpeg's wrap-around table
     # (jdmaster.c prepare_range_limit_table) over the full index space.

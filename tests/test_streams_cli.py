@@ -229,3 +229,30 @@ def test_cli_stream_unknown_pipeline():
     from hipe_tpu import cli
 
     assert cli.main(["stream", "nosuch", "--num-images", "4"]) == 1
+
+
+def test_cli_serve_mode(capsys):
+    """Serving subcommand, host-decode and device-decode variants."""
+    import json as jsonlib
+
+    from hipe_tpu import cli
+
+    for extra in ([], ["--decode-on-device"]):
+        rc = cli.main([
+            "serve", "blur3", "--num-images", "6", "--batch-size", "4",
+            "--quality", "85", "--no-encode", "--json",
+            "--image", "/root/reference/image_256x256.jpg", *extra,
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "SERVING RESULTS" in out
+        payload = jsonlib.loads(out.strip().splitlines()[-1])
+        assert payload["num_images"] == 6
+        assert payload["decode_on_device"] == bool(extra)
+        assert payload["img_per_s"] > 0
+
+
+def test_cli_serve_unknown_pipeline():
+    from hipe_tpu import cli
+
+    assert cli.main(["serve", "nosuch", "--num-images", "4"]) == 1
