@@ -308,6 +308,144 @@ int hipe_jpeg_encode_opts(const unsigned char* img, int w, int h, int c,
   return rc;
 }
 
+// The quant tables jpeg_set_quality would install (luma slot 0, chroma
+// slot 1; natural order) — the device-side forward quantizer
+// (hipe_tpu/ops/jpeg_encode.py) divides by exactly these.
+int hipe_jpeg_quality_tables(int quality, unsigned short* qtabs /*2*64*/) {
+  jpeg_compress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit_handler;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_compress(&cinfo);
+    return 1;
+  }
+  jpeg_create_compress(&cinfo);
+  cinfo.image_width = 8;
+  cinfo.image_height = 8;
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_RGB;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  for (int n = 0; n < 2; ++n)
+    memcpy(qtabs + n * DCTSIZE2, cinfo.quant_tbl_ptrs[n]->quantval,
+           DCTSIZE2 * sizeof(unsigned short));
+  jpeg_destroy_compress(&cinfo);
+  return 0;
+}
+
+// Entropy-encode pre-computed quantized DCT coefficients into a full JPEG
+// file (the host half of the TPU-side encode: the device does color
+// conversion, downsampling, forward DCT and quantization —
+// hipe_tpu/ops/jpeg_encode.py — and this writes the entropy-coded stream
+// via jpeg_write_coefficients, exactly as jpegtran does).
+//
+// comp_in[i]: height_in_blocks*width_in_blocks*64 int16 (natural order),
+// the *unpadded* block grid; MCU-edge dummy blocks are synthesized here
+// with the same semantics as the direct encoder (jccoefct.c: zero AC, DC
+// duplicated from the neighbor) so the output is byte-identical to a
+// direct libjpeg encode of the same pixels. subsamp: 0=4:2:0, 1=4:4:4,
+// 2=4:2:2 (as hipe_jpeg_encode_opts). Returns 0 on success.
+int hipe_jpeg_write_coefs(int w, int h, int c, int quality, int subsamp,
+                          int progressive, const short* const* comp_in,
+                          unsigned char* out, size_t out_cap,
+                          size_t* out_len) {
+  jpeg_compress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit_handler;
+  unsigned char* mem = nullptr;
+  unsigned long mem_len = 0;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_compress(&cinfo);
+    if (mem) free(mem);
+    return 1;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_mem_dest(&cinfo, &mem, &mem_len);
+  cinfo.image_width = static_cast<JDIMENSION>(w);
+  cinfo.image_height = static_cast<JDIMENSION>(h);
+  cinfo.input_components = c;
+  cinfo.in_color_space = c == 1 ? JCS_GRAYSCALE : JCS_RGB;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  if (c == 3 && subsamp != 0) {
+    cinfo.comp_info[0].h_samp_factor = subsamp == 1 ? 1 : 2;
+    cinfo.comp_info[0].v_samp_factor = 1;
+    for (int i = 1; i < 3; ++i) {
+      cinfo.comp_info[i].h_samp_factor = 1;
+      cinfo.comp_info[i].v_samp_factor = 1;
+    }
+  }
+  if (progressive) jpeg_simple_progression(&cinfo);
+
+  int max_h = 1, max_v = 1;
+  for (int i = 0; i < cinfo.num_components; ++i) {
+    if (cinfo.comp_info[i].h_samp_factor > max_h)
+      max_h = cinfo.comp_info[i].h_samp_factor;
+    if (cinfo.comp_info[i].v_samp_factor > max_v)
+      max_v = cinfo.comp_info[i].v_samp_factor;
+  }
+  // Geometry as jdinput.c computes it; arrays padded to the MCU grid.
+  jvirt_barray_ptr coef_arrays[4];
+  long wbs[4], hbs[4], pad_wbs[4], pad_hbs[4];
+  for (int i = 0; i < cinfo.num_components; ++i) {
+    jpeg_component_info* comp = &cinfo.comp_info[i];
+    wbs[i] = ((long)w * comp->h_samp_factor + 8L * max_h - 1) / (8L * max_h);
+    hbs[i] = ((long)h * comp->v_samp_factor + 8L * max_v - 1) / (8L * max_v);
+    pad_wbs[i] =
+        ((wbs[i] + comp->h_samp_factor - 1) / comp->h_samp_factor) *
+        comp->h_samp_factor;
+    pad_hbs[i] =
+        ((hbs[i] + comp->v_samp_factor - 1) / comp->v_samp_factor) *
+        comp->v_samp_factor;
+    coef_arrays[i] = (*cinfo.mem->request_virt_barray)(
+        (j_common_ptr)&cinfo, JPOOL_IMAGE, FALSE,
+        (JDIMENSION)pad_wbs[i], (JDIMENSION)pad_hbs[i],
+        (JDIMENSION)comp->v_samp_factor);
+  }
+  jpeg_write_coefficients(&cinfo, coef_arrays);
+  for (int i = 0; i < cinfo.num_components; ++i) {
+    const short* src = comp_in[i];
+    const int hs = cinfo.comp_info[i].h_samp_factor;
+    // Dummy MCU-edge blocks: zero AC; DC = previous block in MCU scan
+    // order, i.e. the left neighbor, or for the first block of a dummy
+    // block-row the last block of the previous row in the same MCU
+    // (jccoefct.c "DC entries equal to previous block's DC value").
+    short* prev_dc =
+        static_cast<short*>(calloc(pad_wbs[i], sizeof(short)));
+    for (long row = 0; row < pad_hbs[i]; ++row) {
+      JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
+          (j_common_ptr)&cinfo, coef_arrays[i], (JDIMENSION)row, 1, TRUE);
+      for (long col = 0; col < pad_wbs[i]; ++col) {
+        JCOEFPTR blk = rows[0][col];
+        if (row < hbs[i] && col < wbs[i]) {
+          memcpy(blk, src + (row * wbs[i] + col) * DCTSIZE2,
+                 DCTSIZE2 * sizeof(short));
+        } else {
+          memset(blk, 0, DCTSIZE2 * sizeof(short));
+          blk[0] = (col % hs > 0) ? rows[0][col - 1][0]
+                                  : prev_dc[col + hs - 1];
+        }
+      }
+      for (long col = 0; col < pad_wbs[i]; ++col)
+        prev_dc[col] = rows[0][col][0];
+    }
+    free(prev_dc);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  int rc = 0;
+  if (mem_len <= out_cap) {
+    memcpy(out, mem, mem_len);
+    *out_len = mem_len;
+  } else {
+    rc = 3;
+  }
+  free(mem);
+  return rc;
+}
+
 // ---- Batched multithreaded decode (input pipeline hot path) ----
 
 struct BatchTask {

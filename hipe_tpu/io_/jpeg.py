@@ -96,6 +96,16 @@ def _load() -> ctypes.CDLL | None:
             u8p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
         ]
         lib.hipe_jpeg_encode_opts.restype = ctypes.c_int
+        lib.hipe_jpeg_write_coefs.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(i16p),
+            u8p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.hipe_jpeg_write_coefs.restype = ctypes.c_int
+        lib.hipe_jpeg_quality_tables.argtypes = [
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint16),
+        ]
+        lib.hipe_jpeg_quality_tables.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -285,6 +295,57 @@ def encode_bytes_opts(
     )
     if rc != 0:
         raise ValueError(f"JPEG encode failed (rc={rc})")
+    return bytes(out[: out_len.value].tobytes())
+
+
+def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """(luma, chroma) quant tables jpeg_set_quality installs, natural order."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native codec unavailable")
+    qtabs = np.zeros((2, 64), dtype=np.uint16)
+    rc = lib.hipe_jpeg_quality_tables(
+        quality, qtabs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+    )
+    if rc != 0:
+        raise ValueError(f"quality table query failed (rc={rc})")
+    return qtabs[0].copy(), qtabs[1].copy()
+
+
+def write_coefficients(
+    coefs: list[np.ndarray],
+    width: int,
+    height: int,
+    quality: int = 90,
+    subsampling: str = "420",
+    progressive: bool = False,
+) -> bytes:
+    """Entropy-encode quantized DCT coefficients into a full JPEG.
+
+    The host half of the TPU-side encode (ops/jpeg_encode.py computes the
+    coefficients on device). coefs[i]: (Hb_i, Wb_i, 64) int16 in natural
+    order, the unpadded block grid; MCU-edge dummy blocks are synthesized
+    natively with the direct encoder's jccoefct.c semantics, so for
+    matching coefficients the output file is byte-identical to
+    encode_bytes_opts on the same pixels.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native codec unavailable")
+    ncomps = len(coefs)
+    sub_code = {"420": 0, "444": 1, "422": 2}[subsampling]
+    arrays = [np.ascontiguousarray(a, dtype=np.int16) for a in coefs]
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    ptrs = (i16p * ncomps)(*[a.ctypes.data_as(i16p) for a in arrays])
+    cap = ctypes.c_size_t(width * height * 3 + 65536)
+    out = np.empty(cap.value, dtype=np.uint8)
+    out_len = ctypes.c_size_t()
+    rc = lib.hipe_jpeg_write_coefs(
+        width, height, ncomps, quality, sub_code, int(progressive),
+        ptrs, _as_u8p(out), cap, out_len,
+    )
+    if rc != 0:
+        raise ValueError(f"JPEG coefficient write failed (rc={rc})")
     return bytes(out[: out_len.value].tobytes())
 
 
