@@ -74,6 +74,10 @@ def _build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--decode-on-device", action="store_true",
                     help="host does entropy decode only; IDCT/upsample/"
                          "color run on the TPU fused with the filter")
+    sv.add_argument("--encode-on-device", action="store_true",
+                    help="host does entropy encode only; color/downsample/"
+                         "fDCT/quantize run on the TPU fused with the "
+                         "filter (byte-identical output files)")
     sv.add_argument("--no-encode", action="store_true",
                     help="skip output JPEG encode")
     sv.add_argument("--json", action="store_true",
@@ -204,9 +208,16 @@ def _main_serve(args) -> int:
         if args.decode_on_device else "host (native libjpeg)"
     )
     print(f"Decode: {decode_desc}")
+    encode_desc = (
+        "device (color/downsample/fDCT/quantize on TPU, entropy on host)"
+        if args.encode_on_device else "host (native libjpeg)"
+    )
+    if not args.no_encode:
+        print(f"Encode: {encode_desc}")
     serve = ServingPipeline(
         args.pipeline_name, quality=args.quality,
         decode_on_device=args.decode_on_device,
+        encode_on_device=args.encode_on_device,
     )
 
     def batches():
@@ -231,6 +242,7 @@ def _main_serve(args) -> int:
             "pipeline": args.pipeline_name,
             "num_images": n_out,
             "decode_on_device": bool(args.decode_on_device),
+            "encode_on_device": bool(args.encode_on_device),
             "img_per_s": round(st.img_per_s, 1),
             "decode_ms": round(st.decode_ms, 1),
             "device_ms": round(st.device_ms, 1),

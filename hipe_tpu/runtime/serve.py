@@ -49,6 +49,8 @@ class ServingPipeline:
         decode_threads: int | None = None,
         use_pallas: bool | None = None,
         decode_on_device: bool = False,
+        encode_on_device: bool = False,
+        encode_subsampling: str = "420",
     ):
         self.pipeline = plib.get(pipeline) if isinstance(pipeline, str) else pipeline
         self.device = device or jax.devices()[0]
@@ -61,8 +63,17 @@ class ServingPipeline:
         # upsample + YCbCr run on the device fused with the filter
         # (ops/jpeg_decode.py), bit-exact vs the host codec.
         self.decode_on_device = decode_on_device
+        # encode_on_device: color convert/downsample/fDCT/quantize run on
+        # the device fused with the filter (ops/jpeg_encode.py); host does
+        # only the serial entropy encode. Output bytes are identical to the
+        # host codec's. With decode_on_device too, the whole numeric
+        # transcode is one jitted program: coefficients in -> coefficients
+        # out, no pixel round trip through the host.
+        self.encode_on_device = encode_on_device
+        self.encode_subsampling = encode_subsampling
         self._fns: dict[tuple, callable] = {}
         self._fused_fns: dict[tuple, callable] = {}
+        self._enc_qtabs: tuple | None = None
         self._pool = ThreadPoolExecutor(max_workers=4)
         self.stats = ServeStats()
 
@@ -102,6 +113,8 @@ class ServingPipeline:
         return out.reshape(b, h, w, c)
 
     def _encode(self, batch: np.ndarray) -> list[bytes]:
+        if self.encode_on_device:
+            return self._encode_device(batch)
         from hipe_tpu.io_.jpeg import encode_bytes
 
         t0 = now_ms()
@@ -110,6 +123,75 @@ class ServingPipeline:
         )
         self.stats.encode_ms += now_ms() - t0
         return out
+
+    # ---- device-encode path: color/downsample/fDCT/quantize fused with
+    # the filter on device; host does only the entropy encode ----
+
+    def _encode_tables(self) -> tuple:
+        """(luma, chroma) quant tables for self.quality (cached)."""
+        if self._enc_qtabs is None:
+            from hipe_tpu.io_ import jpeg as jio
+
+            self._enc_qtabs = jio.quality_tables(self.quality)
+        return self._enc_qtabs
+
+    def _device_encode_fn(self, shape: tuple, with_filter: bool):
+        """Per-shape jitted (filter +) encode: rows -> quantized coefs."""
+        key = ("enc", shape, self.encode_subsampling, with_filter)
+        if key not in self._fns:
+            from hipe_tpu.ops import jpeg_encode as je
+
+            pipe, pallas_flag = self.pipeline, self.use_pallas
+            b, h, w, c = shape
+            geo = je.encode_geometry(h, w, c, self.encode_subsampling)
+            luma, chroma = self._encode_tables()
+            qtables = [luma] if c == 1 else [luma, chroma, chroma]
+
+            def fn(rows):
+                if with_filter:
+                    rows = pipe.apply_rows(rows, c, use_pallas=pallas_flag,
+                                           alias=pallas_flag)
+                img = rows.reshape(b, h, w, c)
+                return tuple(je.encode_planes(geo, img, qtables))
+
+            # No donation: outputs are int16 coefficient planes, never
+            # shape/dtype-compatible with the uint8 input buffer.
+            self._fns[key] = jax.jit(fn)
+        return self._fns[key]
+
+    def _entropy_encode(self, coefs: list[np.ndarray], h: int, w: int,
+                        channels: int) -> list[bytes]:
+        """Host entropy encode of per-component coef batches -> files."""
+        from hipe_tpu.io_ import jpeg as jio
+
+        t0 = now_ms()
+        sub = self.encode_subsampling if channels == 3 else "444"
+
+        def one(i):
+            return jio.write_coefficients(
+                [comp[i] for comp in coefs], w, h, quality=self.quality,
+                subsampling=sub,
+            )
+
+        out = list(self._pool.map(one, range(coefs[0].shape[0])))
+        self.stats.encode_ms += now_ms() - t0
+        return out
+
+    def _encode_device(self, batch: np.ndarray,
+                       with_filter: bool = False) -> list[bytes]:
+        """Pixels -> JPEG bytes via device fDCT (optionally filtering too).
+
+        with_filter=True is the fused pixel-input hot path: one host->device
+        trip, filter + encode in a single jitted program, only quantized
+        coefficients return to the host.
+        """
+        t0 = now_ms()
+        b, h, w, c = batch.shape
+        rows = jax.device_put(batch.reshape(b, h, w * c), self.device)
+        fn = self._device_encode_fn(batch.shape, with_filter)
+        coefs = [np.asarray(x) for x in fn(rows)]
+        self.stats.device_ms += now_ms() - t0
+        return self._entropy_encode(coefs, h, w, c)
 
     # ---- device-decode path: entropy decode on host, the rest fused with
     # the filter in one jitted program (no decoded-RGB host round trip) ----
@@ -186,9 +268,93 @@ class ServingPipeline:
         self.stats.device_ms += now_ms() - t0
         return np.stack(out)
 
+    def _fused_transcode_fn(self, geo, qkey: tuple):
+        """Per-(geometry, quant-tables) jitted decode+filter+encode program.
+
+        The full numeric transcode on device: dequant/IDCT/upsample/color
+        (ops/jpeg_decode.py) -> filter -> color/downsample/fDCT/quantize
+        (ops/jpeg_encode.py). Only entropy coding stays on the host, so a
+        coefficient batch goes in and a coefficient batch comes out.
+        """
+        key = ("transcode", geo, qkey, self.encode_subsampling)
+        if key not in self._fused_fns:
+            from hipe_tpu.ops import jpeg_decode as jd
+            from hipe_tpu.ops import jpeg_encode as je
+
+            qt_in = [np.array(q, dtype=np.uint16) for q in qkey]
+            pipe, pallas_flag = self.pipeline, self.use_pallas
+            h, w = geo.height, geo.width
+            c = 3 if geo.ncomps == 3 else 1
+            enc_geo = je.encode_geometry(h, w, c, self.encode_subsampling)
+            luma, chroma = self._encode_tables()
+            enc_qt = [luma] if c == 1 else [luma, chroma, chroma]
+
+            def fn(*comp_coefs):
+                rows = jd.decode_planes(geo, list(comp_coefs), qt_in,
+                                        layout="rows")
+                out = pipe.apply_rows(rows, c, use_pallas=pallas_flag,
+                                      alias=pallas_flag)
+                img = out.reshape(out.shape[0], h, w, c)
+                return tuple(je.encode_planes(enc_geo, img, enc_qt))
+
+            self._fused_fns[key] = jax.jit(fn)
+        return self._fused_fns[key]
+
+    def _transcode_device_coefs(self, payloads: list[bytes]) -> list[bytes]:
+        """Full device transcode: entropy decode -> device -> entropy encode.
+
+        Groups payloads by (geometry, quant tables) as _filter_device_coefs
+        does; unsupported geometries fall back to host decode + fused
+        device filter/encode.
+        """
+        from hipe_tpu.io_.jpeg import read_coefficients
+        from hipe_tpu.ops import jpeg_decode as jd
+
+        t0 = now_ms()
+        cos = list(self._pool.map(read_coefficients, payloads))
+        self.stats.decode_ms += now_ms() - t0
+
+        groups: dict[tuple, list[int]] = {}
+        for i, co in enumerate(cos):
+            geo = jd.geometry_of(co)
+            qkey = tuple(
+                tuple(int(v) for v in c.qtable) for c in co.components
+            )
+            groups.setdefault((geo, qkey), []).append(i)
+
+        out: list[bytes | None] = [None] * len(cos)
+        for (geo, qkey), idxs in groups.items():
+            if not jd.supported(geo):
+                batch = self._decode([payloads[i] for i in idxs])
+                res = self._encode_device(batch, with_filter=True)
+            else:
+                t0 = now_ms()
+                comp_batches = [
+                    jax.device_put(
+                        np.stack([cos[i].components[ci].coefs for i in idxs]),
+                        self.device,
+                    )
+                    for ci in range(geo.ncomps)
+                ]
+                fn = self._fused_transcode_fn(geo, qkey)
+                coefs = [np.asarray(x) for x in fn(*comp_batches)]
+                self.stats.device_ms += now_ms() - t0
+                res = self._entropy_encode(
+                    coefs, geo.height, geo.width,
+                    3 if geo.ncomps == 3 else 1,
+                )
+            for j, i in enumerate(idxs):
+                out[i] = res[j]
+        return out
+
     def process_batch(self, payloads: list[bytes],
                       encode: bool = True) -> list[bytes] | np.ndarray:
         """Synchronous single batch: decode -> filter -> (encode)."""
+        if encode and self.encode_on_device:
+            if self.decode_on_device:
+                return self._transcode_device_coefs(payloads)
+            return self._encode_device(self._decode(payloads),
+                                       with_filter=True)
         if self.decode_on_device:
             filtered = self._filter_device_coefs(payloads)
         else:
@@ -201,13 +367,18 @@ class ServingPipeline:
 
         In decode_on_device mode the prefetched host stage is just the
         entropy decode; IDCT/upsample/color run on device with the filter.
+        With encode_on_device the device stage emits JPEG bytes directly
+        (fDCT/quantize fused on device, entropy encode on host).
         """
+        fuse_encode = encode and self.encode_on_device
         if self.decode_on_device:
             def host_stage(p):
                 return p  # entropy decode runs inside the device stage pool
 
             def device_stage(payloads):
                 self.stats.images += len(payloads)
+                if fuse_encode:
+                    return self._transcode_device_coefs(payloads)
                 return self._filter_device_coefs(payloads)
         else:
             def host_stage(p):
@@ -215,6 +386,8 @@ class ServingPipeline:
 
             def device_stage(batch):
                 self.stats.images += len(batch)
+                if fuse_encode:
+                    return self._encode_device(batch, with_filter=True)
                 return self._filter_device(batch)
 
         t_start = now_ms()
@@ -222,10 +395,10 @@ class ServingPipeline:
         for payloads in payload_batches:
             fut = self._pool.submit(host_stage, payloads)
             if pending is not None:
-                filtered = device_stage(pending.result())
-                yield self._encode(filtered) if encode else filtered
+                res = device_stage(pending.result())
+                yield self._encode(res) if encode and not fuse_encode else res
             pending = fut
         if pending is not None:
-            filtered = device_stage(pending.result())
-            yield self._encode(filtered) if encode else filtered
+            res = device_stage(pending.result())
+            yield self._encode(res) if encode and not fuse_encode else res
         self.stats.wall_ms += now_ms() - t_start

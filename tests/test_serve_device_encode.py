@@ -1,0 +1,84 @@
+"""Serving pipeline with device-side JPEG encode (and full transcode).
+
+encode_on_device fuses filter + color/downsample/fDCT/quantize in one
+jitted program (ops/jpeg_encode.py); with decode_on_device too the whole
+numeric transcode runs on device, coefficients in -> coefficients out.
+Every path must emit bytes identical to the host-codec ServingPipeline
+(reference data path: `/root/reference/split_image_blur.c:106-139,548-553`).
+"""
+
+import numpy as np
+import pytest
+
+from hipe_tpu.io_ import jpeg
+from hipe_tpu.runtime.serve import ServingPipeline
+
+if not jpeg.native_available():  # pragma: no cover
+    pytest.skip("native libjpeg codec unavailable", allow_module_level=True)
+
+
+def _payloads(n=4, h=48, w=64, seed=0):
+    rng = np.random.default_rng(seed)
+    return [
+        jpeg.encode_bytes(
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8), 90
+        )
+        for _ in range(n)
+    ]
+
+
+def test_encode_on_device_matches_host_bytes():
+    payloads = _payloads()
+    ref = ServingPipeline("blur3", use_pallas=False).process_batch(payloads)
+    got = ServingPipeline(
+        "blur3", use_pallas=False, encode_on_device=True
+    ).process_batch(payloads)
+    assert got == ref
+
+
+def test_full_device_transcode_matches_host_bytes():
+    payloads = _payloads(seed=1)
+    ref = ServingPipeline("chain", use_pallas=False).process_batch(payloads)
+    sp = ServingPipeline("chain", use_pallas=False,
+                         decode_on_device=True, encode_on_device=True)
+    assert sp.process_batch(payloads) == ref
+    # Device work happened on both halves; host decode path untouched.
+    assert sp.stats.device_ms > 0 and sp.stats.encode_ms > 0
+
+
+def test_streaming_run_fused_transcode():
+    payloads = _payloads(n=6, seed=2)
+    ref = ServingPipeline("blur3", use_pallas=False).process_batch(payloads)
+    sp = ServingPipeline("blur3", use_pallas=False,
+                         decode_on_device=True, encode_on_device=True)
+    out = [b for batch in sp.run([payloads[:3], payloads[3:]])
+           for b in batch]
+    assert out == ref
+    assert sp.stats.images == 6
+
+
+def test_encode_false_still_returns_pixels():
+    payloads = _payloads(n=2, seed=3)
+    sp = ServingPipeline("blur3", use_pallas=False,
+                         decode_on_device=True, encode_on_device=True)
+    px = sp.process_batch(payloads, encode=False)
+    ref = ServingPipeline("blur3", use_pallas=False).process_batch(
+        payloads, encode=False
+    )
+    np.testing.assert_array_equal(px, ref)
+
+
+def test_mixed_quality_stream_groups_and_matches():
+    # Two quant-table groups in one batch: grouping must keep order and
+    # each file must match the host codec exactly.
+    rng = np.random.default_rng(4)
+    imgs = [rng.integers(0, 256, (32, 40, 3), dtype=np.uint8)
+            for _ in range(4)]
+    payloads = [jpeg.encode_bytes(im, q)
+                for im, q in zip(imgs, (90, 70, 90, 70))]
+    ref = ServingPipeline("blur3", use_pallas=False).process_batch(payloads)
+    got = ServingPipeline(
+        "blur3", use_pallas=False,
+        decode_on_device=True, encode_on_device=True,
+    ).process_batch(payloads)
+    assert got == ref

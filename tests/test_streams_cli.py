@@ -237,10 +237,12 @@ def test_cli_serve_mode(capsys):
 
     from hipe_tpu import cli
 
-    for extra in ([], ["--decode-on-device"]):
+    for extra in ([], ["--decode-on-device"],
+                  ["--decode-on-device", "--encode-on-device"]):
+        encode_args = ["--no-encode"] if not extra else []
         rc = cli.main([
             "serve", "blur3", "--num-images", "6", "--batch-size", "4",
-            "--quality", "85", "--no-encode", "--json",
+            "--quality", "85", *encode_args, "--json",
             "--image", "/root/reference/image_256x256.jpg", *extra,
         ])
         assert rc == 0
@@ -248,7 +250,8 @@ def test_cli_serve_mode(capsys):
         assert "SERVING RESULTS" in out
         payload = jsonlib.loads(out.strip().splitlines()[-1])
         assert payload["num_images"] == 6
-        assert payload["decode_on_device"] == bool(extra)
+        assert payload["decode_on_device"] == ("--decode-on-device" in extra)
+        assert payload["encode_on_device"] == ("--encode-on-device" in extra)
         assert payload["img_per_s"] > 0
 
 
