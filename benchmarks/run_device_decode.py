@@ -1,4 +1,4 @@
-"""Device-side JPEG decode benchmark: host codec vs the TPU decode split.
+"""Device-side JPEG codec benchmark: host codec vs the TPU decode/encode split.
 
 Measures, for a replicated JPEG stream (the reference's stream simulation,
 `/root/reference/heterogeneous_blur.c:431-442`):
@@ -8,6 +8,11 @@ Measures, for a replicated JPEG stream (the reference's stream simulation,
    (what the host must sustain to feed the device decoder)
 3. device decode (HBM-resident coefficients -> RGB) — img/s
 4. device decode fused with blur3 — img/s
+5. host entropy-only encode (jpeg_write_coefficients) — img/s
+   (what the host must sustain to drain the device encoder)
+6. device encode (HBM-resident pixels -> quantized coefficients) — img/s
+7. device transcode: decode -> blur3 -> encode, coefficients in ->
+   coefficients out in one program — img/s
 
 Device rates use the same chained pass-count differencing as bench.py so
 the ~30 ms tunnel dispatch latency cancels. The decode chain feeds a
@@ -172,6 +177,83 @@ def main() -> int:
         )
         gbs = 2 * coef_bytes / per_pass / 1e9
         log(f"{label:22s} {rate:12,.0f} img/s (~{gbs:.0f} GB/s coef traffic)")
+
+    # 5. host entropy-only encode (the drain side of the device encoder)
+    from hipe_tpu.ops import jpeg_encode as je
+
+    coef_np = [c.coefs for c in co.components]
+    h, w = img.shape[:2]
+
+    def entropy_encode_all(p):
+        return list(pool.map(
+            lambda _: jpeg.write_coefficients(coef_np, w, h, quality=quality,
+                                              subsampling="420"),
+            range(len(p)),
+        ))
+
+    rate = measure_host(entropy_encode_all, payloads)
+    results["host_entropy_encode_img_s"] = round(rate, 1)
+    log(f"host entropy encode:  {rate:12,.0f} img/s")
+
+    # encode correctness gate: device files byte-identical to libjpeg's
+    want = jpeg.encode_bytes_opts(img, quality=quality, subsampling="420")
+    got = je.encode_bytes_device(img, quality=quality, subsampling="420")
+    results["encode_byte_identical"] = bool(got == want)
+    log(f"device encode byte-identical vs libjpeg: {got == want}")
+
+    enc_geo = je.encode_geometry(h, w, 3, "420")
+    luma, chroma = jpeg.quality_tables(quality)
+    enc_qt = [luma, chroma, chroma]
+
+    # 6. device encode: HBM-resident pixels -> quantized coefficients.
+    # Chain via a data-dependent zero from the coefficients so no pass
+    # can be hoisted or elided.
+    pixels = jax.device_put(
+        np.broadcast_to(img, (num_images, *img.shape)).copy()
+    )
+
+    def encode_pass(px):
+        coefs = je.encode_planes(enc_geo, px, enc_qt)
+        z = (jnp.min(coefs[0]) >> 15).astype(jnp.uint8)
+        return px + z
+
+    @jax.jit
+    def encode_chained(px, r):
+        out = lax.fori_loop(0, r, lambda i, x: encode_pass(x), px)
+        return jnp.sum(out[::97, ::3, ::5, ::7].astype(jnp.int32))
+
+    per_pass = measure_device_chain(
+        jax.jit(encode_chained, static_argnames="r"), pixels, passes=passes
+    )
+    rate = num_images / per_pass
+    results["device_encode_img_s"] = round(rate, 1)
+    log(f"device_encode          {rate:12,.0f} img/s")
+
+    # 7. full device transcode: decode -> blur3 -> encode. The encoder's
+    # output coefficient grids have the decoder's input shapes (same
+    # geometry/subsampling), so each pass's output feeds the next pass
+    # directly — the chain *is* the workload, no synthetic carry needed.
+    def transcode_pass(arrs):
+        rgb = jd.decode_planes(geo, list(arrs), qtables)
+        b, hh, ww, c = rgb.shape
+        rows = pipe.apply_rows(rgb.reshape(b, hh, ww * c), c,
+                               use_pallas=on_tpu, alias=on_tpu)
+        return list(je.encode_planes(enc_geo, rows.reshape(b, hh, ww, c),
+                                     enc_qt))
+
+    @jax.jit
+    def transcode_chained(arrs, r):
+        out = lax.fori_loop(0, r, lambda i, x: transcode_pass(x), arrs)
+        return sum(jnp.sum(a[::97, ::3, ::5, ::7].astype(jnp.int32))
+                   for a in out)
+
+    per_pass = measure_device_chain(
+        jax.jit(transcode_chained, static_argnames="r"), comp_batches,
+        passes=passes,
+    )
+    rate = num_images / per_pass
+    results["device_transcode_blur3_img_s"] = round(rate, 1)
+    log(f"device_transcode_blur3 {rate:12,.0f} img/s")
 
     print(json.dumps(results))
     return 0
