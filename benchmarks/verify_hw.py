@@ -29,6 +29,10 @@ def decode_file_4k():
 def main() -> int:
     import jax.numpy as jnp
 
+    from hipe_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from hipe_tpu.models import pipelines as plib
     from hipe_tpu.ops import pallas_blur
     from hipe_tpu.ops import reference as oracle
@@ -184,6 +188,46 @@ def main() -> int:
         got = np.asarray(pipe.apply_rows(rows, 3)).reshape(batch.shape)
         want = np.stack([ofn(b) for b in batch])
         total_err += check(f"pipeline/{name} 64x128", got, want)
+
+    # Device JPEG codec on silicon: decode bit-exact vs libjpeg, encode
+    # byte-identical files, full transcode == host codec loop.
+    from hipe_tpu.io_ import jpeg as jio
+    from hipe_tpu.ops import jpeg_decode as jd
+    from hipe_tpu.ops import jpeg_encode as je
+    from hipe_tpu.runtime.serve import ServingPipeline
+
+    for tag, (ch, cw, q, sub) in {
+        "256x256_q90_420": (256, 256, 90, "420"),
+        "33x17_q75_420": (33, 17, 75, "420"),
+        "64x80_q85_422": (64, 80, 85, "422"),
+        "48x56_q92_444": (48, 56, 92, "444"),
+    }.items():
+        img = checker_image(ch, cw, 3, seed=7)
+        payload = jio.encode_bytes_opts(img, quality=q, subsampling=sub)
+        dev = np.asarray(jd.decode_coefficients(jio.read_coefficients(payload)))
+        total_err += check(f"jpeg/device_decode {tag}", dev,
+                           jio.decode_bytes(payload))
+        dev_file = je.encode_bytes_device(img, quality=q, subsampling=sub)
+        want_file = jio.encode_bytes_opts(img, quality=q, subsampling=sub)
+        byte_err = 0 if dev_file == want_file else 1
+        rows_out.append((f"jpeg/device_encode {tag} (byte-identity)",
+                         img.shape, byte_err))
+        print(f"{'OK ' if byte_err == 0 else 'ERR'} jpeg/device_encode {tag}",
+              flush=True)
+        total_err += byte_err
+
+    tr = ServingPipeline("chain", decode_on_device=True,
+                         encode_on_device=True)
+    host_sp = ServingPipeline("chain")
+    img = checker_image(96, 112, 3, seed=9)
+    payloads = [jio.encode_bytes(img, 90)] * 3
+    tr_err = 0 if tr.process_batch(payloads) == host_sp.process_batch(
+        payloads) else 1
+    rows_out.append(("jpeg/device_transcode chain 96x112 (byte-identity)",
+                     img.shape, tr_err))
+    print(f"{'OK ' if tr_err == 0 else 'ERR'} jpeg/device_transcode chain",
+          flush=True)
+    total_err += tr_err
 
     # Golden artifact cross-check (JPEG round-trip tolerance)
     from hipe_tpu.io_.jpeg import decode_file
