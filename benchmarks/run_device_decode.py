@@ -214,7 +214,10 @@ def main() -> int:
 
     def encode_pass(px):
         coefs = je.encode_planes(enc_geo, px, enc_qt)
-        z = (jnp.min(coefs[0]) >> 15).astype(jnp.uint8)
+        # feedback consumes ALL components (a z from coefs[0] alone lets
+        # XLA dead-code the chroma encodes and overstate the rate ~2x)
+        z = ((jnp.min(coefs[0]) + jnp.min(coefs[1]) + jnp.min(coefs[2]))
+             >> 15).astype(jnp.uint8)
         return px + z
 
     @jax.jit

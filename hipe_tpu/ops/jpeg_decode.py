@@ -448,6 +448,8 @@ def decode_planes(
     comp_coefs: list[jnp.ndarray],
     qtables: list[np.ndarray],
     layout: str = "hwc",
+    pallas_idct: bool = False,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Finish decoding on device: coefficients -> decoded uint8 pixels.
 
@@ -459,32 +461,55 @@ def decode_planes(
     framework's canonical interleaved-rows device layout (4-D NHWC uint8
     tiles pathologically on TPU — see utils/images.py). The two are a free
     reshape of one another; on-device consumers should take "rows".
+
+    pallas_idct: run dequantize + both IDCT passes in one fused Pallas
+    kernel per component (ops/pallas_dct.py) — every pass intermediate
+    stays in VMEM instead of round-tripping HBM as int32 plane sets.
+    Bit-identical to the XLA path (same traced arithmetic).
     """
     if not supported(geo):
         raise ValueError(f"unsupported sampling geometry: {geo.comps}")
     if geo.ncomps == 1:
-        y = idct8x8_islow(comp_coefs[0], qtables[0])
+        if pallas_idct:
+            from hipe_tpu.ops.pallas_dct import dequant_idct_planes_pallas
+
+            hb, wb = comp_coefs[0].shape[-3], comp_coefs[0].shape[-2]
+            planes = dequant_idct_planes_pallas(
+                comp_coefs[0], qtables[0], interpret=interpret
+            )
+            y = _grid_from_planes(planes, hb, wb, range(8), range(8))
+        else:
+            y = idct8x8_islow(comp_coefs[0], qtables[0])
         y = y[..., : geo.height, : geo.width]
         return y if layout == "rows" else y[..., None]
-    # All three components' IDCTs run as ONE unrolled plane graph: the
-    # dequantized planes are concatenated along the flattened block-grid
-    # (lane) axis, so the per-op shapes are 1.5x larger and the op count
-    # is 1/3rd of three separate IDCTs.
-    dqs = [
-        _dequant_planes(comp_coefs[ci], qtables[ci]) for ci in range(3)
-    ]
-    ns = [
-        comp_coefs[ci].shape[-3] * comp_coefs[ci].shape[-2]
-        for ci in range(3)
-    ]
-    cat = [
-        jnp.concatenate([dqs[0][k], dqs[1][k], dqs[2][k]], axis=-1)
-        for k in range(64)
-    ]
-    out = _idct_planes_core(cat)
-    y_planes = [o[..., : ns[0]] for o in out]
-    cb_planes = [o[..., ns[0] : ns[0] + ns[1]] for o in out]
-    cr_planes = [o[..., ns[0] + ns[1] :] for o in out]
+    if pallas_idct:
+        from hipe_tpu.ops.pallas_dct import dequant_idct_planes_pallas
+
+        y_planes, cb_planes, cr_planes = (
+            dequant_idct_planes_pallas(comp_coefs[ci], qtables[ci],
+                                       interpret=interpret)
+            for ci in range(3)
+        )
+    else:
+        # All three components' IDCTs run as ONE unrolled plane graph: the
+        # dequantized planes are concatenated along the flattened block-grid
+        # (lane) axis, so the per-op shapes are 1.5x larger and the op count
+        # is 1/3rd of three separate IDCTs.
+        dqs = [
+            _dequant_planes(comp_coefs[ci], qtables[ci]) for ci in range(3)
+        ]
+        ns = [
+            comp_coefs[ci].shape[-3] * comp_coefs[ci].shape[-2]
+            for ci in range(3)
+        ]
+        cat = [
+            jnp.concatenate([dqs[0][k], dqs[1][k], dqs[2][k]], axis=-1)
+            for k in range(64)
+        ]
+        out = _idct_planes_core(cat)
+        y_planes = [o[..., : ns[0]] for o in out]
+        cb_planes = [o[..., ns[0] : ns[0] + ns[1]] for o in out]
+        cr_planes = [o[..., ns[0] + ns[1] :] for o in out]
     rows = _decode_rgb_rows_from_planes(geo, y_planes, cb_planes, cr_planes)
     if layout == "rows":
         return rows

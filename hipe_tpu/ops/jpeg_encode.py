@@ -206,14 +206,26 @@ def _planes_from_grid(grid: jnp.ndarray) -> tuple[list, int, int]:
     return planes, hb, wb
 
 
-def fdct_quantize(plane: jnp.ndarray, qtable: np.ndarray) -> jnp.ndarray:
+def fdct_quantize(plane: jnp.ndarray, qtable: np.ndarray,
+                  pallas: bool = False,
+                  interpret: bool = False) -> jnp.ndarray:
     """Sample plane -> quantized DCT coefficients, bit-exact vs libjpeg.
 
     plane: (..., hb*8, wb*8) int32 samples in [0, 255] (block-multiple
     dims; caller pads). Returns (..., hb, wb, 64) int16 natural-order
     quantized coefficients — exactly what jpeg_read_coefficients would
     report for these pixels.
+
+    pallas: run level-shift + both fDCT passes + quantize in one fused
+    Pallas kernel (ops/pallas_dct.py), VMEM-resident intermediates;
+    bit-identical output.
     """
+    if pallas:
+        from hipe_tpu.ops.pallas_dct import fdct_quantize_planes_pallas
+
+        planes_u8, hb, wb = _planes_from_grid(plane.astype(jnp.uint8))
+        return fdct_quantize_planes_pallas(planes_u8, hb, wb, qtable,
+                                           interpret=interpret)
     planes, hb, wb = _planes_from_grid(plane.astype(jnp.int32) - 128)
     # Row pass (jcfdctint pass 1: walks columns within each row).
     ws: list = [None] * 64
@@ -264,12 +276,15 @@ def encode_planes(
     geo: DecodeGeometry,
     img: jnp.ndarray,
     qtables: list[np.ndarray],
+    pallas: bool = False,
+    interpret: bool = False,
 ) -> list[jnp.ndarray]:
     """Device encode: pixels -> per-component quantized coefficients.
 
     img: (..., H, W, C) uint8 (or (..., H, W) for grayscale). Returns
     [(..., Hb_i, Wb_i, 64) int16] matching libjpeg's own coefficients for
-    the same pixels/quality/subsampling bit-for-bit.
+    the same pixels/quality/subsampling bit-for-bit. pallas: fused
+    fDCT+quantize kernel (see fdct_quantize).
     """
     hgt, wid = geo.height, geo.width
     if geo.ncomps == 1:
@@ -283,7 +298,7 @@ def encode_planes(
             raise ValueError(f"bad grayscale shape {img.shape}")
         _, _, wb, hb = geo.comps[0]
         yp = _pad_edge(y.astype(jnp.int32), hb * 8, wb * 8)
-        return [fdct_quantize(yp, qtables[0])]
+        return [fdct_quantize(yp, qtables[0], pallas, interpret)]
     hs, vs = geo.max_h, geo.max_v
     y, cb, cr = rgb_to_ycc(img)
     _, _, ywb, yhb = geo.comps[0]
@@ -309,9 +324,9 @@ def encode_planes(
     cb = _pad_edge(cb, chb * 8, cwb * 8)
     cr = _pad_edge(cr, chb * 8, cwb * 8)
     return [
-        fdct_quantize(y[..., :, : ywb * 8], qtables[0]),
-        fdct_quantize(cb, qtables[1]),
-        fdct_quantize(cr, qtables[2]),
+        fdct_quantize(y[..., :, : ywb * 8], qtables[0], pallas, interpret),
+        fdct_quantize(cb, qtables[1], pallas, interpret),
+        fdct_quantize(cr, qtables[2], pallas, interpret),
     ]
 
 
