@@ -102,45 +102,35 @@ def _pad_edge(x: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
     return x
 
 
-def _phase(x: jnp.ndarray, pr: int | None, pc: int) -> jnp.ndarray:
-    """Parity subsample via reshape+slice (no strided gather)."""
-    h, w = x.shape[-2], x.shape[-1]
-    x = x.reshape(*x.shape[:-1], w // 2, 2)[..., pc]
-    if pr is not None:
-        x = x.reshape(*x.shape[:-2], h // 2, 2, x.shape[-1])[..., pr, :]
-    return x
+def _alternating_bias(w: int, even: int, odd: int) -> np.ndarray:
+    """jcsample.c's per-output-column rounding bias as a broadcast vector.
+
+    The bias depends only on output-column parity, so instead of parity
+    phase-splitting (4 lane-strided gathers + a stack interleave, the
+    round-1 formulation) it is a periodic constant added in place.
+    """
+    assert w % 2 == 0, w
+    return np.tile(np.array([even, odd], dtype=np.int32), w // 2)
 
 
 def downsample_h2v2(plane: jnp.ndarray) -> jnp.ndarray:
     """2x2 average, bit-exact vs jcsample.c h2v2_downsample.
 
     plane: (..., 2h, 2w) int32 with even dims. The rounding bias
-    alternates 1, 2, 1, 2 by output column.
+    alternates 1, 2, 1, 2 by output column. One reshape-reduce for the
+    2x2 sums + a broadcast bias vector — no strided parity gathers.
     """
-    p00 = _phase(plane, 0, 0)
-    p01 = _phase(plane, 0, 1)
-    p10 = _phase(plane, 1, 0)
-    p11 = _phase(plane, 1, 1)
-    s = p00 + p01 + p10 + p11
-    # Bias by output column parity. The output width is always even here
-    # (the caller pads to the iMCU grid: multiples of 16 -> w = 8k).
-    w = s.shape[-1]
-    assert w % 2 == 0, w
-    s2 = s.reshape(*s.shape[:-1], w // 2, 2)
-    return jnp.stack([(s2[..., 0] + 1) >> 2, (s2[..., 1] + 2) >> 2],
-                     axis=-1).reshape(*s.shape[:-1], w)
+    h2, w2 = plane.shape[-2] // 2, plane.shape[-1] // 2
+    x = plane.reshape(*plane.shape[:-2], h2, 2, w2, 2)
+    s = x.sum(axis=(-3, -1))
+    return (s + _alternating_bias(w2, 1, 2)) >> 2
 
 
 def downsample_h2v1(plane: jnp.ndarray) -> jnp.ndarray:
     """2x1 average, bit-exact vs jcsample.c h2v1_downsample (bias 0,1)."""
-    p0 = _phase(plane, None, 0)
-    p1 = _phase(plane, None, 1)
-    s = p0 + p1
-    w = s.shape[-1]
-    assert w % 2 == 0, w
-    s2 = s.reshape(*s.shape[:-1], w // 2, 2)
-    return jnp.stack([s2[..., 0] >> 1, (s2[..., 1] + 1) >> 1],
-                     axis=-1).reshape(*s.shape[:-1], w)
+    w2 = plane.shape[-1] // 2
+    s = plane.reshape(*plane.shape[:-1], w2, 2).sum(axis=-1)
+    return (s + _alternating_bias(w2, 0, 1)) >> 1
 
 
 def _fdct_1d(d: list[jnp.ndarray], final: bool) -> list[jnp.ndarray]:
