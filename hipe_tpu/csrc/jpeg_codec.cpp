@@ -355,10 +355,14 @@ int hipe_jpeg_write_coefs(int w, int h, int c, int quality, int subsamp,
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit_handler;
   unsigned char* mem = nullptr;
+  // volatile: assigned between setjmp and a possible longjmp, and must
+  // be freed in the handler (a leak per failed call otherwise).
+  short* volatile prev_dc = nullptr;
   unsigned long mem_len = 0;
   if (setjmp(jerr.jump)) {
     jpeg_destroy_compress(&cinfo);
     if (mem) free(mem);
+    if (prev_dc) free(prev_dc);
     return 1;
   }
   jpeg_create_compress(&cinfo);
@@ -412,8 +416,12 @@ int hipe_jpeg_write_coefs(int w, int h, int c, int quality, int subsamp,
     // order, i.e. the left neighbor, or for the first block of a dummy
     // block-row the last block of the previous row in the same MCU
     // (jccoefct.c "DC entries equal to previous block's DC value").
-    short* prev_dc =
-        static_cast<short*>(calloc(pad_wbs[i], sizeof(short)));
+    prev_dc = static_cast<short*>(calloc(pad_wbs[i], sizeof(short)));
+    if (!prev_dc) {
+      jpeg_destroy_compress(&cinfo);
+      if (mem) free(mem);
+      return 2;
+    }
     for (long row = 0; row < pad_hbs[i]; ++row) {
       JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
           (j_common_ptr)&cinfo, coef_arrays[i], (JDIMENSION)row, 1, TRUE);
@@ -432,6 +440,7 @@ int hipe_jpeg_write_coefs(int w, int h, int c, int quality, int subsamp,
         prev_dc[col] = rows[0][col][0];
     }
     free(prev_dc);
+    prev_dc = nullptr;
   }
   jpeg_finish_compress(&cinfo);
   jpeg_destroy_compress(&cinfo);

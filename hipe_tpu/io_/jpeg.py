@@ -335,6 +335,25 @@ def write_coefficients(
     ncomps = len(coefs)
     sub_code = {"420": 0, "444": 1, "422": 2}[subsampling]
     arrays = [np.ascontiguousarray(a, dtype=np.int16) for a in coefs]
+    # Validate shapes against the geometry the native writer will walk —
+    # a mis-shaped array would otherwise be an out-of-bounds heap read
+    # in C, not a Python error.
+    if ncomps == 1:
+        samps = [(1, 1)]
+    else:
+        hs, vs = {"420": (2, 2), "422": (2, 1), "444": (1, 1)}[subsampling]
+        samps = [(hs, vs), (1, 1), (1, 1)]
+    max_h = max(s[0] for s in samps)
+    max_v = max(s[1] for s in samps)
+    for i, (a, (h_samp, v_samp)) in enumerate(zip(arrays, samps)):
+        wb = -(-width * h_samp // (8 * max_h))
+        hb = -(-height * v_samp // (8 * max_v))
+        if a.shape != (hb, wb, 64):
+            raise ValueError(
+                f"component {i} coefficients have shape {a.shape}, "
+                f"expected ({hb}, {wb}, 64) for {width}x{height} "
+                f"subsampling={subsampling!r}"
+            )
     i16p = ctypes.POINTER(ctypes.c_int16)
     ptrs = (i16p * ncomps)(*[a.ctypes.data_as(i16p) for a in arrays])
     cap = ctypes.c_size_t(width * height * 3 + 65536)

@@ -196,6 +196,26 @@ def _planes_from_grid(grid: jnp.ndarray) -> tuple[list, int, int]:
     return planes, hb, wb
 
 
+def _fdct_planes_core(planes: list) -> list:
+    """64 level-shifted int32 planes -> 64 unquantized fDCT planes.
+
+    Row pass (jcfdctint pass 1: walks columns within each row), then
+    column pass — the mirror of jpeg_decode._idct_planes_core, shared by
+    the XLA path and the Pallas kernel so the two cannot diverge.
+    """
+    ws: list = [None] * 64
+    for r in range(8):
+        row = _fdct_1d([planes[r * 8 + c] for c in range(8)], final=False)
+        for c in range(8):
+            ws[r * 8 + c] = row[c]
+    out: list = [None] * 64
+    for c in range(8):
+        col = _fdct_1d([ws[r * 8 + c] for r in range(8)], final=True)
+        for r in range(8):
+            out[r * 8 + c] = col[r]
+    return out
+
+
 def fdct_quantize(plane: jnp.ndarray, qtable: np.ndarray,
                   pallas: bool = False,
                   interpret: bool = False) -> jnp.ndarray:
@@ -217,18 +237,7 @@ def fdct_quantize(plane: jnp.ndarray, qtable: np.ndarray,
         return fdct_quantize_planes_pallas(planes_u8, hb, wb, qtable,
                                            interpret=interpret)
     planes, hb, wb = _planes_from_grid(plane.astype(jnp.int32) - 128)
-    # Row pass (jcfdctint pass 1: walks columns within each row).
-    ws: list = [None] * 64
-    for r in range(8):
-        row = _fdct_1d([planes[r * 8 + c] for c in range(8)], final=False)
-        for c in range(8):
-            ws[r * 8 + c] = row[c]
-    # Column pass.
-    out: list = [None] * 64
-    for c in range(8):
-        col = _fdct_1d([ws[r * 8 + c] for r in range(8)], final=True)
-        for r in range(8):
-            out[r * 8 + c] = col[r]
+    out = _fdct_planes_core(planes)
     # Quantize: divisors = quantval << 3 (jcdct.c start_pass_fdctmgr),
     # sign-aware round-half-away division (forward_DCT).
     q = np.asarray(qtable, dtype=np.int64)

@@ -153,21 +153,12 @@ def _quantize_exact(t: jnp.ndarray, qd: int) -> jnp.ndarray:
 
 
 def _fdct_kernel(in_ref, out_ref, *, q: tuple):
-    from hipe_tpu.ops.jpeg_encode import _fdct_1d
+    from hipe_tpu.ops.jpeg_encode import _fdct_planes_core
 
     planes = [
         in_ref[:, p, :].astype(jnp.int32) - 128 for p in range(64)
     ]
-    ws: list = [None] * 64
-    for r in range(8):
-        row = _fdct_1d([planes[r * 8 + c] for c in range(8)], final=False)
-        for c in range(8):
-            ws[r * 8 + c] = row[c]
-    out: list = [None] * 64
-    for c in range(8):
-        col = _fdct_1d([ws[r * 8 + c] for r in range(8)], final=True)
-        for r in range(8):
-            out[r * 8 + c] = col[r]
+    out = _fdct_planes_core(planes)
     for p in range(64):
         out_ref[:, p, :] = _quantize_exact(out[p], int(q[p]) << 3)
 
