@@ -58,6 +58,13 @@ def test_grayscale():
     _assert_byte_identical(_rand(21, 13, 1, seed=5), quality=80)
 
 
+def test_progressive():
+    # Progressive changes only the entropy coding; the device-computed
+    # coefficients feed jpeg_simple_progression identically.
+    _assert_byte_identical(_rand(20, 28, 3, seed=9), quality=88,
+                           subsampling="420", progressive=True)
+
+
 def test_roundtrip_write_coefficients():
     # The native coefficient writer alone: read-back coefficients of a
     # libjpeg file re-entropy-encode to the identical file.
