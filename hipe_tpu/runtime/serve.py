@@ -266,6 +266,12 @@ class ServingPipeline:
             for j, i in enumerate(idxs):
                 out[i] = res[j]
         self.stats.device_ms += now_ms() - t0
+        if len({o.shape for o in out}) > 1:
+            raise ValueError(
+                "mixed-resolution batch cannot return one pixel array; "
+                "use uniform-size batches (MixedResolutionStream yields "
+                "them) or encode=True, which returns per-image JPEG bytes"
+            )
         return np.stack(out)
 
     def _fused_transcode_fn(self, geo, qkey: tuple):

@@ -82,3 +82,22 @@ def test_mixed_quality_stream_groups_and_matches():
         decode_on_device=True, encode_on_device=True,
     ).process_batch(payloads)
     assert got == ref
+
+
+def test_mixed_resolution_transcode_and_clear_pixel_error():
+    # Mixed geometries in ONE batch: the transcode path returns per-image
+    # bytes; the pixel-return path raises a clear error (not numpy's
+    # shape complaint).
+    rng = np.random.default_rng(6)
+    a = jpeg.encode_bytes(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8), 90)
+    b = jpeg.encode_bytes(rng.integers(0, 256, (48, 64, 3), dtype=np.uint8), 90)
+    sp = ServingPipeline("blur3", use_pallas=False,
+                         decode_on_device=True, encode_on_device=True)
+    outs = sp.process_batch([a, b, a])
+    # The host codec path needs uniform batches — reference per image.
+    host = ServingPipeline("blur3", use_pallas=False)
+    ref = [host.process_batch([p])[0] for p in (a, b, a)]
+    assert outs == ref
+    sp2 = ServingPipeline("blur3", use_pallas=False, decode_on_device=True)
+    with pytest.raises(ValueError, match="mixed-resolution"):
+        sp2.process_batch([a, b], encode=False)
