@@ -61,4 +61,12 @@ def __getattr__(name):
         from hipe_tpu.parallel.image_level import make_image_level_fn
 
         return make_image_level_fn
+    if name == "decode_coefficients":
+        from hipe_tpu.ops.jpeg_decode import decode_coefficients
+
+        return decode_coefficients
+    if name == "encode_bytes_device":
+        from hipe_tpu.ops.jpeg_encode import encode_bytes_device
+
+        return encode_bytes_device
     raise AttributeError(name)
