@@ -221,10 +221,17 @@ def _main_serve(args) -> int:
     )
 
     def batches():
+        # Mixed-resolution streams alternate source images ACROSS batches
+        # (uniform within a batch): the serving contract for pixel-array
+        # returns, and what the per-shape jit cache is built for.
+        # (Interleaving sizes within one batch crashed the host-decode
+        # path before this.)
         sent = 0
+        bi = 0
         while sent < args.num_images:
             n = min(batch, args.num_images - sent)
-            yield [payloads[(sent + i) % len(payloads)] for i in range(n)]
+            yield [payloads[bi % len(payloads)]] * n
+            bi += 1
             sent += n
 
     n_out = sum(len(r) for r in serve.run(batches(),

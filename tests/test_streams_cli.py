@@ -259,3 +259,22 @@ def test_cli_serve_unknown_pipeline():
     from hipe_tpu import cli
 
     assert cli.main(["serve", "nosuch", "--num-images", "4"]) == 1
+
+
+def test_cli_serve_mixed_resolution_all_modes(capsys):
+    """Mixed --image a,b streams: uniform batches per source, every codec
+    placement works (interleaving sizes within one batch crashed the
+    host-decode path before the per-batch cycling fix)."""
+    from hipe_tpu import cli
+
+    imgs = ("/root/reference/image_256x256.jpg,"
+            "/root/reference/image_320x240.jpg")
+    for extra in ([], ["--decode-on-device"],
+                  ["--decode-on-device", "--encode-on-device"],
+                  ["--no-encode"]):
+        rc = cli.main([
+            "serve", "blur3", "--num-images", "8", "--batch-size", "4",
+            "--image", imgs, *extra,
+        ])
+        capsys.readouterr()
+        assert rc == 0, extra
