@@ -78,6 +78,9 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="host does entropy encode only; color/downsample/"
                          "fDCT/quantize run on the TPU fused with the "
                          "filter (byte-identical output files)")
+    sv.add_argument("--thumbnail", action="store_true",
+                    help="half-size outputs: filter, then an exact 2x2 "
+                         "average (jcsample rounding), then encode")
     sv.add_argument("--no-encode", action="store_true",
                     help="skip output JPEG encode")
     sv.add_argument("--json", action="store_true",
@@ -214,10 +217,13 @@ def _main_serve(args) -> int:
     )
     if not args.no_encode:
         print(f"Encode: {encode_desc}")
+    if args.thumbnail:
+        print("Output: half-size thumbnails (exact 2x2 average)")
     serve = ServingPipeline(
         args.pipeline_name, quality=args.quality,
         decode_on_device=args.decode_on_device,
         encode_on_device=args.encode_on_device,
+        output_scale=2 if args.thumbnail else 1,
     )
 
     def batches():

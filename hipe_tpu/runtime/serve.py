@@ -19,6 +19,7 @@ from typing import Iterable, Iterator
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 from hipe_tpu.models import pipelines as plib
 from hipe_tpu.profiling.events import now_ms
@@ -51,6 +52,7 @@ class ServingPipeline:
         decode_on_device: bool = False,
         encode_on_device: bool = False,
         encode_subsampling: str = "420",
+        output_scale: int = 1,
     ):
         self.pipeline = plib.get(pipeline) if isinstance(pipeline, str) else pipeline
         self.device = device or jax.devices()[0]
@@ -71,27 +73,66 @@ class ServingPipeline:
         # out, no pixel round trip through the host.
         self.encode_on_device = encode_on_device
         self.encode_subsampling = encode_subsampling
+        # output_scale=2: thumbnail serving — after the filter, an exact
+        # 2x2 average (jcsample.c h2v2 rounding, ops/jpeg_encode.py
+        # downsample_h2v2 per channel, edge-replicated to even dims)
+        # halves each output dimension. This is a decode-then-downscale
+        # contract defined by this framework (NOT libjpeg's DCT-domain
+        # scale_num/8 modes), exact and testable against its own oracle.
+        if output_scale not in (1, 2):
+            raise ValueError(f"output_scale must be 1 or 2, got {output_scale}")
+        self.output_scale = output_scale
         self._fns: dict[tuple, callable] = {}
         self._fused_fns: dict[tuple, callable] = {}
         self._enc_qtabs: tuple | None = None
         self._pool = ThreadPoolExecutor(max_workers=4)
         self.stats = ServeStats()
 
+    def _out_dims(self, h: int, w: int) -> tuple[int, int]:
+        """Output pixel dims after the optional thumbnail downscale."""
+        if self.output_scale == 2:
+            return -(-h // 2), -(-w // 2)
+        return h, w
+
+    def _downscale_rows(self, rows: jnp.ndarray, b: int, h: int, w: int,
+                        c: int) -> jnp.ndarray:
+        """Exact 2x thumbnail: per-channel jcsample h2v2 average.
+
+        Edge-replicates odd dims to even (jcsample expand semantics),
+        then (sum of 2x2 + alternating bias) >> 2 per channel — the same
+        bit-exact averaging the device encoder uses for chroma.
+        """
+        from hipe_tpu.ops.jpeg_encode import _pad_edge, downsample_h2v2
+
+        img = jnp.moveaxis(
+            rows.reshape(b, h, w, c).astype(jnp.int32), -1, 1
+        )  # (b, c, h, w): planar so the lane axis is W, not W*C
+        img = _pad_edge(img, 2 * -(-h // 2), 2 * -(-w // 2))
+        small = downsample_h2v2(img)
+        small = jnp.moveaxis(small, 1, -1).astype(jnp.uint8)
+        h2, w2 = small.shape[1], small.shape[2]
+        return small.reshape(b, h2, w2 * c)
+
     def _device_fn(self, shape: tuple):
         """Per-shape jitted NHWC filter (planar Pallas path on TPU)."""
         if shape not in self._fns:
             pipe, pallas_flag = self.pipeline, self.use_pallas
-            channels = shape[3]
+            b, h, w, channels = shape
+            scale = self.output_scale
 
             def fn(rows):
                 # The staged input is dead after the call: donate it and run
                 # the Pallas kernel in place (~2x DMA, see ops.pallas_blur).
-                return pipe.apply_rows(rows, channels,
-                                       use_pallas=pallas_flag,
-                                       alias=pallas_flag)
+                out = pipe.apply_rows(rows, channels,
+                                      use_pallas=pallas_flag,
+                                      alias=pallas_flag)
+                if scale == 2:
+                    out = self._downscale_rows(out, rows.shape[0], h, w,
+                                               channels)
+                return out
 
             self._fns[shape] = jax.jit(
-                fn, donate_argnums=0 if pallas_flag else ()
+                fn, donate_argnums=0 if (pallas_flag and scale == 1) else ()
             )
         return self._fns[shape]
 
@@ -110,7 +151,8 @@ class ServingPipeline:
         rows = jax.device_put(batch.reshape(b, h, w * c), self.device)
         out = np.asarray(self._device_fn(batch.shape)(rows))
         self.stats.device_ms += now_ms() - t0
-        return out.reshape(b, h, w, c)
+        oh, ow = self._out_dims(h, w)
+        return out.reshape(b, oh, ow, c)
 
     def _encode(self, batch: np.ndarray) -> list[bytes]:
         if self.encode_on_device:
@@ -137,21 +179,27 @@ class ServingPipeline:
 
     def _device_encode_fn(self, shape: tuple, with_filter: bool):
         """Per-shape jitted (filter +) encode: rows -> quantized coefs."""
-        key = ("enc", shape, self.encode_subsampling, with_filter)
+        key = ("enc", shape, self.encode_subsampling, with_filter,
+               self.output_scale)
         if key not in self._fns:
             from hipe_tpu.ops import jpeg_encode as je
 
             pipe, pallas_flag = self.pipeline, self.use_pallas
             b, h, w, c = shape
-            geo = je.encode_geometry(h, w, c, self.encode_subsampling)
+            # Downscale (if any) applies with the filter, before encode.
+            oh, ow = self._out_dims(h, w) if with_filter else (h, w)
+            geo = je.encode_geometry(oh, ow, c, self.encode_subsampling)
             luma, chroma = self._encode_tables()
             qtables = [luma] if c == 1 else [luma, chroma, chroma]
+            scale = self.output_scale
 
             def fn(rows):
                 if with_filter:
                     rows = pipe.apply_rows(rows, c, use_pallas=pallas_flag,
                                            alias=pallas_flag)
-                img = rows.reshape(b, h, w, c)
+                    if scale == 2:
+                        rows = self._downscale_rows(rows, b, h, w, c)
+                img = rows.reshape(b, oh, ow, c)
                 return tuple(je.encode_planes(geo, img, qtables))
 
             # No donation: outputs are int16 coefficient planes, never
@@ -191,19 +239,21 @@ class ServingPipeline:
         fn = self._device_encode_fn(batch.shape, with_filter)
         coefs = [np.asarray(x) for x in fn(rows)]
         self.stats.device_ms += now_ms() - t0
-        return self._entropy_encode(coefs, h, w, c)
+        oh, ow = self._out_dims(h, w) if with_filter else (h, w)
+        return self._entropy_encode(coefs, oh, ow, c)
 
     # ---- device-decode path: entropy decode on host, the rest fused with
     # the filter in one jitted program (no decoded-RGB host round trip) ----
 
     def _fused_decode_filter_fn(self, geo, qkey):
         """Per-(geometry, quant-tables) jitted decode+filter program."""
-        key = (geo, qkey)
+        key = (geo, qkey, self.output_scale)
         if key not in self._fused_fns:
             from hipe_tpu.ops import jpeg_decode as jd
 
             qtables = [np.array(q, dtype=np.uint16) for q in qkey]
             pipe, pallas_flag = self.pipeline, self.use_pallas
+            scale = self.output_scale
 
             def fn(*comp_coefs):
                 rows = jd.decode_planes(geo, list(comp_coefs), qtables,
@@ -216,7 +266,10 @@ class ServingPipeline:
                 # copy-protect (see ops.pallas_blur on input/output aliasing)
                 out = pipe.apply_rows(rows, c, use_pallas=pallas_flag,
                                       alias=pallas_flag)
-                return out.reshape(b, h, w, c)
+                if scale == 2:
+                    out = self._downscale_rows(out, b, h, w, c)
+                oh, ow = self._out_dims(h, w)
+                return out.reshape(b, oh, ow, c)
 
             self._fused_fns[key] = jax.jit(fn)
         return self._fused_fns[key]
@@ -282,7 +335,8 @@ class ServingPipeline:
         (ops/jpeg_encode.py). Only entropy coding stays on the host, so a
         coefficient batch goes in and a coefficient batch comes out.
         """
-        key = ("transcode", geo, qkey, self.encode_subsampling)
+        key = ("transcode", geo, qkey, self.encode_subsampling,
+               self.output_scale)
         if key not in self._fused_fns:
             from hipe_tpu.ops import jpeg_decode as jd
             from hipe_tpu.ops import jpeg_encode as je
@@ -291,16 +345,20 @@ class ServingPipeline:
             pipe, pallas_flag = self.pipeline, self.use_pallas
             h, w = geo.height, geo.width
             c = 3 if geo.ncomps == 3 else 1
-            enc_geo = je.encode_geometry(h, w, c, self.encode_subsampling)
+            oh, ow = self._out_dims(h, w)
+            enc_geo = je.encode_geometry(oh, ow, c, self.encode_subsampling)
             luma, chroma = self._encode_tables()
             enc_qt = [luma] if c == 1 else [luma, chroma, chroma]
+            scale = self.output_scale
 
             def fn(*comp_coefs):
                 rows = jd.decode_planes(geo, list(comp_coefs), qt_in,
                                         layout="rows")
                 out = pipe.apply_rows(rows, c, use_pallas=pallas_flag,
                                       alias=pallas_flag)
-                img = out.reshape(out.shape[0], h, w, c)
+                if scale == 2:
+                    out = self._downscale_rows(out, out.shape[0], h, w, c)
+                img = out.reshape(out.shape[0], oh, ow, c)
                 return tuple(je.encode_planes(enc_geo, img, enc_qt))
 
             self._fused_fns[key] = jax.jit(fn)
@@ -345,9 +403,9 @@ class ServingPipeline:
                 fn = self._fused_transcode_fn(geo, qkey)
                 coefs = [np.asarray(x) for x in fn(*comp_batches)]
                 self.stats.device_ms += now_ms() - t0
+                oh, ow = self._out_dims(geo.height, geo.width)
                 res = self._entropy_encode(
-                    coefs, geo.height, geo.width,
-                    3 if geo.ncomps == 3 else 1,
+                    coefs, oh, ow, 3 if geo.ncomps == 3 else 1,
                 )
             for j, i in enumerate(idxs):
                 out[i] = res[j]

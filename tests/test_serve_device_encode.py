@@ -101,3 +101,52 @@ def test_mixed_resolution_transcode_and_clear_pixel_error():
     sp2 = ServingPipeline("blur3", use_pallas=False, decode_on_device=True)
     with pytest.raises(ValueError, match="mixed-resolution"):
         sp2.process_batch([a, b], encode=False)
+
+
+def _downscale_oracle(px):
+    """jcsample-exact 2x2 average per channel, edge-replicated odd dims."""
+    import jax.numpy as jnp
+
+    from hipe_tpu.ops import jpeg_encode as je
+
+    b, h, w, c = px.shape
+    img = jnp.moveaxis(jnp.asarray(px, jnp.int32), -1, 1)
+    img = je._pad_edge(img, 2 * -(-h // 2), 2 * -(-w // 2))
+    small = je.downsample_h2v2(img)
+    return np.asarray(jnp.moveaxis(small, 1, -1)).astype(np.uint8)
+
+
+@pytest.mark.parametrize("dims", [(32, 48), (33, 47)])
+def test_output_scale_thumbnail_all_placements(dims):
+    """output_scale=2: filter -> exact h2v2 average -> encode at half size,
+    identical bytes across host/device codec placements."""
+    h, w = dims
+    rng = np.random.default_rng(11)
+    payloads = [
+        jpeg.encode_bytes(
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8), 90
+        )
+        for _ in range(2)
+    ]
+    full = ServingPipeline("blur3", use_pallas=False).process_batch(
+        payloads, encode=False
+    )
+    small = _downscale_oracle(full)
+    assert small.shape[1:3] == (-(-h // 2), -(-w // 2))
+    want = [jpeg.encode_bytes_opts(im, quality=90, subsampling="420")
+            for im in small]
+
+    for kwargs in (
+        {},
+        {"encode_on_device": True},
+        {"decode_on_device": True, "encode_on_device": True},
+    ):
+        sp = ServingPipeline("blur3", use_pallas=False, output_scale=2,
+                             **kwargs)
+        got = sp.process_batch(payloads)
+        assert got == want, kwargs
+    # pixel return path
+    px = ServingPipeline("blur3", use_pallas=False, output_scale=2,
+                         decode_on_device=True).process_batch(
+        payloads, encode=False)
+    np.testing.assert_array_equal(px, small)

@@ -278,3 +278,17 @@ def test_cli_serve_mixed_resolution_all_modes(capsys):
         ])
         capsys.readouterr()
         assert rc == 0, extra
+
+
+def test_cli_serve_thumbnail(capsys):
+    """--thumbnail emits decodable half-size JPEGs."""
+    from hipe_tpu import cli
+
+    rc = cli.main([
+        "serve", "blur3", "--num-images", "4", "--batch-size", "2",
+        "--thumbnail", "--json",
+        "--image", "/root/reference/image_256x256.jpg",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "half-size thumbnails" in out
