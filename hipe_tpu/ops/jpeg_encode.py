@@ -11,7 +11,7 @@ write_coefficients -> jpeg_write_coefficients, as jpegtran does).
 
 For identical pixels/quality/subsampling the emitted file is
 **byte-identical** to a direct libjpeg encode (asserted by
-tests/test_jpeg_device.py): the coefficients match libjpeg's exactly, and
+tests/test_jpeg_encode_device.py): the coefficients match libjpeg's exactly, and
 the native writer reproduces the direct encoder's MCU dummy-block
 semantics.
 
