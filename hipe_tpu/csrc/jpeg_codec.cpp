@@ -88,7 +88,8 @@ int hipe_jpeg_decode(const unsigned char* buf, size_t len, unsigned char* out,
 
 // Encode interleaved HWC uint8 to JPEG. Caller provides out buffer of
 // capacity out_cap; written length returned in *out_len. Returns 0 on
-// success, 3 if the output did not fit.
+// success, 3 if the output did not fit — *out_len then holds the required
+// size so the caller can retry with an exact-size buffer.
 int hipe_jpeg_encode(const unsigned char* img, int w, int h, int c,
                      int quality, unsigned char* out, size_t out_cap,
                      size_t* out_len) {
@@ -121,11 +122,11 @@ int hipe_jpeg_encode(const unsigned char* img, int w, int h, int c,
   jpeg_finish_compress(&cinfo);
   jpeg_destroy_compress(&cinfo);
   int rc = 0;
+  *out_len = mem_len;
   if (mem_len <= out_cap) {
     memcpy(out, mem, mem_len);
-    *out_len = mem_len;
   } else {
-    rc = 3;
+    rc = 3;  // *out_len reports the needed capacity
   }
   free(mem);
   return rc;
@@ -253,7 +254,8 @@ int hipe_jpeg_read_coefs(const unsigned char* buf, size_t len,
 }
 
 // Encode with explicit chroma subsampling (subsamp: 0 = encoder default
-// 4:2:0, 1 = 4:4:4, 2 = 4:2:2) and optional progressive scan script —
+// 4:2:0, 1 = 4:4:4, 2 = 4:2:2, 3 = 4:4:0 h1v2) and optional progressive
+// scan script —
 // test/bench surface for the device-decode paths. Same contract as
 // hipe_jpeg_encode otherwise.
 int hipe_jpeg_encode_opts(const unsigned char* img, int w, int h, int c,
@@ -280,8 +282,8 @@ int hipe_jpeg_encode_opts(const unsigned char* img, int w, int h, int c,
   jpeg_set_defaults(&cinfo);
   jpeg_set_quality(&cinfo, quality, TRUE);
   if (c == 3 && subsamp != 0) {
-    cinfo.comp_info[0].h_samp_factor = subsamp == 1 ? 1 : 2;
-    cinfo.comp_info[0].v_samp_factor = 1;
+    cinfo.comp_info[0].h_samp_factor = (subsamp == 1 || subsamp == 3) ? 1 : 2;
+    cinfo.comp_info[0].v_samp_factor = subsamp == 3 ? 2 : 1;
     cinfo.comp_info[1].h_samp_factor = 1;
     cinfo.comp_info[1].v_samp_factor = 1;
     cinfo.comp_info[2].h_samp_factor = 1;
@@ -298,11 +300,11 @@ int hipe_jpeg_encode_opts(const unsigned char* img, int w, int h, int c,
   jpeg_finish_compress(&cinfo);
   jpeg_destroy_compress(&cinfo);
   int rc = 0;
+  *out_len = mem_len;
   if (mem_len <= out_cap) {
     memcpy(out, mem, mem_len);
-    *out_len = mem_len;
   } else {
-    rc = 3;
+    rc = 3;  // *out_len reports the needed capacity
   }
   free(mem);
   return rc;
@@ -345,6 +347,7 @@ int hipe_jpeg_quality_tables(int quality, unsigned short* qtabs /*2*64*/) {
 // with the same semantics as the direct encoder (jccoefct.c: zero AC, DC
 // duplicated from the neighbor) so the output is byte-identical to a
 // direct libjpeg encode of the same pixels. subsamp: 0=4:2:0, 1=4:4:4,
+// 3=4:4:0 (h1v2),
 // 2=4:2:2 (as hipe_jpeg_encode_opts). Returns 0 on success.
 int hipe_jpeg_write_coefs(int w, int h, int c, int quality, int subsamp,
                           int progressive, const short* const* comp_in,
@@ -374,8 +377,8 @@ int hipe_jpeg_write_coefs(int w, int h, int c, int quality, int subsamp,
   jpeg_set_defaults(&cinfo);
   jpeg_set_quality(&cinfo, quality, TRUE);
   if (c == 3 && subsamp != 0) {
-    cinfo.comp_info[0].h_samp_factor = subsamp == 1 ? 1 : 2;
-    cinfo.comp_info[0].v_samp_factor = 1;
+    cinfo.comp_info[0].h_samp_factor = (subsamp == 1 || subsamp == 3) ? 1 : 2;
+    cinfo.comp_info[0].v_samp_factor = subsamp == 3 ? 2 : 1;
     for (int i = 1; i < 3; ++i) {
       cinfo.comp_info[i].h_samp_factor = 1;
       cinfo.comp_info[i].v_samp_factor = 1;
@@ -445,11 +448,11 @@ int hipe_jpeg_write_coefs(int w, int h, int c, int quality, int subsamp,
   jpeg_finish_compress(&cinfo);
   jpeg_destroy_compress(&cinfo);
   int rc = 0;
+  *out_len = mem_len;
   if (mem_len <= out_cap) {
     memcpy(out, mem, mem_len);
-    *out_len = mem_len;
   } else {
-    rc = 3;
+    rc = 3;  // *out_len reports the needed capacity
   }
   free(mem);
   return rc;
@@ -515,6 +518,169 @@ int hipe_jpeg_decode_batch(const unsigned char* const* bufs,
   free(t.rcs);
   free(threads);
   pthread_mutex_destroy(&t.mu);
+  return failures;
+}
+
+// ---- Batched multithreaded entropy coding (serving hot path) ----
+//
+// The device transcode path (hipe_tpu/runtime/serve.py) keeps only the
+// serial entropy stages on the host; these batch entry points run them
+// GIL-free on a pthread work queue, replacing per-image ctypes fan-out —
+// the measured serving bottleneck (host entropy 3.3-9k img/s vs device
+// 25-113k, benchmarks/FINDINGS.md). Same pattern as hipe_jpeg_decode_batch.
+// Replaces (at batch scale) the reference's serial host IO loop,
+// /root/reference/heterogeneous_blur.c:106-137.
+
+namespace {
+
+// Generic index work queue: workers pull image indices until drained.
+struct WorkQueue {
+  pthread_mutex_t mu;
+  int next;
+  int count;
+};
+
+int wq_pull(WorkQueue* q) {
+  pthread_mutex_lock(&q->mu);
+  int i = q->next++;
+  pthread_mutex_unlock(&q->mu);
+  return i < q->count ? i : -1;
+}
+
+void run_pool(WorkQueue* q, void* arg, int count, int num_threads,
+              void* (*worker)(void*)) {
+  pthread_mutex_init(&q->mu, nullptr);
+  q->next = 0;
+  q->count = count;
+  if (num_threads < 1) num_threads = 1;
+  if (num_threads > count) num_threads = count;
+  pthread_t* threads =
+      static_cast<pthread_t*>(malloc(sizeof(pthread_t) * num_threads));
+  for (int i = 0; i < num_threads; ++i)
+    pthread_create(&threads[i], nullptr, worker, arg);
+  for (int i = 0; i < num_threads; ++i) pthread_join(threads[i], nullptr);
+  free(threads);
+  pthread_mutex_destroy(&q->mu);
+}
+
+struct InfoBatchTask {
+  WorkQueue q;
+  const unsigned char* const* bufs;
+  const size_t* lens;
+  int* infos;  // count * INFO_LEN
+  int* rcs;
+};
+
+void* info_batch_worker(void* arg) {
+  InfoBatchTask* t = static_cast<InfoBatchTask*>(arg);
+  for (int i; (i = wq_pull(&t->q)) >= 0;)
+    t->rcs[i] = hipe_jpeg_coef_info(t->bufs[i], t->lens[i],
+                                    t->infos + (size_t)i * INFO_LEN);
+  return nullptr;
+}
+
+struct ReadBatchTask {
+  WorkQueue q;
+  const unsigned char* const* bufs;
+  const size_t* lens;
+  short* const* comp_ptrs;   // count * 4 pointers (unused slots null)
+  unsigned short* qtabs;     // count * 4 * 64
+  int* rcs;
+};
+
+void* read_batch_worker(void* arg) {
+  ReadBatchTask* t = static_cast<ReadBatchTask*>(arg);
+  for (int i; (i = wq_pull(&t->q)) >= 0;)
+    t->rcs[i] = hipe_jpeg_read_coefs(t->bufs[i], t->lens[i],
+                                     t->comp_ptrs + (size_t)i * 4,
+                                     t->qtabs + (size_t)i * 4 * DCTSIZE2);
+  return nullptr;
+}
+
+struct WriteBatchTask {
+  WorkQueue q;
+  int w, h, c, quality, subsamp, progressive;
+  const short* const* comp_ptrs;  // count * 4 pointers (unused slots null)
+  unsigned char* out;             // count * out_cap
+  size_t out_cap;
+  size_t* out_lens;
+  int* rcs;
+};
+
+void* write_batch_worker(void* arg) {
+  WriteBatchTask* t = static_cast<WriteBatchTask*>(arg);
+  for (int i; (i = wq_pull(&t->q)) >= 0;)
+    t->rcs[i] = hipe_jpeg_write_coefs(
+        t->w, t->h, t->c, t->quality, t->subsamp, t->progressive,
+        t->comp_ptrs + (size_t)i * 4, t->out + (size_t)i * t->out_cap,
+        t->out_cap, &t->out_lens[i]);
+  return nullptr;
+}
+
+}  // namespace
+
+// Header-only coefficient geometry for `count` JPEGs concurrently.
+// infos: count*INFO_LEN ints; rcs: per-image return codes. Returns the
+// number of failed images.
+int hipe_jpeg_coef_info_batch(const unsigned char* const* bufs,
+                              const size_t* lens, int count, int* infos,
+                              int* rcs, int num_threads) {
+  InfoBatchTask t;
+  t.bufs = bufs;
+  t.lens = lens;
+  t.infos = infos;
+  t.rcs = rcs;
+  run_pool(&t.q, &t, count, num_threads, info_batch_worker);
+  int failures = 0;
+  for (int i = 0; i < count; ++i) failures += (rcs[i] != 0);
+  return failures;
+}
+
+// Entropy-decode `count` JPEGs concurrently. comp_ptrs is a count*4 table
+// of caller-allocated per-component coefficient buffers (geometry from a
+// prior coef_info pass; unused component slots may be null). qtabs:
+// count*4*64 uint16. Returns the number of failed images.
+int hipe_jpeg_read_coefs_batch(const unsigned char* const* bufs,
+                               const size_t* lens, int count,
+                               short* const* comp_ptrs, unsigned short* qtabs,
+                               int* rcs, int num_threads) {
+  ReadBatchTask t;
+  t.bufs = bufs;
+  t.lens = lens;
+  t.comp_ptrs = comp_ptrs;
+  t.qtabs = qtabs;
+  t.rcs = rcs;
+  run_pool(&t.q, &t, count, num_threads, read_batch_worker);
+  int failures = 0;
+  for (int i = 0; i < count; ++i) failures += (rcs[i] != 0);
+  return failures;
+}
+
+// Entropy-encode `count` coefficient sets sharing one geometry/quality/
+// subsampling (the serving group case) concurrently. comp_ptrs: count*4
+// pointer table as in the read batch; out: count*out_cap bytes; per-image
+// lengths in out_lens (rc 3 => out_lens[i] holds the needed capacity, as
+// in hipe_jpeg_write_coefs). Returns the number of failed images.
+int hipe_jpeg_write_coefs_batch(int w, int h, int c, int quality, int subsamp,
+                                int progressive,
+                                const short* const* comp_ptrs, int count,
+                                unsigned char* out, size_t out_cap,
+                                size_t* out_lens, int* rcs, int num_threads) {
+  WriteBatchTask t;
+  t.w = w;
+  t.h = h;
+  t.c = c;
+  t.quality = quality;
+  t.subsamp = subsamp;
+  t.progressive = progressive;
+  t.comp_ptrs = comp_ptrs;
+  t.out = out;
+  t.out_cap = out_cap;
+  t.out_lens = out_lens;
+  t.rcs = rcs;
+  run_pool(&t.q, &t, count, num_threads, write_batch_worker);
+  int failures = 0;
+  for (int i = 0; i < count; ++i) failures += (rcs[i] != 0);
   return failures;
 }
 

@@ -106,6 +106,25 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint16),
         ]
         lib.hipe_jpeg_quality_tables.restype = ctypes.c_int
+        lib.hipe_jpeg_coef_info_batch.argtypes = [
+            ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_size_t), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+        ]
+        lib.hipe_jpeg_coef_info_batch.restype = ctypes.c_int
+        lib.hipe_jpeg_read_coefs_batch.argtypes = [
+            ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_size_t), ctypes.c_int,
+            ctypes.POINTER(i16p), ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ]
+        lib.hipe_jpeg_read_coefs_batch.restype = ctypes.c_int
+        lib.hipe_jpeg_write_coefs_batch.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(i16p), ctypes.c_int,
+            u8p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ]
+        lib.hipe_jpeg_write_coefs_batch.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -167,6 +186,20 @@ def decode_batch(datas: list[bytes], num_threads: int | None = None) -> np.ndarr
     return out
 
 
+def _run_encode(call, cap0: int) -> bytes:
+    """Run a native encode call; on rc=3 (didn't fit) retry at the exact
+    required size the C side reports in out_len."""
+    out = np.empty(cap0, dtype=np.uint8)
+    out_len = ctypes.c_size_t()
+    rc = call(_as_u8p(out), ctypes.c_size_t(cap0), out_len)
+    if rc == 3:
+        out = np.empty(out_len.value, dtype=np.uint8)
+        rc = call(_as_u8p(out), ctypes.c_size_t(out.size), out_len)
+    if rc != 0:
+        raise ValueError(f"JPEG encode failed (rc={rc})")
+    return out[: out_len.value].tobytes()
+
+
 def encode_bytes(img: np.ndarray, quality: int = 90) -> bytes:
     """Encode HWC uint8 to JPEG bytes."""
     assert img.dtype == np.uint8 and img.ndim == 3
@@ -175,14 +208,12 @@ def encode_bytes(img: np.ndarray, quality: int = 90) -> bytes:
         return _pil_encode(img, quality)
     img = np.ascontiguousarray(img)
     h, w, c = img.shape
-    cap = ctypes.c_size_t(w * h * c + 65536)
-    out = np.empty(cap.value, dtype=np.uint8)
-    out_len = ctypes.c_size_t()
-    rc = lib.hipe_jpeg_encode(_as_u8p(img), w, h, c, quality, _as_u8p(out),
-                              cap, out_len)
-    if rc != 0:
-        raise ValueError(f"JPEG encode failed (rc={rc})")
-    return bytes(out[: out_len.value].tobytes())
+    return _run_encode(
+        lambda out, cap, out_len: lib.hipe_jpeg_encode(
+            _as_u8p(img), w, h, c, quality, out, cap, out_len
+        ),
+        w * h * c + 65536,
+    )
 
 
 def encode_file(img: np.ndarray, path: str, quality: int = 90) -> None:
@@ -278,24 +309,21 @@ def encode_bytes_opts(
     subsampling: str = "420",
     progressive: bool = False,
 ) -> bytes:
-    """Encode with explicit chroma subsampling ("420" | "444" | "422")."""
+    """Encode with explicit chroma subsampling ("420"|"444"|"422"|"440")."""
     assert img.dtype == np.uint8 and img.ndim == 3
-    sub_code = {"420": 0, "444": 1, "422": 2}[subsampling]
+    sub_code = {"420": 0, "444": 1, "422": 2, "440": 3}[subsampling]
     lib = _load()
     if lib is None:
         raise RuntimeError("native codec unavailable")
     img = np.ascontiguousarray(img)
     h, w, c = img.shape
-    cap = ctypes.c_size_t(w * h * c + 65536)
-    out = np.empty(cap.value, dtype=np.uint8)
-    out_len = ctypes.c_size_t()
-    rc = lib.hipe_jpeg_encode_opts(
-        _as_u8p(img), w, h, c, quality, sub_code, int(progressive),
-        _as_u8p(out), cap, out_len,
+    return _run_encode(
+        lambda out, cap, out_len: lib.hipe_jpeg_encode_opts(
+            _as_u8p(img), w, h, c, quality, sub_code, int(progressive),
+            out, cap, out_len,
+        ),
+        w * h * c + 65536,
     )
-    if rc != 0:
-        raise ValueError(f"JPEG encode failed (rc={rc})")
-    return bytes(out[: out_len.value].tobytes())
 
 
 def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
@@ -310,6 +338,23 @@ def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
     if rc != 0:
         raise ValueError(f"quality table query failed (rc={rc})")
     return qtabs[0].copy(), qtabs[1].copy()
+
+
+def _coef_block_shapes(
+    width: int, height: int, ncomps: int, subsampling: str
+) -> list[tuple[int, int]]:
+    """(Hb, Wb) per component for the unpadded block grid (jdinput.c math)."""
+    if ncomps == 1:
+        samps = [(1, 1)]
+    else:
+        hs, vs = {"420": (2, 2), "422": (2, 1), "444": (1, 1), "440": (1, 2)}[subsampling]
+        samps = [(hs, vs), (1, 1), (1, 1)]
+    max_h = max(s[0] for s in samps)
+    max_v = max(s[1] for s in samps)
+    return [
+        (-(-height * v // (8 * max_v)), -(-width * h // (8 * max_h)))
+        for h, v in samps
+    ]
 
 
 def write_coefficients(
@@ -333,21 +378,14 @@ def write_coefficients(
     if lib is None:
         raise RuntimeError("native codec unavailable")
     ncomps = len(coefs)
-    sub_code = {"420": 0, "444": 1, "422": 2}[subsampling]
+    sub_code = {"420": 0, "444": 1, "422": 2, "440": 3}[subsampling]
     arrays = [np.ascontiguousarray(a, dtype=np.int16) for a in coefs]
     # Validate shapes against the geometry the native writer will walk —
     # a mis-shaped array would otherwise be an out-of-bounds heap read
     # in C, not a Python error.
-    if ncomps == 1:
-        samps = [(1, 1)]
-    else:
-        hs, vs = {"420": (2, 2), "422": (2, 1), "444": (1, 1)}[subsampling]
-        samps = [(hs, vs), (1, 1), (1, 1)]
-    max_h = max(s[0] for s in samps)
-    max_v = max(s[1] for s in samps)
-    for i, (a, (h_samp, v_samp)) in enumerate(zip(arrays, samps)):
-        wb = -(-width * h_samp // (8 * max_h))
-        hb = -(-height * v_samp // (8 * max_v))
+    for i, (a, (hb, wb)) in enumerate(
+        zip(arrays, _coef_block_shapes(width, height, ncomps, subsampling))
+    ):
         if a.shape != (hb, wb, 64):
             raise ValueError(
                 f"component {i} coefficients have shape {a.shape}, "
@@ -356,16 +394,187 @@ def write_coefficients(
             )
     i16p = ctypes.POINTER(ctypes.c_int16)
     ptrs = (i16p * ncomps)(*[a.ctypes.data_as(i16p) for a in arrays])
-    cap = ctypes.c_size_t(width * height * 3 + 65536)
-    out = np.empty(cap.value, dtype=np.uint8)
-    out_len = ctypes.c_size_t()
-    rc = lib.hipe_jpeg_write_coefs(
-        width, height, ncomps, quality, sub_code, int(progressive),
-        ptrs, _as_u8p(out), cap, out_len,
+    return _run_encode(
+        lambda out, cap, out_len: lib.hipe_jpeg_write_coefs(
+            width, height, ncomps, quality, sub_code, int(progressive),
+            ptrs, out, cap, out_len,
+        ),
+        width * height * 3 + 65536,
     )
-    if rc != 0:
-        raise ValueError(f"JPEG coefficient write failed (rc={rc})")
-    return bytes(out[: out_len.value].tobytes())
+
+
+# ---- Batched entropy coding (serving hot path) ----
+#
+# GIL-free pthread pools on the C side (hipe_jpeg_{coef_info,read_coefs,
+# write_coefs}_batch) replace per-image ctypes fan-out from a Python thread
+# pool — two ctypes calls per batch instead of 2*B, and the Huffman work
+# runs fully parallel. These feed ServingPipeline (runtime/serve.py), the
+# path that replaces the reference's serial host IO loop
+# (/root/reference/heterogeneous_blur.c:106-137) at serving scale.
+
+_INFO_LEN = 26  # mirrors INFO_LEN in jpeg_codec.cpp
+
+
+def _batch_ptrs(datas: list[bytes]):
+    """(keepalive bufs, u8 pointer array, length array) for a payload list."""
+    bufs = [np.frombuffer(d, dtype=np.uint8) for d in datas]
+    u8p = ctypes.POINTER(ctypes.c_ubyte)
+    ptrs = (u8p * len(bufs))(*[_as_u8p(b) for b in bufs])
+    lens = (ctypes.c_size_t * len(bufs))(*[b.size for b in bufs])
+    return bufs, ptrs, lens
+
+
+def read_coefficients_batch(
+    datas: list[bytes], num_threads: int | None = None
+) -> list[JpegCoefficients]:
+    """Entropy-decode many JPEGs concurrently (native pthread pool).
+
+    Equivalent to [read_coefficients(d) for d in datas] but GIL-free and
+    batched: one header-scan pass sizes the buffers, one read pass fills
+    them. Raises with the failing indices if any payload is corrupt.
+    """
+    if not datas:
+        return []
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "native codec unavailable: coefficient decode requires libjpeg"
+        )
+    n = len(datas)
+    bufs, ptrs, lens = _batch_ptrs(datas)
+    nt = num_threads or (os.cpu_count() or 1)
+    c_int_p = ctypes.POINTER(ctypes.c_int)
+    infos = np.zeros((n, _INFO_LEN), dtype=np.intc)
+    rcs = np.zeros(n, dtype=np.intc)
+    fails = lib.hipe_jpeg_coef_info_batch(
+        ptrs, lens, n, infos.ctypes.data_as(c_int_p),
+        rcs.ctypes.data_as(c_int_p), nt,
+    )
+    if fails:
+        bad = np.nonzero(rcs)[0].tolist()
+        raise ValueError(
+            f"{fails} payloads failed JPEG coefficient scan (indices {bad})"
+        )
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    ptr_table = (i16p * (n * 4))()
+    comp_arrays: list[list[np.ndarray]] = []
+    for i in range(n):
+        arrs = []
+        for ci in range(int(infos[i, 0])):
+            _, _, wb, hb, _ = (int(x) for x in infos[i, 6 + 5 * ci : 11 + 5 * ci])
+            a = np.empty((hb, wb, 64), dtype=np.int16)
+            arrs.append(a)
+            ptr_table[i * 4 + ci] = a.ctypes.data_as(i16p)
+        comp_arrays.append(arrs)
+    qtabs = np.zeros((n, 4, 64), dtype=np.uint16)
+    rcs2 = np.zeros(n, dtype=np.intc)
+    fails = lib.hipe_jpeg_read_coefs_batch(
+        ptrs, lens, n, ptr_table,
+        qtabs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        rcs2.ctypes.data_as(c_int_p), nt,
+    )
+    if fails:
+        bad = np.nonzero(rcs2)[0].tolist()
+        raise ValueError(
+            f"{fails} payloads failed JPEG coefficient decode (indices {bad})"
+        )
+    out = []
+    for i in range(n):
+        info = infos[i]
+        comps = []
+        for ci in range(int(info[0])):
+            h_samp, v_samp, _, _, qno = (
+                int(x) for x in info[6 + 5 * ci : 11 + 5 * ci]
+            )
+            comps.append(
+                ComponentCoefs(
+                    coefs=comp_arrays[i][ci], qtable=qtabs[i, qno].copy(),
+                    h_samp=h_samp, v_samp=v_samp,
+                )
+            )
+        out.append(
+            JpegCoefficients(
+                width=int(info[1]), height=int(info[2]), components=comps,
+                max_h=int(info[3]), max_v=int(info[4]),
+                progressive=bool(info[5]),
+            )
+        )
+    return out
+
+
+def write_coefficients_batch(
+    coefs: list[np.ndarray],
+    width: int,
+    height: int,
+    quality: int = 90,
+    subsampling: str = "420",
+    progressive: bool = False,
+    num_threads: int | None = None,
+) -> list[bytes]:
+    """Entropy-encode a coefficient batch into JPEG files concurrently.
+
+    coefs[ci]: (B, Hb_ci, Wb_ci, 64) int16 — one stacked batch per
+    component, shared geometry/quality/subsampling (the serving group
+    case; the device encoder emits exactly this layout). Equivalent to B
+    write_coefficients calls but on the native pthread pool. Images whose
+    stream exceeds the preallocated capacity are retried at the exact
+    size the C side reports.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native codec unavailable")
+    ncomps = len(coefs)
+    sub_code = {"420": 0, "444": 1, "422": 2, "440": 3}[subsampling]
+    arrays = [np.ascontiguousarray(a, dtype=np.int16) for a in coefs]
+    b = arrays[0].shape[0]
+    for ci, (a, (hb, wb)) in enumerate(
+        zip(arrays, _coef_block_shapes(width, height, ncomps, subsampling))
+    ):
+        if a.shape != (b, hb, wb, 64):
+            raise ValueError(
+                f"component {ci} coefficients have shape {a.shape}, "
+                f"expected ({b}, {hb}, {wb}, 64) for {width}x{height} "
+                f"subsampling={subsampling!r}"
+            )
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    ptr_table = (i16p * (b * 4))()
+    views = []  # keep per-image views alive across the call
+    for i in range(b):
+        for ci in range(ncomps):
+            v = arrays[ci][i]
+            views.append(v)
+            ptr_table[i * 4 + ci] = v.ctypes.data_as(i16p)
+    cap = width * height * 3 + 65536
+    out = np.empty((b, cap), dtype=np.uint8)
+    out_lens = np.zeros(b, dtype=np.uintp)
+    rcs = np.zeros(b, dtype=np.intc)
+    nt = num_threads or (os.cpu_count() or 1)
+    lib.hipe_jpeg_write_coefs_batch(
+        width, height, ncomps, quality, sub_code, int(progressive),
+        ptr_table, b, _as_u8p(out), cap,
+        out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_size_t)),
+        rcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), nt,
+    )
+    results: list[bytes] = []
+    for i in range(b):
+        rc = int(rcs[i])
+        if rc == 0:
+            results.append(out[i, : int(out_lens[i])].tobytes())
+        elif rc == 3:
+            # Didn't fit the preallocated slot: redo this one image with
+            # the exact-size retry built into write_coefficients.
+            results.append(
+                write_coefficients(
+                    [arrays[ci][i] for ci in range(ncomps)], width, height,
+                    quality=quality, subsampling=subsampling,
+                    progressive=progressive,
+                )
+            )
+        else:
+            raise ValueError(
+                f"JPEG coefficient write failed for image {i} (rc={rc})"
+            )
+    return results
 
 
 # ---- PIL fallbacks (environments without g++/libjpeg) ----

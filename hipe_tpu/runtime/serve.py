@@ -13,6 +13,7 @@ streams: jitted device functions are cached per input shape.
 from __future__ import annotations
 
 import dataclasses
+import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterable, Iterator
 
@@ -85,7 +86,13 @@ class ServingPipeline:
         self._fns: dict[tuple, callable] = {}
         self._fused_fns: dict[tuple, callable] = {}
         self._enc_qtabs: tuple | None = None
-        self._pool = ThreadPoolExecutor(max_workers=4)
+        # The pool overlaps host stages with device work; the heavy entropy
+        # coding itself runs GIL-free inside the native batch calls
+        # (io_/jpeg.py read/write_coefficients_batch), sized there by
+        # cpu_count too.
+        self._pool = ThreadPoolExecutor(
+            max_workers=decode_threads or os.cpu_count() or 4
+        )
         self.stats = ServeStats()
 
     def _out_dims(self, h: int, w: int) -> tuple[int, int]:
@@ -157,12 +164,22 @@ class ServingPipeline:
     def _encode(self, batch: np.ndarray) -> list[bytes]:
         if self.encode_on_device:
             return self._encode_device(batch)
-        from hipe_tpu.io_.jpeg import encode_bytes
+        from hipe_tpu.io_.jpeg import encode_bytes, encode_bytes_opts
 
         t0 = now_ms()
-        out = list(
-            self._pool.map(lambda im: encode_bytes(im, self.quality), batch)
-        )
+        if self.encode_subsampling != "420":
+            # Honor non-default subsampling on the host path too (raises if
+            # the native codec is unavailable rather than silently emitting
+            # 4:2:0).
+            def enc(im):
+                return encode_bytes_opts(
+                    im, self.quality, subsampling=self.encode_subsampling
+                )
+        else:
+            def enc(im):
+                return encode_bytes(im, self.quality)
+
+        out = list(self._pool.map(enc, batch))
         self.stats.encode_ms += now_ms() - t0
         return out
 
@@ -209,19 +226,19 @@ class ServingPipeline:
 
     def _entropy_encode(self, coefs: list[np.ndarray], h: int, w: int,
                         channels: int) -> list[bytes]:
-        """Host entropy encode of per-component coef batches -> files."""
+        """Host entropy encode of per-component coef batches -> files.
+
+        One native batch call (GIL-free pthread pool) rather than a
+        Python-threaded per-image fan-out — the round-2 serving bottleneck.
+        """
         from hipe_tpu.io_ import jpeg as jio
 
         t0 = now_ms()
         sub = self.encode_subsampling if channels == 3 else "444"
-
-        def one(i):
-            return jio.write_coefficients(
-                [comp[i] for comp in coefs], w, h, quality=self.quality,
-                subsampling=sub,
-            )
-
-        out = list(self._pool.map(one, range(coefs[0].shape[0])))
+        out = jio.write_coefficients_batch(
+            coefs, w, h, quality=self.quality, subsampling=sub,
+            num_threads=self.decode_threads,
+        )
         self.stats.encode_ms += now_ms() - t0
         return out
 
@@ -274,20 +291,30 @@ class ServingPipeline:
             self._fused_fns[key] = jax.jit(fn)
         return self._fused_fns[key]
 
-    def _filter_device_coefs(self, payloads: list[bytes]) -> np.ndarray:
+    def _read_coefs(self, payloads: list[bytes]):
+        """Host entropy decode (one GIL-free native batch call)."""
+        from hipe_tpu.io_.jpeg import read_coefficients_batch
+
+        t0 = now_ms()
+        cos = read_coefficients_batch(payloads,
+                                      num_threads=self.decode_threads)
+        self.stats.decode_ms += now_ms() - t0
+        return cos
+
+    def _filter_device_coefs(self, payloads: list[bytes],
+                             cos=None) -> np.ndarray:
         """Entropy-decode on host, decode+filter on device, batch output.
 
         Payload groups with matching (geometry, quant tables) — the common
         case for a stream from one encoder — batch into one device call;
         geometries the device decoder does not cover fall back to the host
-        codec per group.
+        codec per group. `cos` lets run() prefetch the entropy decode on
+        the host stage so it overlaps device work.
         """
-        from hipe_tpu.io_.jpeg import read_coefficients
         from hipe_tpu.ops import jpeg_decode as jd
 
-        t0 = now_ms()
-        cos = list(self._pool.map(read_coefficients, payloads))
-        self.stats.decode_ms += now_ms() - t0
+        if cos is None:
+            cos = self._read_coefs(payloads)
 
         groups: dict[tuple, list[int]] = {}
         keys = []
@@ -364,19 +391,18 @@ class ServingPipeline:
             self._fused_fns[key] = jax.jit(fn)
         return self._fused_fns[key]
 
-    def _transcode_device_coefs(self, payloads: list[bytes]) -> list[bytes]:
+    def _transcode_device_coefs(self, payloads: list[bytes],
+                                cos=None) -> list[bytes]:
         """Full device transcode: entropy decode -> device -> entropy encode.
 
         Groups payloads by (geometry, quant tables) as _filter_device_coefs
         does; unsupported geometries fall back to host decode + fused
         device filter/encode.
         """
-        from hipe_tpu.io_.jpeg import read_coefficients
         from hipe_tpu.ops import jpeg_decode as jd
 
-        t0 = now_ms()
-        cos = list(self._pool.map(read_coefficients, payloads))
-        self.stats.decode_ms += now_ms() - t0
+        if cos is None:
+            cos = self._read_coefs(payloads)
 
         groups: dict[tuple, list[int]] = {}
         for i, co in enumerate(cos):
@@ -429,21 +455,23 @@ class ServingPipeline:
             encode: bool = True) -> Iterator[list[bytes] | np.ndarray]:
         """Streaming mode: host decode of batch k+1 overlaps device batch k.
 
-        In decode_on_device mode the prefetched host stage is just the
-        entropy decode; IDCT/upsample/color run on device with the filter.
-        With encode_on_device the device stage emits JPEG bytes directly
-        (fDCT/quantize fused on device, entropy encode on host).
+        In decode_on_device mode the prefetched host stage is the entropy
+        decode (a native batch call), so batch k+1's Huffman work overlaps
+        batch k's device compute; IDCT/upsample/color run on device with
+        the filter. With encode_on_device the device stage emits JPEG bytes
+        directly (fDCT/quantize fused on device, entropy encode on host).
         """
         fuse_encode = encode and self.encode_on_device
         if self.decode_on_device:
             def host_stage(p):
-                return p  # entropy decode runs inside the device stage pool
+                return p, self._read_coefs(p)
 
-            def device_stage(payloads):
+            def device_stage(arg):
+                payloads, cos = arg
                 self.stats.images += len(payloads)
                 if fuse_encode:
-                    return self._transcode_device_coefs(payloads)
-                return self._filter_device_coefs(payloads)
+                    return self._transcode_device_coefs(payloads, cos)
+                return self._filter_device_coefs(payloads, cos)
         else:
             def host_stage(p):
                 return self._decode(p)
