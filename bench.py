@@ -60,11 +60,23 @@ def main() -> int:
     )
 
     # Measured fastest-path selection (XLA vs Pallas vs aliased Pallas over
-    # a block sweep) — the calibration-loop analog, never assumed.
-    timings = runner.autotune(passes=4 if on_tpu else 1, reps=2)
+    # a block sweep) — the calibration-loop analog, never assumed. The
+    # winner persists in .jax_cache/autotune.json; a cached config is
+    # re-verified with one timing and the 13-config sweep only re-runs on
+    # regression or --retune.
+    timings = runner.autotune(
+        passes=4 if on_tpu else 1, reps=2, retune="--retune" in sys.argv
+    )
     for label, t in sorted(timings.items(), key=lambda kv: kv[1]):
         log(f"  autotune {label:22s} {t * 1e3:8.2f} ms/pass")
-    log(f"chosen config: {runner.tuning['chosen']}")
+    cache_hit = bool(runner.tuning.get("cache_hit"))
+    skipped = runner.tuning.get("skipped") or {}
+    log(
+        f"chosen config: {runner.tuning['chosen']}"
+        + (" (cache hit, sweep skipped)" if cache_hit else "")
+    )
+    for label, exc in skipped.items():
+        log(f"  autotune skipped {label}: {exc}")
 
     max_abs_err = runner.verify_max_abs_err()
     log(f"max_abs_err vs oracle: {max_abs_err}")
@@ -100,6 +112,8 @@ def main() -> int:
         "img_s_min": round(rates[0], 1),
         "img_s_max": round(rates[-1], 1),
         "chosen_config": runner.tuning["chosen"],
+        "autotune_cache_hit": cache_hit,
+        "autotune_skipped": skipped,
         "autotune_ms_per_pass": {
             k: round(v * 1e3, 3) for k, v in timings.items()
         },

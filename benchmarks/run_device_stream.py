@@ -21,6 +21,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="benchmarks/device_stream_v5e.json")
     ap.add_argument("--num-images", type=int, default=5000)
+    ap.add_argument("--cached-tune", action="store_true",
+                    help="reuse persisted autotune winners (default: the "
+                    "committed corpus always re-sweeps)")
     args = ap.parse_args()
 
     from hipe_tpu.utils.cache import enable_compilation_cache
@@ -36,7 +39,7 @@ def main() -> int:
     rows = []
     for name in PIPELINES:
         r = DeviceStreamRunner(name, num_images=args.num_images, image=img)
-        r.autotune(passes=4, reps=2)
+        r.autotune(passes=4, reps=2, retune=not args.cached_tune)
         err = r.verify_max_abs_err()
         res = r.measure_throughput(passes=8, reps=3)
         row = {

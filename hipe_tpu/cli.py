@@ -54,6 +54,8 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="input JPEG (default: the 256x256 asset)")
     st.add_argument("--no-autotune", action="store_true",
                     help="skip the measured execution-config selection")
+    st.add_argument("--retune", action="store_true",
+                    help="ignore the persisted autotune winner and re-sweep")
     st.add_argument("--passes", type=int, default=10)
     st.add_argument("--json", action="store_true",
                     help="print one JSON result line (bench.py schema-like)")
@@ -154,10 +156,14 @@ def _main_stream(args) -> int:
         args.pipeline_name, num_images=args.num_images, image=image
     )
     if not args.no_autotune:
-        timings = runner.autotune()
+        timings = runner.autotune(retune=args.retune)
         for label, t in sorted(timings.items(), key=lambda kv: kv[1]):
             print(f"  autotune {label:22s} {t * 1e3:8.2f} ms/pass")
-        print(f"Chosen config: {runner.tuning['chosen']}")
+        hit = " (cache hit, sweep skipped)" if runner.tuning.get(
+            "cache_hit") else ""
+        print(f"Chosen config: {runner.tuning['chosen']}{hit}")
+        for label, exc in (runner.tuning.get("skipped") or {}).items():
+            print(f"  autotune skipped {label}: {exc}")
     err = runner.verify_max_abs_err()
     res = runner.measure_throughput(passes=args.passes, reps=3)
     print("\n========== DEVICE-STREAM RESULTS ==========")

@@ -25,6 +25,9 @@ skip the write-allocate path; see benchmarks/probe_hbm.json: 288 GB/s plain
 from __future__ import annotations
 
 import functools
+import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -34,6 +37,19 @@ import jax.numpy as jnp
 from jax import lax
 
 from hipe_tpu.models import pipelines as plib
+
+# Accepting a cached config requires its fresh one-shot timing to stay
+# within this factor of the stored one; beyond it the full sweep re-runs.
+# Sized to shared-chip variance (CLAUDE.md: concurrent processes skew ~2x;
+# quiet-window session spread is ~1.5%).
+_RETUNE_FACTOR = 1.6
+_TUNE_CACHE_VERSION = 1
+
+
+def _default_tune_cache_path() -> str:
+    from hipe_tpu.utils.cache import DEFAULT_DIR
+
+    return os.path.join(DEFAULT_DIR, "autotune.json")
 
 
 class DeviceStreamRunner:
@@ -47,6 +63,7 @@ class DeviceStreamRunner:
         image: np.ndarray | None = None,
         use_pallas: bool | None = None,
         device=None,
+        tune_cache_path: str | None = None,
     ):
         self.pipeline = plib.get(pipeline) if isinstance(pipeline, str) else pipeline
         self.num_images = num_images
@@ -88,7 +105,54 @@ class DeviceStreamRunner:
             "vmem_mb": None,
         }
         self.tuning: dict | None = None
+        self.tune_cache_path = tune_cache_path or _default_tune_cache_path()
         self._build(**self.config)
+
+    # ---- autotune-winner persistence (the reference's "recommended ratio
+    # printed as a re-run command", heterogeneous_blur.c:712-723, made
+    # automatic: the chosen execution config is cached per workload and
+    # re-verified with one timing on the next run) ----
+
+    def _tune_key(self) -> str:
+        h, w, c = self.shape
+        dev = getattr(self.device, "device_kind", None) or getattr(
+            self.device, "platform", "unknown"
+        )
+        return f"{self.pipeline.name}|{h}x{w}x{c}|n{self.num_images}|{dev}"
+
+    def _load_cached_config(self):
+        try:
+            with open(self.tune_cache_path) as f:
+                data = json.load(f)
+            if data.get("version") != _TUNE_CACHE_VERSION:
+                return None
+            ent = data.get("entries", {}).get(self._tune_key())
+            if ent is None:
+                return None
+            return ent["label"], dict(ent["config"]), float(ent["per_pass_s"])
+        except (OSError, ValueError, KeyError, TypeError):
+            return None
+
+    def _store_cached_config(self, label: str, cfg: dict,
+                             per_pass_s: float) -> None:
+        try:
+            try:
+                with open(self.tune_cache_path) as f:
+                    data = json.load(f)
+                if data.get("version") != _TUNE_CACHE_VERSION:
+                    data = {"version": _TUNE_CACHE_VERSION, "entries": {}}
+            except (OSError, ValueError):
+                data = {"version": _TUNE_CACHE_VERSION, "entries": {}}
+            data["entries"][self._tune_key()] = {
+                "label": label, "config": cfg, "per_pass_s": per_pass_s,
+            }
+            os.makedirs(os.path.dirname(self.tune_cache_path), exist_ok=True)
+            tmp = self.tune_cache_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(data, f, indent=1)
+            os.replace(tmp, self.tune_cache_path)
+        except OSError:
+            pass  # cache is an optimization; never fail the run for it
 
     def _build(self, path: str, block: int | None, alias: bool,
                vmem_mb: int | None = None) -> None:
@@ -139,15 +203,55 @@ class DeviceStreamRunner:
         return out
 
     def autotune(self, passes: int = 4, reps: int = 2,
-                 candidates: list[int] | None = None) -> dict:
+                 candidates: list[int] | None = None,
+                 cache: bool = True, retune: bool = False) -> dict:
         """Measure XLA vs Pallas vs aliased-Pallas(block sweep); keep winner.
 
         The reference's calibration loop tunes its ratio by measurement
         (README.md:87-93); the TPU analog tunes the kernel execution config.
         Returns {config_label: per_pass_seconds} and rebuilds the runner
         around the fastest entry. Configs that fail to compile (e.g. VMEM
-        overflow at large blocks) are skipped.
+        overflow at large blocks) are skipped — and recorded in
+        ``self.tuning["skipped"]`` with the exception class, never hidden.
+
+        With ``cache=True`` (default) the winner is persisted per
+        (pipeline, geometry, stream size, chip kind); the next run
+        re-verifies the cached config with ONE timing and only re-sweeps
+        on regression past ``_RETUNE_FACTOR`` or ``retune=True``.
+        ``self.tuning["cache_hit"]`` records which path ran.
         """
+        use_cache = cache and candidates is None
+        if use_cache and not retune:
+            cached = self._load_cached_config()
+            if cached is not None:
+                label, cfg, cached_t = cached
+                try:
+                    self._build(**cfg)
+                    t = self._measure_per_pass(passes=passes, reps=reps)
+                except Exception as e:  # noqa: BLE001
+                    print(
+                        f"autotune: cached config {label} failed "
+                        f"({type(e).__name__}); re-sweeping",
+                        file=sys.stderr,
+                    )
+                else:
+                    if t <= cached_t * _RETUNE_FACTOR:
+                        self.config = cfg
+                        self.tuning = {
+                            "chosen": label,
+                            "per_pass_s": {label: t},
+                            "cache_hit": True,
+                            "cached_per_pass_s": cached_t,
+                            "skipped": {},
+                        }
+                        self._store_cached_config(label, cfg, t)
+                        return {label: t}
+                    print(
+                        f"autotune: cached config {label} regressed "
+                        f"({t * 1e3:.2f} ms vs cached "
+                        f"{cached_t * 1e3:.2f} ms); re-sweeping",
+                        file=sys.stderr,
+                    )
         configs: list[tuple[str, dict]] = [
             ("xla", {"path": "xla", "block": None, "alias": False,
                      "vmem_mb": None}),
@@ -173,12 +277,21 @@ class DeviceStreamRunner:
                           "vmem_mb": mb})
                     )
         timings: dict[str, float] = {}
+        skipped: dict[str, str] = {}
         best_label, best_cfg, best_t = None, None, float("inf")
         for label, cfg in configs:
             try:
                 self._build(**cfg)
                 t = self._measure_per_pass(passes=passes, reps=reps)
-            except Exception:  # noqa: BLE001 — skip uncompilable configs
+            except Exception as e:  # noqa: BLE001 — skip uncompilable
+                # configs, but record why: a silent skip here once meant a
+                # Pallas lowering break would quietly route to the 20x
+                # slower XLA path with no cause attached.
+                skipped[label] = type(e).__name__
+                print(
+                    f"autotune: skipped {label}: {type(e).__name__}",
+                    file=sys.stderr,
+                )
                 continue
             timings[label] = t
             if t < best_t:
@@ -186,7 +299,14 @@ class DeviceStreamRunner:
         assert best_cfg is not None, "no execution config compiled"
         self.config = best_cfg
         self._build(**best_cfg)
-        self.tuning = {"chosen": best_label, "per_pass_s": timings}
+        self.tuning = {
+            "chosen": best_label,
+            "per_pass_s": timings,
+            "cache_hit": False,
+            "skipped": skipped,
+        }
+        if use_cache:
+            self._store_cached_config(best_label, best_cfg, best_t)
         return timings
 
     def verify_max_abs_err(self) -> int:

@@ -78,17 +78,78 @@ def test_serving_pipeline_streaming_mixed_resolution():
     assert len(serve._fns) == 2
 
 
-def test_autotune_skips_block_sweep_on_tiled_geometry():
+def test_autotune_skips_block_sweep_on_tiled_geometry(tmp_path):
     """Oversized planes route to tiled kernels (no alias/block knobs):
     autotune must not sweep fictitious alias/block configs there, and
     must skip configs that fail to compile (TPU kernels on this CPU
-    backend) instead of crashing."""
+    backend) instead of crashing — recording each skip with its
+    exception class rather than hiding it."""
     img = checker_image(2049, 1025, 3, seed=0)
     r = DeviceStreamRunner("blur3", num_images=1, image=img,
-                           use_pallas=True)
+                           use_pallas=True,
+                           tune_cache_path=str(tmp_path / "tune.json"))
     from hipe_tpu.models.pipelines import Pipeline
 
     assert Pipeline.routes_tiled(*r.shape[:2])
     timings = r.autotune(passes=1, reps=1)
     assert not any("alias" in label for label in timings)
     assert r.tuning["chosen"] == "xla"  # only compilable config here
+    # The Pallas config failed on this CPU backend: reported, not hidden.
+    assert "pallas" in r.tuning["skipped"]
+    assert r.tuning["skipped"]["pallas"]  # exception class name recorded
+
+
+def test_autotune_cache_hit_skips_sweep(tmp_path, capsys):
+    """Second run re-verifies the persisted winner with one timing and
+    skips the sweep; --retune forces a fresh sweep."""
+    img = checker_image(32, 128, 3, seed=0)
+    path = str(tmp_path / "tune.json")
+    r = DeviceStreamRunner("blur3", num_images=4, image=img,
+                           use_pallas=False, tune_cache_path=path)
+    first = r.autotune(passes=1, reps=1)
+    assert r.tuning["cache_hit"] is False
+    chosen = r.tuning["chosen"]
+    assert len(first) >= 1
+
+    r2 = DeviceStreamRunner("blur3", num_images=4, image=img,
+                            use_pallas=False, tune_cache_path=path)
+    second = r2.autotune(passes=1, reps=1)
+    assert r2.tuning["cache_hit"] is True
+    assert r2.tuning["chosen"] == chosen
+    assert list(second) == [chosen]  # one timing, no sweep
+    assert r2.config == r.config
+
+    third = r2.autotune(passes=1, reps=1, retune=True)
+    assert r2.tuning["cache_hit"] is False
+    assert set(third) == set(first)
+
+
+def test_autotune_cache_regression_resweeps(tmp_path):
+    """A cached timing far below what the config now measures triggers a
+    full re-sweep instead of silently accepting a regressed config."""
+    import json
+
+    img = checker_image(32, 128, 3, seed=0)
+    path = str(tmp_path / "tune.json")
+    r = DeviceStreamRunner("blur3", num_images=4, image=img,
+                           use_pallas=False, tune_cache_path=path)
+    r.autotune(passes=1, reps=1)
+    with open(path) as f:
+        data = json.load(f)
+    (key,) = data["entries"]
+    data["entries"][key]["per_pass_s"] = 1e-12  # impossible-to-match time
+    with open(path, "w") as f:
+        json.dump(data, f)
+
+    r2 = DeviceStreamRunner("blur3", num_images=4, image=img,
+                            use_pallas=False, tune_cache_path=path)
+    r2.autotune(passes=1, reps=1)
+    assert r2.tuning["cache_hit"] is False  # re-swept
+
+    # Distinct workloads get distinct cache keys.
+    r3 = DeviceStreamRunner("blur5", num_images=4, image=img,
+                            use_pallas=False, tune_cache_path=path)
+    r3.autotune(passes=1, reps=1)
+    with open(path) as f:
+        data = json.load(f)
+    assert len(data["entries"]) == 2
