@@ -32,6 +32,12 @@ def main() -> int:
                     help="lane weights; default: calibrate with a short run")
     ap.add_argument("--image", default="/root/reference/image_320x240.jpg")
     ap.add_argument("--out", default="benchmarks/full_scale")
+    ap.add_argument("--scheduler", default="static",
+                    choices=("static", "greedy"),
+                    help="greedy = N-lane batch-level work stealing "
+                    "(no weights/calibration needed)")
+    ap.add_argument("--elastic", action="store_true",
+                    help="greedy only: survive a lane failure mid-run")
     args = ap.parse_args()
 
     import jax
@@ -51,6 +57,9 @@ def main() -> int:
     image = np.ascontiguousarray(decode_file(args.image))
 
     weights = args.weights
+    if args.scheduler == "greedy" and weights is None:
+        # Greedy self-balances: no calibration run needed (its whole point).
+        weights = [1.0, 1.0]
     if weights is None:
         # Measured-feedback calibration, fleet form: short run at equal
         # weights, then weights_i ∝ 1/t_i (README.md:87-93 generalized).
@@ -68,16 +77,19 @@ def main() -> int:
         [LaneSpec(cpu, weights[0], "cpu"), LaneSpec(accel, weights[1], "tpu")],
         approach=args.approach, batch_size=args.batch,
         num_images=args.num_images,
+        scheduler=args.scheduler, elastic=args.elastic,
     )
     stats = eng.run(image=image)
     report = eng.report()
     print(report)
 
     os.makedirs(args.out, exist_ok=True)
+    tag = "_greedy" if args.scheduler == "greedy" else ""
     log_path = os.path.join(
-        args.out, f"fleet_a{args.approach}_{args.num_images}_run.txt"
+        args.out, f"fleet{tag}_a{args.approach}_{args.num_images}_run.txt"
     )
     with open(log_path, "w") as f:
+        f.write(f"scheduler: {args.scheduler}\n")
         f.write(f"weights: {[round(w, 4) for w in weights]}\n")
         f.write(report + "\n")
     row = eng.to_csv_row(run=1, file=os.path.basename(log_path))

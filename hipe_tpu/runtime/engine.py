@@ -136,6 +136,7 @@ class _Lane:
         self.profile = profile
         if getattr(device, "platform", "cpu") == "cpu":
             path = "xla"  # Pallas TPU kernels don't lower on the host backend
+        self.path = path
         use_pallas = path == "pallas"
         # Device data travels in interleaved-rows layout (B, H, W*C): a free
         # host-side reshape that avoids TPU's 4-D NHWC uint8 lane padding
@@ -175,6 +176,118 @@ class _Lane:
             return np.asarray(self.fn(x, c)).reshape(b, h, w, c)
 
 
+def run_greedy_lanes(
+    lanes: dict[str, "_Lane"],
+    stream,
+    *,
+    n_batches: int,
+    elastic: bool = False,
+    progress=None,
+):
+    """Batch-level work stealing over N named lanes, with optional elastic
+    lane-failure recovery. Shared by the two-lane :class:`Engine` and the
+    N-lane :class:`hipe_tpu.runtime.fleet.FleetEngine`.
+
+    Each lane pulls the next whole batch when free: dynamic load balancing
+    with zero shape churn (lanes keep their compiled full-batch/remainder
+    shapes); the work split emerges from measured speed instead of a
+    pre-tuned ratio. Final imbalance is bounded by roughly one batch per
+    lane. Replaces the reference's static-ratio dispatch + manual
+    calibration loop (/root/reference/heterogeneous_blur.c:449-497,
+    README.md:87-93) with self-balancing.
+
+    With ``elastic=True`` a failing lane's orphaned batch is requeued for
+    the surviving lanes (a device fault kills one lane, not the run); a
+    second failure of the same batch, or no survivors, raises.
+
+    Returns batch 0's output (or None if another accounting path kept it).
+    """
+    import threading
+
+    notify = progress or (lambda msg: None)
+    # Prefetch so batch production (e.g. JPEG decode) runs in its own
+    # thread; the lock below then only guards a fast queue pop instead
+    # of serializing decode with the lanes' work acquisition.
+    it = iter(enumerate(streamlib.Prefetcher(stream, depth=2)))
+    lock = threading.Lock()
+    errors: list[BaseException] = []
+    retry: list[tuple] = []  # batches orphaned by a failed lane
+    alive = {name: True for name in lanes}
+    result: dict = {"first": None}
+
+    def account(batch_idx: int, host_batch, out, lane: "_Lane") -> None:
+        bc = host_batch.shape[0]
+        lane.counters.images += bc
+        lane.counters.units += bc
+        if batch_idx == 0:
+            result["first"] = out
+        notify(f"Batch {batch_idx + 1} complete.")
+
+    def worker(name: str, lane: "_Lane") -> None:
+        while not errors:
+            item = None
+            try:
+                with lock:
+                    if retry:
+                        item = retry.pop()
+                    else:
+                        item = next(it, None)
+                if item is None:
+                    return
+                batch_idx, host_batch, *attempt = item
+                notify(
+                    f"=== Processing Batch {batch_idx + 1}/{n_batches} ==="
+                )
+                out = lane.process(host_batch)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                # Covers lane failures and stream-producer errors (e.g.
+                # a corrupt JPEG mid-stream). Elastic mode requeues the
+                # orphaned batch for surviving lanes (a device fault
+                # kills one lane, not the run); a second failure of the
+                # same batch means the batch itself is bad — raise.
+                alive[name] = False
+                second_try = bool(item) and bool(item[2:])
+                if (not elastic or item is None or second_try
+                        or not any(alive.values())):
+                    errors.append(e)
+                    return
+                import sys
+
+                print(
+                    f"Warning: lane '{name}' failed "
+                    f"({type(e).__name__}); redistributing its batch "
+                    "to surviving lanes",
+                    file=sys.stderr,
+                )
+                with lock:
+                    retry.append((item[0], item[1], 1))
+                return
+            account(batch_idx, host_batch, out, lane)
+
+    threads = [
+        threading.Thread(target=worker, args=(name, lane), daemon=True)
+        for name, lane in lanes.items()
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if not errors and retry:
+        # Every healthy lane exited before draining the requeue (e.g.
+        # the failure happened as the stream ran dry): finish inline.
+        survivors = [n for n, ok in alive.items() if ok]
+        if not survivors:
+            raise RuntimeError("all lanes failed")
+        lane = lanes[survivors[0]]
+        while retry:
+            batch_idx, host_batch, *_ = retry.pop()
+            out = lane.process(host_batch)
+            account(batch_idx, host_batch, out, lane)
+    if errors:
+        raise errors[0]
+    return result["first"]
+
+
 class Engine:
     """Heterogeneous CPU+TPU image-processing engine."""
 
@@ -199,6 +312,7 @@ class Engine:
             batch_size=cfg.batch_size, num_images=cfg.num_images,
             num_batches=pt.num_batches(cfg.num_images, cfg.batch_size),
             width=0, height=0, channels=0, pipeline=self.pipeline.name,
+            cpu_exec="xla", accel_exec=cfg.accel_path,
         )
         self._lanes: dict[str, _Lane] = {}
         if cfg.mode in ("both", "cpu"):
@@ -274,98 +388,14 @@ class Engine:
     # ---- approach 1, greedy scheduler: batch-level work stealing ----
 
     def _run_greedy(self, stream) -> None:
-        """Each lane pulls the next whole batch when free.
-
-        Dynamic load balancing with zero shape churn: lanes keep their
-        compiled full-batch/remainder shapes; the work split emerges from
-        measured speed instead of a pre-tuned ratio. The final imbalance
-        is bounded by roughly one batch per lane.
-        """
-        import threading
-
-        # Prefetch so batch production (e.g. JPEG decode) runs in its own
-        # thread; the lock below then only guards a fast queue pop instead
-        # of serializing decode with the other lane's work acquisition.
-        it = iter(enumerate(streamlib.Prefetcher(stream, depth=2)))
-        lock = threading.Lock()
-        n_batches = self.stats.num_batches
-        elastic = self.config.elastic
-        errors: list[BaseException] = []
-        retry: list[tuple] = []  # batches orphaned by a failed lane
-        alive = {name: True for name in self._lanes}
-
-        def worker(name: str, lane: _Lane) -> None:
-            while not errors:
-                item = None
-                try:
-                    with lock:
-                        if retry:
-                            item = retry.pop()
-                        else:
-                            item = next(it, None)
-                    if item is None:
-                        return
-                    batch_idx, host_batch, *attempt = item
-                    self._progress(
-                        f"=== Processing Batch {batch_idx + 1}/"
-                        f"{n_batches} ==="
-                    )
-                    out = lane.process(host_batch)
-                except BaseException as e:  # noqa: BLE001 — re-raised below
-                    # Covers lane failures and stream-producer errors (e.g.
-                    # a corrupt JPEG mid-stream). Elastic mode requeues the
-                    # orphaned batch for surviving lanes (a device fault
-                    # kills one lane, not the run); a second failure of the
-                    # same batch means the batch itself is bad — raise.
-                    alive[name] = False
-                    second_try = bool(item) and bool(item[2:])
-                    if (not elastic or item is None or second_try
-                            or not any(alive.values())):
-                        errors.append(e)
-                        return
-                    import sys
-
-                    print(
-                        f"Warning: lane '{name}' failed "
-                        f"({type(e).__name__}); redistributing its batch "
-                        "to surviving lanes",
-                        file=sys.stderr,
-                    )
-                    with lock:
-                        retry.append((item[0], item[1], 1))
-                    return
-                bc = host_batch.shape[0]
-                lane.counters.images += bc
-                lane.counters.units += bc
-                if batch_idx == 0:
-                    self.first_output = out
-                self._progress(f"Batch {batch_idx + 1} complete.")
-
-        threads = [
-            threading.Thread(target=worker, args=(name, lane), daemon=True)
-            for name, lane in self._lanes.items()
-        ]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        if not errors and retry:
-            # Every healthy lane exited before draining the requeue (e.g.
-            # the failure happened as the stream ran dry): finish inline.
-            survivors = [n for n, ok in alive.items() if ok]
-            if not survivors:
-                raise RuntimeError("all lanes failed")
-            lane = self._lanes[survivors[0]]
-            while retry:
-                batch_idx, host_batch, *_ = retry.pop()
-                out = lane.process(host_batch)
-                bc = host_batch.shape[0]
-                lane.counters.images += bc
-                lane.counters.units += bc
-                if batch_idx == 0:
-                    self.first_output = out
-        if errors:
-            raise errors[0]
+        """Each lane pulls the next whole batch when free (shared impl,
+        :func:`run_greedy_lanes`)."""
+        first = run_greedy_lanes(
+            self._lanes, stream, n_batches=self.stats.num_batches,
+            elastic=self.config.elastic, progress=self._progress,
+        )
+        if first is not None:
+            self.first_output = first
 
     # ---- approach 2: split-image distribution ----
 

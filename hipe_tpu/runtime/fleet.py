@@ -11,7 +11,10 @@ weighted by its work share — while keeping the reference's semantics:
   halo slabs, computed-then-discarded at reassembly
   (`split_image_blur.c:144-173` generalized to N segments);
 - measured-feedback balancing: `weights_i ∝ 1/t_i` per work unit, which
-  reduces to the reference's `ratio* = T_cpu/(T_cpu+T_gpu)` for two lanes.
+  reduces to the reference's `ratio* = T_cpu/(T_cpu+T_gpu)` for two lanes;
+- greedy scheduling (approach 1): batch-level work stealing across all N
+  lanes with optional elastic lane-failure recovery, sharing the two-lane
+  engine's implementation (`engine.run_greedy_lanes`).
 
 The two-lane :class:`hipe_tpu.runtime.engine.Engine` remains the
 reference-parity implementation (exact CLI/report contract); FleetEngine is
@@ -81,9 +84,33 @@ class FleetEngine:
         num_images: int = pt.NUM_IMAGES,
         profile: bool = True,
         pipeline_depth: int = 1,
+        scheduler: str = "static",
+        elastic: bool = False,
     ):
         assert lanes, "need at least one lane"
         assert approach in (1, 2)
+        assert scheduler in ("static", "greedy")
+        if scheduler == "greedy" and approach != 1:
+            import sys
+
+            print(
+                "Warning: greedy scheduling applies to approach 1 only "
+                "(approach 2 sends every image to every lane); using "
+                "static",
+                file=sys.stderr,
+            )
+            scheduler = "static"
+        if elastic and scheduler != "greedy":
+            import sys
+
+            print(
+                "Warning: elastic recovery requires the greedy scheduler; "
+                "disabling",
+                file=sys.stderr,
+            )
+            elastic = False
+        self.scheduler = scheduler
+        self.elastic = elastic
         self._specs = list(lanes)
         self.approach = approach
         self.batch_size = pt.validate_batch(batch_size, num_images)
@@ -135,12 +162,28 @@ class FleetEngine:
         self.stats.height, self.stats.width, self.stats.channels = h, w, c
         self._warmup(stream)
         t0 = now_ms()
-        if self.approach == 1:
+        if self.approach == 1 and self.scheduler == "greedy":
+            self._run_greedy(stream)
+        elif self.approach == 1:
             self._run_images(stream)
         else:
             self._run_rows(stream)
         self.stats.wall_ms = now_ms() - t0
         return self.stats
+
+    def _run_greedy(self, stream) -> None:
+        """N-lane batch-level work stealing (+ elastic lane recovery)."""
+        from hipe_tpu.runtime.engine import run_greedy_lanes
+
+        lanes = {lane.counters.name: lane for lane in self._lanes}
+        assert len(lanes) == len(self._lanes), "lane names must be unique"
+        first = run_greedy_lanes(
+            lanes, stream,
+            n_batches=pt.num_batches(self.num_images, self.batch_size),
+            elastic=self.elastic,
+        )
+        if first is not None:
+            self.first_output = first
 
     def _split_counts(self, bc: int) -> list[int]:
         return pt.apportion(bc, self.weights)
@@ -207,7 +250,13 @@ class FleetEngine:
         seen: set[tuple[int, tuple]] = set()
         for shape in shapes:
             bc, h, w, c = shape
-            if self.approach == 1:
+            if self.approach == 1 and self.scheduler == "greedy":
+                # Any lane may take any batch (incl. the remainder batch).
+                for i, lane in enumerate(self._lanes):
+                    if (i, (bc, h, w, c)) not in seen:
+                        seen.add((i, (bc, h, w, c)))
+                        lane.warmup((bc, h, w, c))
+            elif self.approach == 1:
                 counts = self._split_counts(bc)
                 for i, cnt in enumerate(counts):
                     if cnt and (i, (cnt, h, w, c)) not in seen:
@@ -236,9 +285,14 @@ class FleetEngine:
         cpu = DeviceCounters("cpu")
         acc = DeviceCounters("accel")
         acc_weight = 0.0
-        for spec, counters in zip(self._specs, self.stats.lanes):
+        cpu_paths: set[str] = set()
+        acc_paths: set[str] = set()
+        for spec, lane, counters in zip(
+            self._specs, self._lanes, self.stats.lanes
+        ):
             is_cpu = getattr(spec.device, "platform", "cpu") == "cpu"
             (cpu if is_cpu else acc).merge(counters)
+            (cpu_paths if is_cpu else acc_paths).add(lane.path)
             if not is_cpu:
                 acc_weight += spec.weight
         total_w = sum(spec.weight for spec in self._specs)
@@ -259,6 +313,8 @@ class FleetEngine:
             wall_ms=self.stats.wall_ms,
             cpu=cpu,
             accel=acc,
+            cpu_exec="/".join(sorted(cpu_paths)) or "xla",
+            accel_exec="/".join(sorted(acc_paths)) or "pallas",
         )
         return rs
 

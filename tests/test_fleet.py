@@ -117,3 +117,68 @@ def test_fleet_csv_row_contract():
     assert rs.cpu.units == sum(c.units for c in eng.stats.lanes)
     assert abs(rs.cpu.total_ms
                - sum(c.total_ms for c in eng.stats.lanes)) < 1e-9
+
+
+# ---- greedy scheduling + elastic recovery, generalized to N lanes ----
+
+
+def test_fleet_greedy_accounts_all_batches_and_bounds_imbalance():
+    """3-lane greedy: all images processed exactly once, outputs exact,
+    and the self-balancing split keeps lane work within ~one batch."""
+    eng = FleetEngine(_lanes(3), approach=1, batch_size=5, num_images=60,
+                      scheduler="greedy", profile=False)
+    stats = eng.run(image=IMG)
+    assert sum(c.images for c in stats.lanes) == 60
+    want = oracle.gaussian_blur_int_oracle(IMG)
+    np.testing.assert_array_equal(eng.first_output[0], want)
+    # Work stealing bounds the final imbalance at roughly one batch per
+    # lane: equal-speed lanes must each take at least one batch.
+    assert all(c.images > 0 for c in stats.lanes)
+    assert max(c.images for c in stats.lanes) - \
+        min(c.images for c in stats.lanes) <= 2 * 5
+
+
+def test_fleet_greedy_elastic_survives_lane_kill():
+    """A lane dying mid-run (3+ lanes): its batch is redistributed, the
+    run completes, and the dead lane pollutes no accounting."""
+    import time
+
+    eng = FleetEngine(_lanes(3), approach=1, batch_size=4, num_images=40,
+                      scheduler="greedy", elastic=True, profile=False)
+
+    def flaky(batch):
+        raise RuntimeError("device lost")
+
+    eng._lanes[1].process = flaky
+    for lane in (eng._lanes[0], eng._lanes[2]):
+        orig = lane.process
+
+        def slow(batch, orig=orig):
+            time.sleep(0.005)
+            return orig(batch)
+
+        lane.process = slow
+    stats = eng.run(image=IMG)
+    assert sum(c.images for c in stats.lanes) == 40
+    assert stats.lanes[1].images == 0 and stats.lanes[1].total_ms == 0.0
+    want = oracle.gaussian_blur_int_oracle(IMG)
+    np.testing.assert_array_equal(eng.first_output[0], want)
+
+
+def test_fleet_greedy_fail_fast_without_elastic():
+    eng = FleetEngine(_lanes(3), approach=1, batch_size=4, num_images=24,
+                      scheduler="greedy", profile=False)
+
+    def flaky(batch):
+        raise RuntimeError("device lost")
+
+    for lane in eng._lanes:
+        lane.process = flaky
+    with pytest.raises(RuntimeError, match="device lost"):
+        eng.run(image=IMG)
+
+
+def test_fleet_greedy_approach2_warns_and_defaults():
+    eng = FleetEngine(_lanes(2), approach=2, scheduler="greedy",
+                      elastic=True)
+    assert eng.scheduler == "static" and eng.elastic is False
