@@ -121,6 +121,11 @@ class RunStats:
     )
     split_row: int | None = None  # approach 2 only
     halo: int | None = None
+    # Per-lane execution-config labels ('xla' | 'pallas' | autotuned block
+    # labels): the TPU analog of the reference's 16x16 work-group size,
+    # recorded into the CSV wg_w/wg_h columns so they are never empty.
+    cpu_exec: str = "xla"
+    accel_exec: str = "pallas"
 
     @property
     def images_per_sec(self) -> float:

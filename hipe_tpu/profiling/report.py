@@ -146,8 +146,11 @@ def to_csv_row(stats: RunStats, run: int = 1, file: str = "") -> dict:
         "batches": s.num_batches,
         "img_w": s.width,
         "img_h": s.height,
-        "wg_w": "",  # no work-groups on TPU; kept for schema parity
-        "wg_h": "",
+        # No 16x16 work-groups on TPU (the reference writes "16,16" here);
+        # the analog is the per-lane kernel execution config, recorded so
+        # tooling reading these columns sees the chosen path, not blanks.
+        "wg_w": s.cpu_exec,
+        "wg_h": s.accel_exec,
         "wall_ms": round(s.wall_ms, 2),
         "cpu_images": s.cpu.images,
         "cpu_total_ms": round(cpu_t, 2),

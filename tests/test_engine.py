@@ -123,6 +123,10 @@ def test_csv_row_schema():
     assert list(row.keys()) == CSV_COLUMNS
     assert row["images"] == 32
     assert row["img_per_sec"] > 0
+    # The work-group columns carry the per-lane execution config (the TPU
+    # analog of the reference's 16x16 local size) — never blank.
+    assert row["wg_w"] == "xla"  # cpu lane
+    assert row["wg_h"]  # accel lane path label
 
 
 def test_invalid_config_falls_back():
