@@ -270,6 +270,22 @@ def fancy_upsample_h2v1(plane: jnp.ndarray) -> jnp.ndarray:
     return _interleave(out_even, out_odd, axis=-1)
 
 
+def fancy_upsample_h1v2(plane: jnp.ndarray) -> jnp.ndarray:
+    """1x2 (vertical-only, 4:4:0) triangular chroma upsample.
+
+    Bit-exact vs libjpeg-turbo's jdsample.c h1v2_fancy_upsample — the
+    vertical transpose of h2v1: even output rows take (3*x + above + 1)>>2,
+    odd rows (3*x + below + 2)>>2, edges replicated (verified empirically
+    against the installed library over odd/even dims).
+    """
+    x = plane.astype(jnp.int32)
+    up = _clamp_rows(x, -1)
+    down = _clamp_rows(x, 1)
+    out_even = (3 * x + up + 1) >> 2
+    out_odd = (3 * x + down + 2) >> 2
+    return _interleave(out_even, out_odd, axis=-2)
+
+
 def ycc_to_rgb(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray) -> jnp.ndarray:
     """Fixed-point YCbCr->RGB, bit-exact vs jdcolor.c build_ycc_rgb_table.
 
@@ -354,7 +370,7 @@ def _decode_rgb_rows_from_planes(
 
     def y_phase(pr, pc):
         rs = range(pr, 8, 2) if pr is not None else range(8)
-        cs_ = range(pc, 8, 2)
+        cs_ = range(pc, 8, 2) if pc is not None else range(8)
         return _grid_from_planes(y_planes, yhb, ywb, rs, cs_)[..., :dh, :dw]
 
     if (hr, vr) == (2, 2):
@@ -375,6 +391,17 @@ def _decode_rgb_rows_from_planes(
         rgb_e = _rgb_rows(y_phase(None, 0), cb_e, cr_e)
         rgb_o = _rgb_rows(y_phase(None, 1), cb_o, cr_o)
         full = _interleave_col_phases(rgb_e, rgb_o)
+    elif (hr, vr) == (1, 2):
+        # 4:4:0 (h1v2): vertical-only fancy upsample — two row phases at
+        # chroma resolution, no column phases (fancy_upsample_h1v2
+        # semantics, row biases 1/2).
+        rows_out = []
+        for p, voff, bias in ((0, -1, 1), (1, 1, 2)):
+            cbp = (3 * cb + _clamp_rows(cb, voff) + bias) >> 2
+            crp = (3 * cr + _clamp_rows(cr, voff) + bias) >> 2
+            rows_out.append(_rgb_rows(y_phase(p, None), cbp, crp))
+        full = jnp.stack(rows_out, axis=-2)  # (..., dh, 2, dw*3)
+        full = full.reshape(*full.shape[:-3], dh * 2, full.shape[-1])
     else:  # (1, 1)
         y = _grid_from_planes(y_planes, yhb, ywb,
                               range(8), range(8))[..., :hgt, :wid]
@@ -421,7 +448,8 @@ def supported(geo: DecodeGeometry) -> bool:
     """True if this geometry decodes on device (else fall back to host).
 
     Covers the sampling layouts libjpeg encoders emit: grayscale, 4:4:4,
-    4:2:2 and 4:2:0 YCbCr. Exotic factors (4:1:1, h1v2) take the host path.
+    4:2:2, 4:2:0 and 4:4:0 (h1v2) YCbCr. Exotic factors (4:1:1,
+    mismatched Cb/Cr) take the host path.
     """
     if geo.ncomps == 1:
         return True
@@ -438,7 +466,7 @@ def supported(geo: DecodeGeometry) -> bool:
             return False
         hr = geo.max_h // h_samp
         vr = geo.max_v // v_samp
-        if (hr, vr) not in ((1, 1), (2, 1), (2, 2)):
+        if (hr, vr) not in ((1, 1), (2, 1), (2, 2), (1, 2)):
             return False
     return True
 

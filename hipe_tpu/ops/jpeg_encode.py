@@ -133,6 +133,15 @@ def downsample_h2v1(plane: jnp.ndarray) -> jnp.ndarray:
     return (s + _alternating_bias(w2, 0, 1)) >> 1
 
 
+def downsample_h1v2(plane: jnp.ndarray) -> jnp.ndarray:
+    """1x2 vertical average for 4:4:0 chroma, bit-exact vs jcsample.c
+    int_downsample with h_expand=1, v_expand=2 (fixed +numpix/2 bias,
+    truncating division — no per-column alternation)."""
+    h2 = plane.shape[-2] // 2
+    x = plane.reshape(*plane.shape[:-2], h2, 2, plane.shape[-1])
+    return (x.sum(axis=-2) + 1) >> 1
+
+
 def _fdct_1d(d: list[jnp.ndarray], final: bool) -> list[jnp.ndarray]:
     """One 8-point islow forward-DCT pass, bit-exact vs jcfdctint.c."""
     t0 = d[0] + d[7]
@@ -259,7 +268,8 @@ def encode_geometry(height: int, width: int, channels: int,
         hb, wb = -(-height // 8), -(-width // 8)
         return DecodeGeometry(width=width, height=height, ncomps=1,
                               comps=((1, 1, wb, hb),), max_h=1, max_v=1)
-    hs, vs = {"420": (2, 2), "422": (2, 1), "444": (1, 1)}[subsampling]
+    hs, vs = {"420": (2, 2), "422": (2, 1), "444": (1, 1),
+              "440": (1, 2)}[subsampling]
     ywb = -(-width * hs // (8 * hs))
     yhb = -(-height * vs // (8 * vs))
     cwb = -(-width // (8 * hs))
@@ -320,6 +330,8 @@ def encode_planes(
         cb, cr = downsample_h2v2(cb), downsample_h2v2(cr)
     elif (hs, vs) == (2, 1):
         cb, cr = downsample_h2v1(cb), downsample_h2v1(cr)
+    elif (hs, vs) == (1, 2):
+        cb, cr = downsample_h1v2(cb), downsample_h1v2(cr)
     cb = _pad_edge(cb, chb * 8, cwb * 8)
     cr = _pad_edge(cr, chb * 8, cwb * 8)
     return [

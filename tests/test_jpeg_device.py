@@ -52,6 +52,17 @@ def test_h2v1_and_h1v1():
     _roundtrip_exact(_rand(31, 25, 3, seed=2), quality=90, subsampling="444")
 
 
+def test_h1v2_440():
+    # 4:4:0 (vertical-only subsampling): turbo's h1v2_fancy_upsample on
+    # decode. Odd height exercises the replicated bottom chroma row.
+    co = _roundtrip_exact(_rand(32, 24, 3, seed=4), quality=85,
+                          subsampling="440")
+    assert [(c.h_samp, c.v_samp) for c in co.components] == \
+        [(1, 2), (1, 1), (1, 1)]
+    _roundtrip_exact(_rand(33, 17, 3, seed=5), quality=90,
+                     subsampling="440")
+
+
 def test_grayscale():
     _roundtrip_exact(_rand(40, 56, 1, seed=3), quality=80)
 

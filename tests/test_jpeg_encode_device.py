@@ -54,6 +54,15 @@ def test_h2v1_and_h1v1():
                            subsampling="444")
 
 
+def test_h1v2_440():
+    # 4:4:0: vertical-only chroma downsample (jcsample int_downsample,
+    # fixed +1 bias). Odd height exercises the group-edge replication.
+    _assert_byte_identical(_rand(14, 18, 3, seed=6), quality=85,
+                           subsampling="440")
+    _assert_byte_identical(_rand(17, 9, 3, seed=7), quality=92,
+                           subsampling="440")
+
+
 def test_grayscale():
     _assert_byte_identical(_rand(21, 13, 1, seed=5), quality=80)
 
