@@ -40,6 +40,9 @@ def main() -> int:
                          "baselines (the reference's missing "
                          "gaussian_blur.c analog, heterogeneous_blur.c:"
                          "52-58) at these batch sizes")
+    ap.add_argument("--single-only", action="store_true",
+                    help="run only the single-lane baselines (skip the "
+                         "heterogeneous approach sweeps)")
     args = ap.parse_args()
 
     from hipe_tpu.io_.jpeg import decode_file
@@ -65,6 +68,9 @@ def main() -> int:
             best = max(stats, key=lambda s: s.images_per_sec)
             print(f"[single {mode}] best: batch={best.batch_size} "
                   f"{best.images_per_sec:.0f} img/s", file=sys.stderr)
+
+    if args.single_only:
+        return 0
 
     for approach in (1, 2):
         base = EngineConfig(approach=approach, mode="both", batch_size=100,
