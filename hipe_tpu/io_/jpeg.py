@@ -537,14 +537,23 @@ def write_coefficients_batch(
                 f"subsampling={subsampling!r}"
             )
     i16p = ctypes.POINTER(ctypes.c_int16)
-    ptr_table = (i16p * (b * 4))()
-    views = []  # keep per-image views alive across the call
-    for i in range(b):
-        for ci in range(ncomps):
-            v = arrays[ci][i]
-            views.append(v)
-            ptr_table[i * 4 + ci] = v.ctypes.data_as(i16p)
-    cap = width * height * 3 + 65536
+    # Vectorized pointer-table construction: per-image slices of each
+    # stacked component are base + i*stride, so the count*4 table is pure
+    # address arithmetic in numpy — no per-image ctypes marshalling (the
+    # remaining Python cost of the batch path on a single-core host).
+    addrs = np.zeros(b * 4, dtype=np.uintp)
+    for ci in range(ncomps):
+        a = arrays[ci]
+        addrs[ci::4] = a.ctypes.data + np.arange(b, dtype=np.uintp) * (
+            a.strides[0]
+        )
+    ptr_table = ctypes.cast(addrs.ctypes.data, ctypes.POINTER(i16p))
+    # Per-image slot sized for realistic streams (~1 byte/px is already
+    # far above typical JPEG rates), not the absolute worst case — an
+    # image that overflows its slot is retried at the exact reported size
+    # below, so a tight cap costs one re-encode of rare outliers instead
+    # of a 50x larger batch buffer (page-fault overhead at batch 500+).
+    cap = width * height + 65536
     out = np.empty((b, cap), dtype=np.uint8)
     out_lens = np.zeros(b, dtype=np.uintp)
     rcs = np.zeros(b, dtype=np.intc)

@@ -159,3 +159,23 @@ def test_run_encode_retry_path():
         )
 
     assert jio._run_encode(call, 1) == jio.encode_bytes(img, 90)
+
+
+def test_write_batch_overflow_retries_at_exact_size():
+    """An image whose stream exceeds the per-image slot (noise at q100
+    4:4:4 entropy-codes above 1 byte/px) takes the rc=3 retry inside the
+    batch and still matches the single-image writer byte-for-byte."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (512, 512, 3), dtype=np.uint8)
+    payload = jio.encode_bytes_opts(img, quality=100, subsampling="444")
+    co = jio.read_coefficients(payload)
+    stacked = [c.coefs[None] for c in co.components]
+    (got,) = jio.write_coefficients_batch(
+        stacked, 512, 512, quality=100, subsampling="444"
+    )
+    want = jio.write_coefficients(
+        [c.coefs for c in co.components], 512, 512, quality=100,
+        subsampling="444",
+    )
+    assert got == want
+    assert len(got) > 512 * 512 + 65536  # really overflowed the slot
