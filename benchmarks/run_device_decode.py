@@ -280,8 +280,11 @@ def main() -> int:
 
     # 8. end-to-end serving: JPEG bytes in -> filtered JPEG bytes out via
     # ServingPipeline with the full numeric transcode on device and the
-    # batch entropy coding on the host (the real deployment path; gated by
-    # the host entropy stages above).
+    # batch entropy coding on the host. On THIS harness the number is
+    # dominated by the host<->device tunnel (~196 KB of coefficients per
+    # image at ~13-25 MB/s — see CLAUDE.md), not by the framework; on a
+    # PCIe-attached host it approaches min(host entropy, device transcode)
+    # from the stages above. Recorded with that caveat in the JSON.
     from hipe_tpu.runtime.serve import ServingPipeline
 
     sp = ServingPipeline("blur3", decode_on_device=True,
@@ -297,6 +300,12 @@ def main() -> int:
     dt = time.perf_counter() - t0
     assert n_out == num_images, (n_out, num_images)
     results["serve_transcode_e2e_img_s"] = round(num_images / dt, 1)
+    if on_tpu:
+        results["serve_transcode_e2e_note"] = (
+            "tunnel-bound on this harness (~196 KB coefficients/image over "
+            "a ~13-25 MB/s link); host/device stage ceilings above are the "
+            "deployment-relevant rates"
+        )
     log(f"serve e2e transcode    {num_images / dt:12,.0f} img/s")
 
     print(json.dumps(results))
