@@ -201,6 +201,8 @@ def main() -> int:
         "33x17_q75_420": (33, 17, 75, "420"),
         "64x80_q85_422": (64, 80, 85, "422"),
         "48x56_q92_444": (48, 56, 92, "444"),
+        "64x48_q88_440": (64, 48, 88, "440"),
+        "33x47_q90_440": (33, 47, 90, "440"),
     }.items():
         img = checker_image(ch, cw, 3, seed=7)
         payload = jio.encode_bytes_opts(img, quality=q, subsampling=sub)
