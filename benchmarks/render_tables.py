@@ -85,9 +85,50 @@ def render_device_decode() -> str:
     return "\n".join(out)
 
 
+def _avg_by_batch(subdir: str) -> dict[int, float]:
+    import csv
+
+    path = os.path.join(BENCH_DIR, "corpus_v5e_full", subdir,
+                        "avg_by_batch.csv")
+    with open(path) as f:
+        return {
+            int(float(r["batch_size_file"])): float(r["img_per_sec"])
+            for r in csv.DictReader(f)
+        }
+
+
+def render_corpus_grid() -> str:
+    """Heterogeneous A1/A2 vs single-device baselines, per batch size."""
+    a1 = _avg_by_batch("approach1")
+    a2 = _avg_by_batch("approach2")
+    scpu = _avg_by_batch("single_cpu")
+    stpu = _avg_by_batch("single_tpu")
+    out = ["| batch | A1 img/s | A2 img/s | cpu-only | tpu-only | "
+           "best-het / cpu-only |",
+           "|---|---|---|---|---|---|"]
+    best_a1 = max(a1.values())
+    best_a2 = max(a2.values())
+    for b in sorted(set(a1) | set(a2)):
+        cells = []
+        for d, best in ((a1, best_a1), (a2, best_a2)):
+            v = d.get(b)
+            s = "—" if v is None else f"{v:.0f}"
+            if v is not None and v == best:
+                s = f"**{s}**"
+            cells.append(s)
+        for d in (scpu, stpu):
+            v = d.get(b)
+            cells.append("—" if v is None else f"{v:.0f}")
+        het = max(a1.get(b, 0.0), a2.get(b, 0.0))
+        ratio = (f"{het / scpu[b]:.2f}x" if b in scpu and scpu[b] else "—")
+        out.append(f"| {b} | {' | '.join(cells)} | {ratio} |")
+    return "\n".join(out)
+
+
 RENDERERS = {
     "device_stream": render_device_stream,
     "device_decode": render_device_decode,
+    "corpus_grid": render_corpus_grid,
 }
 
 _BLOCK = re.compile(
