@@ -80,6 +80,9 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="host does entropy encode only; color/downsample/"
                          "fDCT/quantize run on the TPU fused with the "
                          "filter (byte-identical output files)")
+    sv.add_argument("--encode-subsampling", default="420",
+                    choices=("420", "444", "422", "440"),
+                    help="chroma subsampling of the emitted JPEGs")
     sv.add_argument("--thumbnail", action="store_true",
                     help="half-size outputs: filter, then an exact 2x2 "
                          "average (jcsample rounding), then encode")
@@ -229,6 +232,7 @@ def _main_serve(args) -> int:
         args.pipeline_name, quality=args.quality,
         decode_on_device=args.decode_on_device,
         encode_on_device=args.encode_on_device,
+        encode_subsampling=args.encode_subsampling,
         output_scale=2 if args.thumbnail else 1,
     )
 

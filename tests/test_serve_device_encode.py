@@ -150,3 +150,23 @@ def test_output_scale_thumbnail_all_placements(dims):
                          decode_on_device=True).process_batch(
         payloads, encode=False)
     np.testing.assert_array_equal(px, small)
+
+
+@pytest.mark.parametrize("sub", ["444", "440"])
+def test_encode_subsampling_honored_on_all_paths(sub):
+    """Host-encode, device-encode, and full-transcode paths all emit the
+    requested subsampling (the host path silently fell back to 4:2:0
+    before round 3) and byte-identical files."""
+    payloads = _payloads(n=2, seed=4)
+    expect = {"444": [(1, 1)] * 3, "440": [(1, 2), (1, 1), (1, 1)]}[sub]
+
+    host = ServingPipeline("blur3", use_pallas=False,
+                           encode_subsampling=sub).process_batch(payloads)
+    dev = ServingPipeline("blur3", use_pallas=False, encode_on_device=True,
+                          encode_subsampling=sub).process_batch(payloads)
+    tr = ServingPipeline("blur3", use_pallas=False, decode_on_device=True,
+                         encode_on_device=True,
+                         encode_subsampling=sub).process_batch(payloads)
+    assert host == dev == tr
+    co = jpeg.read_coefficients(host[0])
+    assert [(c.h_samp, c.v_samp) for c in co.components] == expect
