@@ -33,7 +33,12 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NUM_IMAGES = 5000
-PASSES = 10
+# Differencing noise: each chained call's wall time carries a few ms of
+# tunnel jitter, so (t2-t1)/PASSES has a noise floor of ~jitter/PASSES.
+# The fastest aliased variants run <2 ms/pass — at PASSES=10 a lucky rep
+# under min-selection produced a physically impossible 6.2 TB/s reading.
+# More passes + median-of-reps keeps sub-ms variants honest.
+PASSES = 30
 REPS = 5
 
 
@@ -250,7 +255,7 @@ def _run_variant(jax, jnp, lax, np, name, fn, blur_variants, stream, want,
     # warm both pass counts
     float(np.asarray(chained(stream, 1)))
     float(np.asarray(chained(stream, 1 + PASSES)))
-    best = float("inf")
+    samples = []
     for _ in range(REPS):
         t0 = time.perf_counter()
         float(np.asarray(chained(stream, 1)))
@@ -258,7 +263,8 @@ def _run_variant(jax, jnp, lax, np, name, fn, blur_variants, stream, want,
         t0 = time.perf_counter()
         float(np.asarray(chained(stream, 1 + PASSES)))
         t2 = time.perf_counter() - t0
-        best = min(best, (t2 - t1) / PASSES)
+        samples.append((t2 - t1) / PASSES)
+    best = sorted(samples)[len(samples) // 2]  # median: jitter-robust
     gbs = 2 * n * h * w / best / 1e9
     imgs = num_images / best
     results[name] = {

@@ -338,10 +338,18 @@ class DeviceStreamRunner:
         return int(np.max(np.abs(got.astype(int) - want.astype(int))))
 
     def _measure_per_pass(self, passes: int, reps: int) -> float:
-        """Best-of-`reps` steady-state seconds/pass via differencing."""
+        """Median-of-`reps` steady-state seconds/pass via differencing.
+
+        Median, not min: each chained call carries a few ms of tunnel
+        jitter, and the difference (t2 - t1) inherits it with either
+        sign — min-selection keeps the luckiest negative-jitter sample
+        and overstates throughput (observed: a physically impossible
+        6.2 TB/s probe reading, and flagship sessions inflated ~25% at
+        10 passes). The median is unbiased under symmetric jitter.
+        """
         self._sync(self._chained(self.stream, 1))
         self._sync(self._chained(self.stream, 1 + passes))
-        best = float("inf")
+        samples = []
         for _ in range(reps):
             t0 = time.perf_counter()
             self._sync(self._chained(self.stream, 1))
@@ -349,7 +357,8 @@ class DeviceStreamRunner:
             t0 = time.perf_counter()
             self._sync(self._chained(self.stream, 1 + passes))
             t2 = time.perf_counter() - t0
-            best = min(best, (t2 - t1) / passes)
+            samples.append((t2 - t1) / passes)
+        best = sorted(samples)[len(samples) // 2]
         if best <= 0.0:
             # Timing noise swamped the differencing (short runs on a loaded
             # host); fall back to the raw chained-run estimate.
