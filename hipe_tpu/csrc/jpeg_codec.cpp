@@ -86,6 +86,110 @@ int hipe_jpeg_decode(const unsigned char* buf, size_t len, unsigned char* out,
   return 0;
 }
 
+// Output dimensions of a scaled decode at scale_num/scale_denom (libjpeg
+// normalizes to M/8, M=1..16). Fills w/h/c. Returns 0 on success.
+int hipe_jpeg_scaled_dims(const unsigned char* buf, size_t len, int scale_num,
+                          int scale_denom, int* w, int* h, int* c) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit_handler;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(buf), len);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.scale_num = static_cast<unsigned int>(scale_num);
+  cinfo.scale_denom = static_cast<unsigned int>(scale_denom);
+  jpeg_calc_output_dimensions(&cinfo);
+  *w = static_cast<int>(cinfo.output_width);
+  *h = static_cast<int>(cinfo.output_height);
+  *c = cinfo.num_components >= 3 ? 3 : 1;
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Scaled decode (libjpeg DCT-domain scaling, scale_num/scale_denom) into
+// caller-allocated out (expect_h*expect_w*expect_c bytes, interleaved HWC).
+// The golden oracle for the device-side reduced-IDCT decode and the host
+// fallback for thumbnail serving. Returns 0 on success, 2 on a dimension
+// mismatch (call hipe_jpeg_scaled_dims first).
+int hipe_jpeg_decode_scaled(const unsigned char* buf, size_t len,
+                            unsigned char* out, int expect_w, int expect_h,
+                            int expect_c, int scale_num, int scale_denom) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit_handler;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(buf), len);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = expect_c == 1 ? JCS_GRAYSCALE : JCS_RGB;
+  cinfo.scale_num = static_cast<unsigned int>(scale_num);
+  cinfo.scale_denom = static_cast<unsigned int>(scale_denom);
+  jpeg_start_decompress(&cinfo);
+  if (static_cast<int>(cinfo.output_width) != expect_w ||
+      static_cast<int>(cinfo.output_height) != expect_h ||
+      static_cast<int>(cinfo.output_components) != expect_c) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  const size_t stride = static_cast<size_t>(expect_w) * expect_c;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out + cinfo.output_scanline * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Report libjpeg's scaled-decode geometry decisions at scale_num/scale_denom
+// without decoding: info[0..1] = output W,H; then per component (up to 4):
+// 4 ints {DCT_scaled_size, downsampled_width, downsampled_height, h_samp}.
+// This is ground truth for the device reduced-IDCT path — the per-component
+// scaled DCT size selection (jdmaster.c) is replicated in Python and
+// verified against this probe rather than trusted from documentation.
+int hipe_jpeg_scaled_info(const unsigned char* buf, size_t len, int scale_num,
+                          int scale_denom, int* info) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit_handler;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(buf), len);
+  jpeg_read_header(&cinfo, TRUE);
+  if (cinfo.num_components > 4) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  cinfo.scale_num = static_cast<unsigned int>(scale_num);
+  cinfo.scale_denom = static_cast<unsigned int>(scale_denom);
+  jpeg_calc_output_dimensions(&cinfo);
+  info[0] = static_cast<int>(cinfo.output_width);
+  info[1] = static_cast<int>(cinfo.output_height);
+  for (int i = 0; i < cinfo.num_components; ++i) {
+    jpeg_component_info* comp = &cinfo.comp_info[i];
+    int* rec = info + 2 + 4 * i;
+    rec[0] = comp->DCT_scaled_size;
+    rec[1] = static_cast<int>(comp->downsampled_width);
+    rec[2] = static_cast<int>(comp->downsampled_height);
+    rec[3] = comp->h_samp_factor;
+  }
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
 // Encode interleaved HWC uint8 to JPEG. Caller provides out buffer of
 // capacity out_cap; written length returned in *out_len. Returns 0 on
 // success, 3 if the output did not fit — *out_len then holds the required

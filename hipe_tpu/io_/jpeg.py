@@ -125,6 +125,23 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
         ]
         lib.hipe_jpeg_write_coefs_batch.restype = ctypes.c_int
+        lib.hipe_jpeg_scaled_dims.argtypes = [
+            u8p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.hipe_jpeg_scaled_dims.restype = ctypes.c_int
+        lib.hipe_jpeg_decode_scaled.argtypes = [
+            u8p, ctypes.c_size_t, u8p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.hipe_jpeg_decode_scaled.restype = ctypes.c_int
+        lib.hipe_jpeg_scaled_info.argtypes = [
+            u8p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.hipe_jpeg_scaled_info.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -159,6 +176,74 @@ def decode_bytes(data: bytes) -> np.ndarray:
 def decode_file(path: str) -> np.ndarray:
     with open(path, "rb") as f:
         return decode_bytes(f.read())
+
+
+def scaled_dims(data: bytes, scale_num: int, scale_denom: int) -> tuple[int, int, int]:
+    """Output (H, W, C) of a libjpeg scaled decode at scale_num/scale_denom.
+
+    libjpeg normalizes the ratio to M/8 with M in 1..16; the output dims are
+    ceil(dim * M / 8) (`jpeg_calc_output_dimensions`).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native codec unavailable: scaled decode requires libjpeg")
+    buf = np.frombuffer(data, dtype=np.uint8)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    c = ctypes.c_int()
+    rc = lib.hipe_jpeg_scaled_dims(_as_u8p(buf), buf.size, scale_num, scale_denom,
+                                   w, h, c)
+    if rc != 0:
+        raise ValueError("invalid JPEG header")
+    return h.value, w.value, c.value
+
+
+def scaled_info(data: bytes, scale_num: int, scale_denom: int):
+    """libjpeg's scaled-decode geometry decisions (probe, no decode).
+
+    Returns ((out_w, out_h), [(dct_scaled_size, down_w, down_h), ...]) — the
+    per-component scaled DCT size the library selects (jdmaster.c) and each
+    component's downsampled output dims. Ground truth for
+    `ops/jpeg_decode.scaled_sizes`.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native codec unavailable: scaled decode requires libjpeg")
+    buf = np.frombuffer(data, dtype=np.uint8)
+    info = (ctypes.c_int * 18)()
+    rc = lib.hipe_jpeg_scaled_info(_as_u8p(buf), buf.size, scale_num,
+                                   scale_denom, info)
+    if rc != 0:
+        raise ValueError(f"JPEG scaled-info probe failed (rc={rc})")
+    # The C side writes one 4-int record per header component; the ctypes
+    # array is zero-initialized, and DCT_scaled_size is always >= 1, so a
+    # zero record marks the end.
+    comps = []
+    for i in range(4):
+        rec = info[2 + 4 * i : 2 + 4 * (i + 1)]
+        if rec[0] == 0:
+            break
+        comps.append((rec[0], rec[1], rec[2]))
+    return (info[0], info[1]), comps
+
+
+def decode_bytes_scaled(data: bytes, scale_num: int, scale_denom: int) -> np.ndarray:
+    """Decode at scale_num/scale_denom via libjpeg DCT-domain scaling.
+
+    The host fallback for thumbnail serving and the golden oracle for the
+    device reduced-IDCT decode (`ops/jpeg_decode.decode_planes_scaled`).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native codec unavailable: scaled decode requires libjpeg")
+    h, w, c = scaled_dims(data, scale_num, scale_denom)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty((h, w, c), dtype=np.uint8)
+    rc = lib.hipe_jpeg_decode_scaled(_as_u8p(buf), buf.size, _as_u8p(out),
+                                     w, h, c, scale_num, scale_denom)
+    if rc != 0:
+        raise ValueError(f"scaled JPEG decode failed (rc={rc})")
+    return out
 
 
 def decode_batch(datas: list[bytes], num_threads: int | None = None) -> np.ndarray:

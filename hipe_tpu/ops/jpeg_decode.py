@@ -51,6 +51,18 @@ _F_2_053119869 = 16819
 _F_2_562915447 = 20995
 _F_3_072711026 = 25172
 
+# jidctred.c fixed-point constants (reduced-size IDCTs, CONST_BITS = 13).
+_R_0_211164243 = 1730
+_R_0_509795579 = 4176
+_R_0_601344887 = 4926
+_R_0_720959822 = 5906
+_R_0_850430095 = 6967
+_R_1_061594337 = 8697
+_R_1_272758580 = 10426
+_R_1_451774981 = 11893
+_R_2_172734803 = 17799
+_R_3_624509785 = 29692
+
 # jdcolor.c constants (SCALEBITS = 16).
 _SCALEBITS = 16
 _ONE_HALF = 1 << (_SCALEBITS - 1)
@@ -173,6 +185,83 @@ def _idct_planes_core(planes: list) -> list:
         row = _idct_1d([ws[r * 8 + c] for c in range(8)], final=True)
         for c in range(8):
             out[r * 8 + c] = _range_limit(row[c]).astype(jnp.uint8)
+    return out
+
+
+def _idct4_1d(d: list, final: bool) -> list:
+    """One 4-point reduced IDCT pass (jidctred.c jpeg_idct_4x4 arithmetic).
+
+    d: the 7 used coefficient planes in index order [0,1,2,3,5,6,7]
+    (frequency 4 never contributes to a 4-point output). Bit-exact port of
+    the jidctred.c fixed-point math, int32 like the islow path.
+    """
+    d0, d1, d2, d3, d5, d6, d7 = d
+    shift = (CONST_BITS - PASS1_BITS + 1) if not final else (
+        CONST_BITS + PASS1_BITS + 3 + 1
+    )
+    t0 = d0 << (CONST_BITS + 1)
+    t2 = d2 * _F_1_847759065 - d6 * _F_0_765366865
+    t10, t12 = t0 + t2, t0 - t2
+    o0 = (d7 * -_R_0_211164243 + d5 * _R_1_451774981
+          + d3 * -_R_2_172734803 + d1 * _R_1_061594337)
+    o2 = (d7 * -_R_0_509795579 + d5 * -_R_0_601344887
+          + d3 * _F_0_899976223 + d1 * _F_2_562915447)
+    return [
+        _descale(t10 + o2, shift),
+        _descale(t12 + o0, shift),
+        _descale(t12 - o0, shift),
+        _descale(t10 - o2, shift),
+    ]
+
+
+def _idct2_1d(d: list, final: bool) -> list:
+    """One 2-point reduced IDCT pass (jidctred.c jpeg_idct_2x2 arithmetic).
+
+    d: the 5 used coefficient planes in index order [0,1,3,5,7]
+    (even frequencies 2,4,6 never contribute to a 2-point output).
+    """
+    d0, d1, d3, d5, d7 = d
+    shift = (CONST_BITS - PASS1_BITS + 2) if not final else (
+        CONST_BITS + PASS1_BITS + 3 + 2
+    )
+    t10 = d0 << (CONST_BITS + 2)
+    t0 = (d7 * -_R_0_720959822 + d5 * _R_0_850430095
+          + d3 * -_R_1_272758580 + d1 * _R_3_624509785)
+    return [_descale(t10 + t0, shift), _descale(t10 - t0, shift)]
+
+
+def _idct_planes_reduced(planes: list, ssize: int) -> list:
+    """64 dequantized planes -> ssize x ssize uint8 sample-position planes.
+
+    The reduced-IDCT analog of `_idct_planes_core`: output entries live at
+    index r*8+c for r, c < ssize (the rest stay None) so the result feeds
+    `_grid_from_planes(out, hb, wb, range(ssize), range(ssize))` unchanged.
+    Bit-exact vs jidctred.c's jpeg_idct_4x4 / 2x2 / 1x1 (verified against
+    the installed libjpeg's scaled decode by tests/test_jpeg_scaled.py).
+    """
+    if ssize == 8:
+        return _idct_planes_core(planes)
+    out: list = [None] * 64
+    if ssize == 1:
+        out[0] = _range_limit(_descale(planes[0], 3)).astype(jnp.uint8)
+        return out
+    if ssize == 4:
+        cols, rows_n = [0, 1, 2, 3, 5, 6, 7], 4
+        pass1d = _idct4_1d
+    elif ssize == 2:
+        cols, rows_n = [0, 1, 3, 5, 7], 2
+        pass1d = _idct2_1d
+    else:
+        raise ValueError(f"unsupported reduced IDCT size: {ssize}")
+    ws: list = [None] * 64
+    for c in cols:
+        col = pass1d([planes[r * 8 + c] for r in cols], final=False)
+        for k in range(rows_n):
+            ws[k * 8 + c] = col[k]
+    for k in range(rows_n):
+        row = pass1d([ws[k * 8 + c] for c in cols], final=True)
+        for j in range(rows_n):
+            out[k * 8 + j] = _range_limit(row[j]).astype(jnp.uint8)
     return out
 
 
@@ -469,6 +558,148 @@ def supported(geo: DecodeGeometry) -> bool:
         if (hr, vr) not in ((1, 1), (2, 1), (2, 2), (1, 2)):
             return False
     return True
+
+
+def scaled_sizes(geo: DecodeGeometry, scale_denom: int) -> tuple[int, ...]:
+    """Per-component scaled DCT size at 1/scale_denom, as libjpeg picks it.
+
+    Replicates jdmaster.c's selection (verified against the installed
+    library via `io_.jpeg.scaled_info` in tests/test_jpeg_scaled.py): start
+    at min_DCT_scaled_size = 8/denom, then double while the component's
+    sampling ratio absorbs it — which is how 4:2:0 chroma lands at the same
+    resolution as the scaled output (no upsampling), while 4:2:2/4:4:0
+    chroma keeps a 2x upsample along one axis.
+    """
+    mins = {1: 8, 2: 4, 4: 2, 8: 1}[scale_denom]
+    sizes = []
+    for h_samp, v_samp, _, _ in geo.comps:
+        ssize = mins
+        while (ssize < 8
+               and (geo.max_h * mins) % (h_samp * ssize * 2) == 0
+               and (geo.max_v * mins) % (v_samp * ssize * 2) == 0):
+            ssize *= 2
+        sizes.append(ssize)
+    return tuple(sizes)
+
+
+def _scaled_down_dims(geo: DecodeGeometry, ci: int, ssize: int):
+    """Component sample dims at a scaled decode (jdmaster.c downsampled_*)."""
+    h_samp, v_samp, _, _ = geo.comps[ci]
+    dw = -(-geo.width * h_samp * ssize // (geo.max_h * 8))
+    dh = -(-geo.height * v_samp * ssize // (geo.max_v * 8))
+    return dh, dw
+
+
+def supported_scaled(geo: DecodeGeometry, scale_denom: int) -> bool:
+    """True if a 1/scale_denom decode runs on device (else host fallback)."""
+    if scale_denom == 1:
+        return supported(geo)
+    if scale_denom not in (2, 4, 8):
+        return False
+    if not supported(geo):
+        return False
+    sizes = scaled_sizes(geo, scale_denom)
+    mins = {2: 4, 4: 2, 8: 1}[scale_denom]
+    for ci in range(geo.ncomps):
+        h_samp, v_samp, _, _ = geo.comps[ci]
+        hr = geo.max_h * mins // (h_samp * sizes[ci])
+        vr = geo.max_v * mins // (v_samp * sizes[ci])
+        if (hr, vr) not in ((1, 1), (2, 1), (1, 2)):
+            return False
+    return True
+
+
+def decode_planes_scaled(
+    geo: DecodeGeometry,
+    comp_coefs: list[jnp.ndarray],
+    qtables: list[np.ndarray],
+    scale_denom: int,
+    layout: str = "hwc",
+) -> jnp.ndarray:
+    """Device decode at 1/scale_denom (2, 4 or 8): DCT-domain thumbnailing.
+
+    Bit-exact vs libjpeg's scaled decode (``scale_num/scale_denom``,
+    jdmaster.c + jidctred.c): each component runs the reduced ssize-point
+    IDCT the library would pick, then chroma is fancy-upsampled *at the
+    scaled resolution* where its ssize could not absorb the sampling ratio
+    (4:2:2 / 4:4:0), exactly as jdsample.c does. A 1/8 thumbnail touches
+    1/64th the samples of a full decode — the cheap path for thumbnail
+    serving (`runtime/serve.py` decode_scale).
+
+    comp_coefs[i]: (..., Hb_i, Wb_i, 64) int16 quantized coefficients.
+    Returns (..., out_h, out_w, C) uint8 ("hwc") or (..., out_h, out_w*C)
+    ("rows"), out_dim = ceil(dim / scale_denom).
+    """
+    if scale_denom == 1:
+        return decode_planes(geo, comp_coefs, qtables, layout=layout)
+    if not supported_scaled(geo, scale_denom):
+        raise ValueError(
+            f"unsupported scaled-decode geometry: {geo.comps} @1/{scale_denom}"
+        )
+    sizes = scaled_sizes(geo, scale_denom)
+    out_h = -(-geo.height // scale_denom)
+    out_w = -(-geo.width // scale_denom)
+    grids = []
+    for ci in range(geo.ncomps):
+        ssize = sizes[ci]
+        hb, wb = comp_coefs[ci].shape[-3], comp_coefs[ci].shape[-2]
+        planes = _dequant_planes(comp_coefs[ci], qtables[ci])
+        out = _idct_planes_reduced(planes, ssize)
+        grid = _grid_from_planes(out, hb, wb, range(ssize), range(ssize))
+        dh, dw = _scaled_down_dims(geo, ci, ssize)
+        grids.append(grid[..., :dh, :dw])
+    if geo.ncomps == 1:
+        y = grids[0][..., :out_h, :out_w]
+        return y if layout == "rows" else y[..., None]
+    mins = {2: 4, 4: 2, 8: 1}[scale_denom]
+    y = grids[0].astype(jnp.int32)
+    chroma = []
+    for ci in (1, 2):
+        h_samp, v_samp, _, _ = geo.comps[ci]
+        hr = geo.max_h * mins // (h_samp * sizes[ci])
+        vr = geo.max_v * mins // (v_samp * sizes[ci])
+        g = grids[ci]
+        # jdsample.c uses the triangular (fancy) upsampler only when the
+        # component's scaled DCT size is > 1; at ssize == 1 (1/8 thumbnails
+        # of 4:2:2 / 4:4:0) it falls back to pixel replication (verified
+        # against the installed library).
+        if (hr, vr) == (2, 1):
+            x = g.astype(jnp.int32)
+            g = fancy_upsample_h2v1(g) if sizes[ci] > 1 else _interleave(
+                x, x, axis=-1)
+        elif (hr, vr) == (1, 2):
+            x = g.astype(jnp.int32)
+            g = fancy_upsample_h1v2(g) if sizes[ci] > 1 else _interleave(
+                x, x, axis=-2)
+        else:
+            g = g.astype(jnp.int32)
+        chroma.append(g[..., :out_h, :out_w])
+    rgb = ycc_to_rgb(y, chroma[0], chroma[1])
+    if layout == "rows":
+        return rgb.reshape(*rgb.shape[:-3], out_h, out_w * 3)
+    return rgb
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_scaled_decoder(geo: DecodeGeometry, qkey: tuple, denom: int):
+    qtables = [np.array(q, dtype=np.uint16) for q in qkey]
+
+    @jax.jit
+    def run(*comp_coefs):
+        return decode_planes_scaled(geo, list(comp_coefs), qtables, denom)
+
+    return run
+
+
+def decode_coefficients_scaled(co, scale_denom: int, device=None) -> jax.Array:
+    """Scaled device decode of an io_.jpeg.JpegCoefficients -> uint8 pixels."""
+    geo = geometry_of(co)
+    qkey = tuple(tuple(int(v) for v in c.qtable) for c in co.components)
+    fn = _jitted_scaled_decoder(geo, qkey, scale_denom)
+    coefs = [c.coefs for c in co.components]
+    if device is not None:
+        coefs = [jax.device_put(a, device) for a in coefs]
+    return fn(*coefs)
 
 
 def decode_planes(
