@@ -86,6 +86,11 @@ def _build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--thumbnail", action="store_true",
                     help="half-size outputs: filter, then an exact 2x2 "
                          "average (jcsample rounding), then encode")
+    sv.add_argument("--decode-scale", type=int, default=1,
+                    choices=(1, 2, 4, 8),
+                    help="DCT-domain scaled decode 1/N (libjpeg "
+                         "scale_num/denom semantics, bit-exact): the whole "
+                         "pipeline runs at ceil(dim/N) resolution")
     sv.add_argument("--no-encode", action="store_true",
                     help="skip output JPEG encode")
     sv.add_argument("--json", action="store_true",
@@ -228,12 +233,16 @@ def _main_serve(args) -> int:
         print(f"Encode: {encode_desc}")
     if args.thumbnail:
         print("Output: half-size thumbnails (exact 2x2 average)")
+    if args.decode_scale > 1:
+        print(f"Decode scale: 1/{args.decode_scale} (DCT-domain, "
+              f"bit-exact vs libjpeg scaled decode)")
     serve = ServingPipeline(
         args.pipeline_name, quality=args.quality,
         decode_on_device=args.decode_on_device,
         encode_on_device=args.encode_on_device,
         encode_subsampling=args.encode_subsampling,
         output_scale=2 if args.thumbnail else 1,
+        decode_scale=args.decode_scale,
     )
 
     def batches():

@@ -570,6 +570,7 @@ struct BatchTask {
   unsigned char* out;      // batch * h*w*c, contiguous
   size_t image_bytes;
   int w, h, c;
+  int scale_num, scale_denom;  // 1/1 = full-size decode
   int count;
   int* rcs;                // per-image return codes
   // work queue
@@ -584,20 +585,31 @@ void* batch_worker(void* arg) {
     int i = t->next++;
     pthread_mutex_unlock(&t->mu);
     if (i >= t->count) break;
-    t->rcs[i] = hipe_jpeg_decode(t->bufs[i], t->lens[i],
-                                 t->out + static_cast<size_t>(i) * t->image_bytes,
-                                 t->w, t->h, t->c);
+    unsigned char* dst = t->out + static_cast<size_t>(i) * t->image_bytes;
+    if (t->scale_num == t->scale_denom) {
+      t->rcs[i] = hipe_jpeg_decode(t->bufs[i], t->lens[i], dst,
+                                   t->w, t->h, t->c);
+    } else {
+      t->rcs[i] = hipe_jpeg_decode_scaled(t->bufs[i], t->lens[i], dst,
+                                          t->w, t->h, t->c,
+                                          t->scale_num, t->scale_denom);
+    }
   }
   return nullptr;
 }
 
-// Decode `count` JPEGs concurrently into one contiguous HWC batch buffer.
-// Returns the number of failed images (0 == all good).
-int hipe_jpeg_decode_batch(const unsigned char* const* bufs,
-                           const size_t* lens, int count, unsigned char* out,
-                           int w, int h, int c, int num_threads) {
+// Decode `count` JPEGs concurrently into one contiguous HWC batch buffer,
+// at scale_num/scale_denom (1/1 = full size; w/h/c are the per-image
+// expected output dims at that scale). Returns the number of failed images.
+int hipe_jpeg_decode_scaled_batch(const unsigned char* const* bufs,
+                                  const size_t* lens, int count,
+                                  unsigned char* out, int w, int h, int c,
+                                  int scale_num, int scale_denom,
+                                  int num_threads) {
   BatchTask t;
   t.bufs = bufs;
+  t.scale_num = scale_num;
+  t.scale_denom = scale_denom;
   t.lens = lens;
   t.out = out;
   t.image_bytes = static_cast<size_t>(w) * h * c;
@@ -623,6 +635,14 @@ int hipe_jpeg_decode_batch(const unsigned char* const* bufs,
   free(threads);
   pthread_mutex_destroy(&t.mu);
   return failures;
+}
+
+// Full-size batch decode (original entry point; kept for ABI stability).
+int hipe_jpeg_decode_batch(const unsigned char* const* bufs,
+                           const size_t* lens, int count, unsigned char* out,
+                           int w, int h, int c, int num_threads) {
+  return hipe_jpeg_decode_scaled_batch(bufs, lens, count, out, w, h, c,
+                                       1, 1, num_threads);
 }
 
 // ---- Batched multithreaded entropy coding (serving hot path) ----

@@ -142,6 +142,12 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_int),
         ]
         lib.hipe_jpeg_scaled_info.restype = ctypes.c_int
+        lib.hipe_jpeg_decode_scaled_batch.argtypes = [
+            ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_size_t), ctypes.c_int,
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.hipe_jpeg_decode_scaled_batch.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -265,6 +271,38 @@ def decode_batch(datas: list[bytes], num_threads: int | None = None) -> np.ndarr
         nt = num_threads or min(os.cpu_count() or 1, len(bufs))
         fails = lib.hipe_jpeg_decode_batch(
             ptrs, lens, len(bufs), _as_u8p(out[1:]), w, h, c, nt
+        )
+        if fails:
+            raise ValueError(f"{fails} images failed to decode")
+    return out
+
+
+def decode_batch_scaled(datas: list[bytes], scale_num: int, scale_denom: int,
+                        num_threads: int | None = None) -> np.ndarray:
+    """Scaled decode of same-shaped JPEGs into one (B, H, W, C) batch.
+
+    The GIL-free pthread batch path of `decode_bytes_scaled` — the host
+    stage for thumbnail serving (runtime/serve.py decode_scale) when the
+    device scaled decoder does not apply.
+    """
+    if not datas:
+        raise ValueError("empty batch")
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native codec unavailable: scaled decode requires libjpeg")
+    first = decode_bytes_scaled(datas[0], scale_num, scale_denom)
+    h, w, c = first.shape
+    out = np.empty((len(datas), h, w, c), dtype=np.uint8)
+    out[0] = first
+    if len(datas) > 1:
+        bufs = [np.frombuffer(d, dtype=np.uint8) for d in datas[1:]]
+        arr_t = ctypes.POINTER(ctypes.c_ubyte) * len(bufs)
+        ptrs = arr_t(*[_as_u8p(b) for b in bufs])
+        lens = (ctypes.c_size_t * len(bufs))(*[b.size for b in bufs])
+        nt = num_threads or min(os.cpu_count() or 1, len(bufs))
+        fails = lib.hipe_jpeg_decode_scaled_batch(
+            ptrs, lens, len(bufs), _as_u8p(out[1:]), w, h, c,
+            scale_num, scale_denom, nt
         )
         if fails:
             raise ValueError(f"{fails} images failed to decode")

@@ -54,6 +54,7 @@ class ServingPipeline:
         encode_on_device: bool = False,
         encode_subsampling: str = "420",
         output_scale: int = 1,
+        decode_scale: int = 1,
     ):
         self.pipeline = plib.get(pipeline) if isinstance(pipeline, str) else pipeline
         self.device = device or jax.devices()[0]
@@ -83,6 +84,18 @@ class ServingPipeline:
         if output_scale not in (1, 2):
             raise ValueError(f"output_scale must be 1 or 2, got {output_scale}")
         self.output_scale = output_scale
+        # decode_scale=2/4/8: DCT-domain scaled decode (libjpeg
+        # scale_num/denom semantics, bit-exact) — the image enters the
+        # pipeline already at ceil(dim/scale), so filter + encode run on
+        # 1/4 - 1/64th the samples. On-device via reduced IDCTs
+        # (ops/jpeg_decode.decode_planes_scaled) in decode_on_device mode,
+        # else the native codec's scaled path. Composes with output_scale
+        # (a further post-filter 2x average).
+        if decode_scale not in (1, 2, 4, 8):
+            raise ValueError(
+                f"decode_scale must be 1, 2, 4 or 8, got {decode_scale}"
+            )
+        self.decode_scale = decode_scale
         self._fns: dict[tuple, callable] = {}
         self._fused_fns: dict[tuple, callable] = {}
         self._enc_qtabs: tuple | None = None
@@ -100,6 +113,11 @@ class ServingPipeline:
         if self.output_scale == 2:
             return -(-h // 2), -(-w // 2)
         return h, w
+
+    def _scaled_in_dims(self, h: int, w: int) -> tuple[int, int]:
+        """Pixel dims entering the filter after the scaled decode."""
+        s = self.decode_scale
+        return -(-h // s), -(-w // s)
 
     def _downscale_rows(self, rows: jnp.ndarray, b: int, h: int, w: int,
                         c: int) -> jnp.ndarray:
@@ -144,10 +162,14 @@ class ServingPipeline:
         return self._fns[shape]
 
     def _decode(self, payloads: list[bytes]) -> np.ndarray:
-        from hipe_tpu.io_.jpeg import decode_batch
+        from hipe_tpu.io_.jpeg import decode_batch, decode_batch_scaled
 
         t0 = now_ms()
-        batch = decode_batch(payloads, num_threads=self.decode_threads)
+        if self.decode_scale > 1:
+            batch = decode_batch_scaled(payloads, 1, self.decode_scale,
+                                        num_threads=self.decode_threads)
+        else:
+            batch = decode_batch(payloads, num_threads=self.decode_threads)
         self.stats.decode_ms += now_ms() - t0
         return batch
 
@@ -264,19 +286,22 @@ class ServingPipeline:
 
     def _fused_decode_filter_fn(self, geo, qkey):
         """Per-(geometry, quant-tables) jitted decode+filter program."""
-        key = (geo, qkey, self.output_scale)
+        key = (geo, qkey, self.output_scale, self.decode_scale)
         if key not in self._fused_fns:
             from hipe_tpu.ops import jpeg_decode as jd
 
             qtables = [np.array(q, dtype=np.uint16) for q in qkey]
             pipe, pallas_flag = self.pipeline, self.use_pallas
             scale = self.output_scale
+            denom = self.decode_scale
+            # Filter (and everything downstream) runs at the scaled-decode
+            # resolution — the point of DCT-domain thumbnailing.
+            h, w = self._scaled_in_dims(geo.height, geo.width)
 
             def fn(*comp_coefs):
-                rows = jd.decode_planes(geo, list(comp_coefs), qtables,
-                                        layout="rows")
+                rows = jd.decode_planes_scaled(geo, list(comp_coefs),
+                                               qtables, denom, layout="rows")
                 b = rows.shape[0]
-                h, w = geo.height, geo.width
                 c = rows.shape[-1] // w
                 # The decoded intermediate is dead after the filter, so the
                 # aliased in-place Pallas kernel applies without a
@@ -329,8 +354,9 @@ class ServingPipeline:
         t0 = now_ms()
         out: list[np.ndarray | None] = [None] * len(cos)
         for (geo, qkey), idxs in groups.items():
-            if not jd.supported(geo):
-                # Host fallback keeps exotic sampling factors working.
+            if not jd.supported_scaled(geo, self.decode_scale):
+                # Host fallback keeps exotic sampling factors working (the
+                # native codec applies the same DCT-domain scale there).
                 batch = self._decode([payloads[i] for i in idxs])
                 res = self._filter_device(batch)
             else:
@@ -363,24 +389,25 @@ class ServingPipeline:
         coefficient batch goes in and a coefficient batch comes out.
         """
         key = ("transcode", geo, qkey, self.encode_subsampling,
-               self.output_scale)
+               self.output_scale, self.decode_scale)
         if key not in self._fused_fns:
             from hipe_tpu.ops import jpeg_decode as jd
             from hipe_tpu.ops import jpeg_encode as je
 
             qt_in = [np.array(q, dtype=np.uint16) for q in qkey]
             pipe, pallas_flag = self.pipeline, self.use_pallas
-            h, w = geo.height, geo.width
+            h, w = self._scaled_in_dims(geo.height, geo.width)
             c = 3 if geo.ncomps == 3 else 1
             oh, ow = self._out_dims(h, w)
             enc_geo = je.encode_geometry(oh, ow, c, self.encode_subsampling)
             luma, chroma = self._encode_tables()
             enc_qt = [luma] if c == 1 else [luma, chroma, chroma]
             scale = self.output_scale
+            denom = self.decode_scale
 
             def fn(*comp_coefs):
-                rows = jd.decode_planes(geo, list(comp_coefs), qt_in,
-                                        layout="rows")
+                rows = jd.decode_planes_scaled(geo, list(comp_coefs), qt_in,
+                                               denom, layout="rows")
                 out = pipe.apply_rows(rows, c, use_pallas=pallas_flag,
                                       alias=pallas_flag)
                 if scale == 2:
@@ -414,7 +441,7 @@ class ServingPipeline:
 
         out: list[bytes | None] = [None] * len(cos)
         for (geo, qkey), idxs in groups.items():
-            if not jd.supported(geo):
+            if not jd.supported_scaled(geo, self.decode_scale):
                 batch = self._decode([payloads[i] for i in idxs])
                 res = self._encode_device(batch, with_filter=True)
             else:
@@ -429,7 +456,9 @@ class ServingPipeline:
                 fn = self._fused_transcode_fn(geo, qkey)
                 coefs = [np.asarray(x) for x in fn(*comp_batches)]
                 self.stats.device_ms += now_ms() - t0
-                oh, ow = self._out_dims(geo.height, geo.width)
+                oh, ow = self._out_dims(
+                    *self._scaled_in_dims(geo.height, geo.width)
+                )
                 res = self._entropy_encode(
                     coefs, oh, ow, 3 if geo.ncomps == 3 else 1,
                 )

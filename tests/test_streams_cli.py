@@ -292,3 +292,17 @@ def test_cli_serve_thumbnail(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "half-size thumbnails" in out
+
+
+def test_cli_serve_decode_scale(capsys):
+    """--decode-scale runs the whole pipeline at 1/N resolution."""
+    from hipe_tpu import cli
+
+    rc = cli.main([
+        "serve", "blur3", "--num-images", "4", "--batch-size", "2",
+        "--decode-scale", "4", "--decode-on-device", "--json",
+        "--image", "/root/reference/image_256x256.jpg",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Decode scale: 1/4" in out
