@@ -357,6 +357,18 @@ int hipe_jpeg_read_coefs(const unsigned char* buf, size_t len,
   return 0;
 }
 
+// Shared chroma-subsampling setup for the encode surfaces (subsamp:
+// 1 = 4:4:4 h1v1, 2 = 4:2:2 h2v1, 3 = 4:4:0 h1v2; 0 = leave the
+// libjpeg default 4:2:0 h2v2 in place — callers skip the call).
+static void apply_subsamp(jpeg_compress_struct* cinfo, int subsamp) {
+  cinfo->comp_info[0].h_samp_factor = (subsamp == 1 || subsamp == 3) ? 1 : 2;
+  cinfo->comp_info[0].v_samp_factor = subsamp == 3 ? 2 : 1;
+  for (int i = 1; i < 3; ++i) {
+    cinfo->comp_info[i].h_samp_factor = 1;
+    cinfo->comp_info[i].v_samp_factor = 1;
+  }
+}
+
 // Encode with explicit chroma subsampling (subsamp: 0 = encoder default
 // 4:2:0, 1 = 4:4:4, 2 = 4:2:2, 3 = 4:4:0 h1v2) and optional progressive
 // scan script —
@@ -385,14 +397,7 @@ int hipe_jpeg_encode_opts(const unsigned char* img, int w, int h, int c,
   cinfo.in_color_space = c == 1 ? JCS_GRAYSCALE : JCS_RGB;
   jpeg_set_defaults(&cinfo);
   jpeg_set_quality(&cinfo, quality, TRUE);
-  if (c == 3 && subsamp != 0) {
-    cinfo.comp_info[0].h_samp_factor = (subsamp == 1 || subsamp == 3) ? 1 : 2;
-    cinfo.comp_info[0].v_samp_factor = subsamp == 3 ? 2 : 1;
-    cinfo.comp_info[1].h_samp_factor = 1;
-    cinfo.comp_info[1].v_samp_factor = 1;
-    cinfo.comp_info[2].h_samp_factor = 1;
-    cinfo.comp_info[2].v_samp_factor = 1;
-  }
+  if (c == 3 && subsamp != 0) apply_subsamp(&cinfo, subsamp);
   if (progressive) jpeg_simple_progression(&cinfo);
   jpeg_start_compress(&cinfo, TRUE);
   const size_t stride = static_cast<size_t>(w) * c;
@@ -480,14 +485,7 @@ int hipe_jpeg_write_coefs(int w, int h, int c, int quality, int subsamp,
   cinfo.in_color_space = c == 1 ? JCS_GRAYSCALE : JCS_RGB;
   jpeg_set_defaults(&cinfo);
   jpeg_set_quality(&cinfo, quality, TRUE);
-  if (c == 3 && subsamp != 0) {
-    cinfo.comp_info[0].h_samp_factor = (subsamp == 1 || subsamp == 3) ? 1 : 2;
-    cinfo.comp_info[0].v_samp_factor = subsamp == 3 ? 2 : 1;
-    for (int i = 1; i < 3; ++i) {
-      cinfo.comp_info[i].h_samp_factor = 1;
-      cinfo.comp_info[i].v_samp_factor = 1;
-    }
-  }
+  if (c == 3 && subsamp != 0) apply_subsamp(&cinfo, subsamp);
   if (progressive) jpeg_simple_progression(&cinfo);
 
   int max_h = 1, max_v = 1;
