@@ -218,6 +218,27 @@ def main() -> int:
               flush=True)
         total_err += byte_err
 
+    # Exotic sampling layouts (replication upsample / mismatched Cb/Cr):
+    # device DECODE only — encodes of these layouts are host-codec test
+    # surfaces. 410 at 1/8 is the layout that distinguishes the
+    # min_DCT_scaled_size replication rule from a per-component one.
+    for tag, (ch, cw, q, sub) in {
+        "41x53_q85_411": (41, 53, 85, "411"),
+        "40x52_q80_410": (40, 52, 80, "410"),
+        "33x49_q90_311": (33, 49, 90, "311"),
+        "48x40_q85_asym": (48, 40, 85, "asym"),
+    }.items():
+        img = checker_image(ch, cw, 3, seed=11)
+        payload = jio.encode_bytes_opts(img, quality=q, subsampling=sub)
+        co = jio.read_coefficients(payload)
+        dev = np.asarray(jd.decode_coefficients(co))
+        total_err += check(f"jpeg/device_decode {tag}", dev,
+                           jio.decode_bytes(payload))
+        for den in (2, 8):
+            got = np.asarray(jd.decode_coefficients_scaled(co, den))
+            total_err += check(f"jpeg/device_decode {tag} 1/{den}", got,
+                               jio.decode_bytes_scaled(payload, 1, den))
+
     tr = ServingPipeline("chain", decode_on_device=True,
                          encode_on_device=True)
     host_sp = ServingPipeline("chain")

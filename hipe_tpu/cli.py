@@ -81,7 +81,8 @@ def _build_parser() -> argparse.ArgumentParser:
                          "fDCT/quantize run on the TPU fused with the "
                          "filter (byte-identical output files)")
     sv.add_argument("--encode-subsampling", default="420",
-                    choices=("420", "444", "422", "440"),
+                    choices=("420", "444", "422", "440",
+                             "411", "410", "311"),
                     help="chroma subsampling of the emitted JPEGs")
     sv.add_argument("--thumbnail", action="store_true",
                     help="half-size outputs: filter, then an exact 2x2 "
@@ -225,6 +226,13 @@ def _main_serve(args) -> int:
         if args.decode_on_device else "host (native libjpeg)"
     )
     print(f"Decode: {decode_desc}")
+    if args.encode_on_device and args.encode_subsampling not in (
+            "420", "444", "422", "440"):
+        # Reference-style warn-and-default: the device encoder implements
+        # the standard layouts; exotic names encode on host.
+        print(f"Warning: subsampling {args.encode_subsampling} has no "
+              f"device encoder; encoding on host instead.")
+        args.encode_on_device = False
     encode_desc = (
         "device (color/downsample/fDCT/quantize on TPU, entropy on host)"
         if args.encode_on_device else "host (native libjpeg)"

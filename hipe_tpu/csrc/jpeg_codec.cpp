@@ -357,20 +357,32 @@ int hipe_jpeg_read_coefs(const unsigned char* buf, size_t len,
   return 0;
 }
 
-// Shared chroma-subsampling setup for the encode surfaces (subsamp:
-// 1 = 4:4:4 h1v1, 2 = 4:2:2 h2v1, 3 = 4:4:0 h1v2; 0 = leave the
-// libjpeg default 4:2:0 h2v2 in place — callers skip the call).
+// Shared chroma-subsampling setup for the encode surfaces. Y sampling
+// factors per code (chroma stays 1x1 except code 6):
+//   0 = leave the libjpeg default 4:2:0 h2v2 in place (callers skip)
+//   1 = 4:4:4 (1,1)   2 = 4:2:2 (2,1)   3 = 4:4:0 (1,2)
+//   4 = 4:1:1 (4,1)   5 = 4:1:0 (4,2)   7 = 3:1:1 (3,1)
+//   6 = mismatched chroma: Y (2,2), Cb (2,1), Cr (1,1) — a legal but
+//       exotic layout (decoder picks a different upsampler per
+//       component); exists to craft device-decoder test streams.
 static void apply_subsamp(jpeg_compress_struct* cinfo, int subsamp) {
-  cinfo->comp_info[0].h_samp_factor = (subsamp == 1 || subsamp == 3) ? 1 : 2;
-  cinfo->comp_info[0].v_samp_factor = subsamp == 3 ? 2 : 1;
+  static const int y_factors[8][2] = {
+      {2, 2}, {1, 1}, {2, 1}, {1, 2}, {4, 1}, {4, 2}, {2, 2}, {3, 1},
+  };
+  cinfo->comp_info[0].h_samp_factor = y_factors[subsamp & 7][0];
+  cinfo->comp_info[0].v_samp_factor = y_factors[subsamp & 7][1];
   for (int i = 1; i < 3; ++i) {
     cinfo->comp_info[i].h_samp_factor = 1;
     cinfo->comp_info[i].v_samp_factor = 1;
   }
+  if (subsamp == 6) {
+    cinfo->comp_info[1].h_samp_factor = 2;  // Cb at (2,1): v-only upsample
+    cinfo->comp_info[1].v_samp_factor = 1;  // Cr at (1,1): full 2x2 fancy
+  }
 }
 
-// Encode with explicit chroma subsampling (subsamp: 0 = encoder default
-// 4:2:0, 1 = 4:4:4, 2 = 4:2:2, 3 = 4:4:0 h1v2) and optional progressive
+// Encode with explicit chroma subsampling (subsamp codes: see
+// apply_subsamp above) and optional progressive
 // scan script —
 // test/bench surface for the device-decode paths. Same contract as
 // hipe_jpeg_encode otherwise.

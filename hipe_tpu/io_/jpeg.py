@@ -426,15 +426,36 @@ def read_coefficients(data: bytes) -> JpegCoefficients:
     )
 
 
+# Subsampling name -> native codec code (jpeg_codec.cpp apply_subsamp)
+# and per-component (h_samp, v_samp). "411"/"410"/"311" decode via
+# libjpeg's replication (int_upsample) path; "asym" is a legal but
+# exotic mismatched-chroma layout (each component gets a different
+# upsampler) used to exercise the device decoder's generic path.
+_SUB_CODES = {
+    "420": 0, "444": 1, "422": 2, "440": 3,
+    "411": 4, "410": 5, "asym": 6, "311": 7,
+}
+_SUB_FACTORS = {
+    "420": ((2, 2), (1, 1), (1, 1)),
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "440": ((1, 2), (1, 1), (1, 1)),
+    "411": ((4, 1), (1, 1), (1, 1)),
+    "410": ((4, 2), (1, 1), (1, 1)),
+    "asym": ((2, 2), (2, 1), (1, 1)),
+    "311": ((3, 1), (1, 1), (1, 1)),
+}
+
+
 def encode_bytes_opts(
     img: np.ndarray,
     quality: int = 90,
     subsampling: str = "420",
     progressive: bool = False,
 ) -> bytes:
-    """Encode with explicit chroma subsampling ("420"|"444"|"422"|"440")."""
+    """Encode with explicit chroma subsampling (a `_SUB_CODES` name)."""
     assert img.dtype == np.uint8 and img.ndim == 3
-    sub_code = {"420": 0, "444": 1, "422": 2, "440": 3}[subsampling]
+    sub_code = _SUB_CODES[subsampling]
     lib = _load()
     if lib is None:
         raise RuntimeError("native codec unavailable")
@@ -470,8 +491,7 @@ def _coef_block_shapes(
     if ncomps == 1:
         samps = [(1, 1)]
     else:
-        hs, vs = {"420": (2, 2), "422": (2, 1), "444": (1, 1), "440": (1, 2)}[subsampling]
-        samps = [(hs, vs), (1, 1), (1, 1)]
+        samps = list(_SUB_FACTORS[subsampling])
     max_h = max(s[0] for s in samps)
     max_v = max(s[1] for s in samps)
     return [
@@ -501,7 +521,7 @@ def write_coefficients(
     if lib is None:
         raise RuntimeError("native codec unavailable")
     ncomps = len(coefs)
-    sub_code = {"420": 0, "444": 1, "422": 2, "440": 3}[subsampling]
+    sub_code = _SUB_CODES[subsampling]
     arrays = [np.ascontiguousarray(a, dtype=np.int16) for a in coefs]
     # Validate shapes against the geometry the native writer will walk —
     # a mis-shaped array would otherwise be an out-of-bounds heap read
@@ -647,7 +667,7 @@ def write_coefficients_batch(
     if lib is None:
         raise RuntimeError("native codec unavailable")
     ncomps = len(coefs)
-    sub_code = {"420": 0, "444": 1, "422": 2, "440": 3}[subsampling]
+    sub_code = _SUB_CODES[subsampling]
     arrays = [np.ascontiguousarray(a, dtype=np.int16) for a in coefs]
     b = arrays[0].shape[0]
     for ci, (a, (hb, wb)) in enumerate(

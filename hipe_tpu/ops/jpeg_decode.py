@@ -375,6 +375,32 @@ def fancy_upsample_h1v2(plane: jnp.ndarray) -> jnp.ndarray:
     return _interleave(out_even, out_odd, axis=-2)
 
 
+def upsample_component(plane: jnp.ndarray, hr: int, vr: int) -> jnp.ndarray:
+    """Upsample one component by (hr, vr), exactly as jdsample.c selects.
+
+    Per component (independent of the others): identity at (1, 1), the
+    triangular fancy filters for (2, 1)/(1, 2)/(2, 2), and plain pixel
+    replication (int_upsample) for every other integer ratio — 4:1:1,
+    4:1:0, 3:1:1 etc. Verified bit-exact against the installed libjpeg
+    over all of these layouts incl. mismatched Cb/Cr (tests/test_jpeg_device.py).
+    Returns int32 samples at (..., h*vr, w*hr).
+    """
+    if (hr, vr) == (1, 1):
+        return plane.astype(jnp.int32)
+    if (hr, vr) == (2, 2):
+        return fancy_upsample_h2v2(plane)
+    if (hr, vr) == (2, 1):
+        return fancy_upsample_h2v1(plane)
+    if (hr, vr) == (1, 2):
+        return fancy_upsample_h1v2(plane)
+    x = plane.astype(jnp.int32)
+    if vr > 1:
+        x = jnp.repeat(x, vr, axis=-2)
+    if hr > 1:
+        x = jnp.repeat(x, hr, axis=-1)
+    return x
+
+
 def ycc_to_rgb(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray) -> jnp.ndarray:
     """Fixed-point YCbCr->RGB, bit-exact vs jdcolor.c build_ycc_rgb_table.
 
@@ -444,6 +470,24 @@ def _decode_rgb_rows_from_planes(
     _, _, cwb, chb = geo.comps[1]
     hr = geo.max_h // geo.comps[1][0]
     vr = geo.max_v // geo.comps[1][1]
+    if (geo.comps[1][:2] != geo.comps[2][:2]
+            or (hr, vr) not in ((1, 1), (2, 1), (2, 2), (1, 2))):
+        # Exotic layouts (4:1:1 / 4:1:0 / 3:1:1 replication ratios,
+        # mismatched Cb/Cr): per-component upsample at full resolution —
+        # the straightforward jdsample/jdcolor formulation. Rare streams,
+        # so correctness path, not phase-fused.
+        y = _grid_from_planes(y_planes, yhb, ywb,
+                              range(8), range(8))[..., :hgt, :wid]
+        chroma = []
+        for planes, ci in ((cb_planes, 1), (cr_planes, 2)):
+            h_samp, v_samp, wb_i, hb_i = geo.comps[ci]
+            dh_i, dw_i = _downsampled_dims(geo, ci)
+            g = _grid_from_planes(planes, hb_i, wb_i,
+                                  range(8), range(8))[..., :dh_i, :dw_i]
+            up = upsample_component(
+                g, geo.max_h // h_samp, geo.max_v // v_samp)
+            chroma.append(up[..., :hgt, :wid])
+        return _rgb_rows(y.astype(jnp.int32), chroma[0], chroma[1])
     dh, dw = _downsampled_dims(geo, 1)
     cb = _grid_from_planes(cb_planes, chb, cwb,
                            range(8), range(8))[..., :dh, :dw].astype(jnp.int16)
@@ -536,9 +580,13 @@ def _downsampled_dims(geo: DecodeGeometry, ci: int) -> tuple[int, int]:
 def supported(geo: DecodeGeometry) -> bool:
     """True if this geometry decodes on device (else fall back to host).
 
-    Covers the sampling layouts libjpeg encoders emit: grayscale, 4:4:4,
-    4:2:2, 4:2:0 and 4:4:0 (h1v2) YCbCr. Exotic factors (4:1:1,
-    mismatched Cb/Cr) take the host path.
+    Covers every sampling layout libjpeg itself decodes with luma at
+    full resolution: grayscale; 4:4:4 / 4:2:2 / 4:2:0 / 4:4:0 via the
+    fancy upsamplers; 4:1:1 / 4:1:0 / 3:1:1 and any other integer ratio
+    via replication (int_upsample); mismatched Cb/Cr factors via
+    per-component upsampler selection. Only fractional ratios (libjpeg
+    errors on those too, jdsample.c) and subsampled-luma streams take
+    the host path.
     """
     if geo.ncomps == 1:
         return True
@@ -547,15 +595,9 @@ def supported(geo: DecodeGeometry) -> bool:
     y_h, y_v, _, _ = geo.comps[0]
     if (y_h, y_v) != (geo.max_h, geo.max_v):
         return False
-    if geo.comps[1][:2] != geo.comps[2][:2]:
-        return False  # Cb/Cr with different factors: host path
     for ci in (1, 2):
         h_samp, v_samp, _, _ = geo.comps[ci]
         if geo.max_h % h_samp or geo.max_v % v_samp:
-            return False
-        hr = geo.max_h // h_samp
-        vr = geo.max_v // v_samp
-        if (hr, vr) not in ((1, 1), (2, 1), (2, 2), (1, 2)):
             return False
     return True
 
@@ -602,10 +644,9 @@ def supported_scaled(geo: DecodeGeometry, scale_denom: int) -> bool:
     mins = {2: 4, 4: 2, 8: 1}[scale_denom]
     for ci in range(geo.ncomps):
         h_samp, v_samp, _, _ = geo.comps[ci]
-        hr = geo.max_h * mins // (h_samp * sizes[ci])
-        vr = geo.max_v * mins // (v_samp * sizes[ci])
-        if (hr, vr) not in ((1, 1), (2, 1), (1, 2)):
-            return False
+        if (geo.max_h * mins) % (h_samp * sizes[ci]) or (
+                geo.max_v * mins) % (v_samp * sizes[ci]):
+            return False  # fractional scaled ratio: host path
     return True
 
 
@@ -659,20 +700,22 @@ def decode_planes_scaled(
         hr = geo.max_h * mins // (h_samp * sizes[ci])
         vr = geo.max_v * mins // (v_samp * sizes[ci])
         g = grids[ci]
-        # jdsample.c uses the triangular (fancy) upsampler only when the
-        # component's scaled DCT size is > 1; at ssize == 1 (1/8 thumbnails
-        # of 4:2:2 / 4:4:0) it falls back to pixel replication (verified
-        # against the installed library).
-        if (hr, vr) == (2, 1):
+        # The installed library honors do_fancy_upsampling only when
+        # min_DCT_scaled_size (the luma ssize, = mins) is > 1: at 1/8 it
+        # replicates even a ratio-2 chroma axis. Probe-verified both ways
+        # — 4:2:2 at 1/4 needs fancy (chroma ssize 2, mins 2) while 4:1:0
+        # at 1/8 needs replication (chroma ssize 2, mins 1); the two rules
+        # are indistinguishable on standard layouts. Ratios beyond the
+        # fancy set (4:1:1-family) replicate at any ssize, as at full size.
+        if mins == 1:
             x = g.astype(jnp.int32)
-            g = fancy_upsample_h2v1(g) if sizes[ci] > 1 else _interleave(
-                x, x, axis=-1)
-        elif (hr, vr) == (1, 2):
-            x = g.astype(jnp.int32)
-            g = fancy_upsample_h1v2(g) if sizes[ci] > 1 else _interleave(
-                x, x, axis=-2)
+            if vr > 1:
+                x = jnp.repeat(x, vr, axis=-2)
+            if hr > 1:
+                x = jnp.repeat(x, hr, axis=-1)
+            g = x
         else:
-            g = g.astype(jnp.int32)
+            g = upsample_component(g, hr, vr)
         chroma.append(g[..., :out_h, :out_w])
     rgb = ycc_to_rgb(y, chroma[0], chroma[1])
     if layout == "rows":

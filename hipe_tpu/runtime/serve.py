@@ -74,6 +74,16 @@ class ServingPipeline:
         # transcode is one jitted program: coefficients in -> coefficients
         # out, no pixel round trip through the host.
         self.encode_on_device = encode_on_device
+        if encode_on_device and encode_subsampling not in (
+                "420", "444", "422", "440"):
+            # The device encoder (ops/jpeg_encode.py) implements the
+            # libjpeg-default layouts; exotic names ("411"/"410"/"311"/
+            # "asym") are host-encode / device-DECODE test surfaces.
+            raise ValueError(
+                f"encode_on_device supports subsampling 420/444/422/440, "
+                f"got {encode_subsampling!r} (drop encode_on_device to "
+                f"use the host encoder)"
+            )
         self.encode_subsampling = encode_subsampling
         # output_scale=2: thumbnail serving — after the filter, an exact
         # 2x2 average (jcsample.c h2v2 rounding, ops/jpeg_encode.py

@@ -101,19 +101,42 @@ def test_batch_decoder_matches_singles():
         np.testing.assert_array_equal(out[i], jpeg.decode_bytes(d))
 
 
+@pytest.mark.parametrize("subs", ["411", "410", "311", "asym"])
+def test_exotic_samplings_bit_exact(subs):
+    # Replication-upsampled layouts (4:1:1 / 4:1:0 / 3:1:1) and mismatched
+    # Cb/Cr factors ("asym": Cb h2v1, Cr h1v1 — each component gets a
+    # different upsampler) take the generic per-component device path
+    # (upsample_component); libjpeg decodes all of these (jdsample.c
+    # int_upsample + per-component selection). Odd dims exercise MCU
+    # padding and the replicated edge samples.
+    co = _roundtrip_exact(_rand(33, 41, 3, seed=6), quality=85,
+                          subsampling=subs)
+    assert jd.supported(jd.geometry_of(co))
+    _roundtrip_exact(_rand(32, 48, 3, seed=7), quality=70, subsampling=subs)
+
+
 def test_unsupported_geometry_detected():
+    # Subsampled luma (Y not at max sampling factor): host path.
     geo = jd.DecodeGeometry(
         width=16, height=16, ncomps=3,
-        comps=((4, 1, 2, 2), (1, 1, 1, 2), (1, 1, 1, 2)),
-        max_h=4, max_v=1,
+        comps=((1, 1, 2, 2), (2, 1, 4, 2), (1, 1, 2, 2)),
+        max_h=2, max_v=1,
     )
     assert not jd.supported(geo)
     with pytest.raises(ValueError):
         jd.decode_planes(
             geo,
-            [np.zeros((2, 2, 64), np.int16)] * 3,
+            [np.zeros((2, 4, 64), np.int16)] * 3,
             [np.ones(64, np.uint16)] * 3,
         )
+    # Fractional chroma ratio (max 3, chroma 2): libjpeg itself errors on
+    # these (jdsample.c "Fractional sampling not implemented"); host path.
+    frac = jd.DecodeGeometry(
+        width=16, height=16, ncomps=3,
+        comps=((3, 1, 6, 2), (2, 1, 4, 2), (2, 1, 4, 2)),
+        max_h=3, max_v=1,
+    )
+    assert not jd.supported(frac)
 
 
 def test_phase_fused_decode_matches_generic_pipeline():

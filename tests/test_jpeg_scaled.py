@@ -53,7 +53,8 @@ def test_scaled_sizes_match_library_probe():
                 assert jd._scaled_down_dims(geo, ci, sizes[ci]) == (dh, dw)
 
 
-@pytest.mark.parametrize("subs", ["420", "422", "444", "440"])
+@pytest.mark.parametrize(
+    "subs", ["420", "422", "444", "440", "411", "410", "311", "asym"])
 @pytest.mark.parametrize("denom", [2, 4, 8])
 def test_scaled_decode_bit_exact(subs, denom):
     # Odd dims exercise MCU padding, the ceil'd scaled output dims, and the
@@ -116,16 +117,22 @@ def test_supported_scaled_gating():
     assert jd.supported_scaled(geo, 2)
     assert not jd.supported_scaled(geo, 3)   # non-power-of-2: host path
     assert not jd.supported_scaled(geo, 16)
-    # 4:1:1 stays host-fallback at any scale, as at full size.
-    geo411 = geo._replace(
+    # 4:1:1 decodes on device at any scale (replication upsample), like
+    # at full size.
+    data411 = jpeg.encode_bytes_opts(_rand(32, 32, 3, seed=12), quality=85,
+                                     subsampling="411")
+    geo411 = jd.geometry_of(jpeg.read_coefficients(data411))
+    assert jd.supported_scaled(geo411, 2)
+    # Subsampled luma stays host-fallback at scale, as at full size.
+    geo_suby = geo._replace(
         comps=(
-            (4, 1, geo.comps[0][2], geo.comps[0][3]),
-            (1, 1, geo.comps[1][2], geo.comps[1][3]),
-            (1, 1, geo.comps[2][2], geo.comps[2][3]),
+            (1, 1, geo.comps[0][2], geo.comps[0][3]),
+            (2, 2, geo.comps[1][2], geo.comps[1][3]),
+            (2, 2, geo.comps[2][2], geo.comps[2][3]),
         ),
-        max_h=4,
+        max_h=2, max_v=2,
     )
-    assert not jd.supported_scaled(geo411, 2)
+    assert not jd.supported_scaled(geo_suby, 2)
 
 
 def test_host_scaled_api():

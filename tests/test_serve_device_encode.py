@@ -170,3 +170,21 @@ def test_encode_subsampling_honored_on_all_paths(sub):
     assert host == dev == tr
     co = jpeg.read_coefficients(host[0])
     assert [(c.h_samp, c.v_samp) for c in co.components] == expect
+
+
+def test_exotic_encode_subsampling_host_only():
+    """Exotic layouts ("411" etc.) encode on host; combining them with
+    encode_on_device is a clear upfront error, not a deep KeyError."""
+    payloads = _payloads(n=1, seed=5)
+    out = ServingPipeline("blur3", use_pallas=False,
+                          encode_subsampling="411").process_batch(payloads)
+    co = jpeg.read_coefficients(out[0])
+    assert [(c.h_samp, c.v_samp) for c in co.components] == \
+        [(4, 1), (1, 1), (1, 1)]
+    # ...and the device decoder reads the exotic file right back.
+    import hipe_tpu.ops.jpeg_decode as jd
+    np.testing.assert_array_equal(
+        np.asarray(jd.decode_coefficients(co)), jpeg.decode_bytes(out[0]))
+    with pytest.raises(ValueError, match="encode_on_device"):
+        ServingPipeline("blur3", encode_on_device=True,
+                        encode_subsampling="411")
