@@ -239,6 +239,20 @@ def main() -> int:
             total_err += check(f"jpeg/device_decode {tag} 1/{den}", got,
                                jio.decode_bytes_scaled(payload, 1, den))
 
+    # 4-component Adobe streams (CMYK transform 0 / YCCK transform 2):
+    # device decode emits the same 4-channel CMYK samples libjpeg does.
+    rng4 = np.random.default_rng(13)
+    for tag, ycck in (("41x53_q85_cmyk", False), ("41x53_q85_ycck", True)):
+        img4 = rng4.integers(0, 256, (41, 53, 4), dtype=np.uint8)
+        payload = jio.encode_cmyk_bytes(img4, quality=85, ycck=ycck)
+        co = jio.read_coefficients(payload)
+        dev = np.asarray(jd.decode_coefficients(co))
+        total_err += check(f"jpeg/device_decode {tag}", dev,
+                           jio.decode_bytes(payload))
+        got = np.asarray(jd.decode_coefficients_scaled(co, 2))
+        total_err += check(f"jpeg/device_decode {tag} 1/2", got,
+                           jio.decode_bytes_scaled(payload, 1, 2))
+
     tr = ServingPipeline("chain", decode_on_device=True,
                          encode_on_device=True)
     host_sp = ServingPipeline("chain")

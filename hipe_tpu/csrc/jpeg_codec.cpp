@@ -48,7 +48,9 @@ int hipe_jpeg_dims(const unsigned char* buf, size_t len, int* w, int* h,
   jpeg_read_header(&cinfo, TRUE);
   *w = static_cast<int>(cinfo.image_width);
   *h = static_cast<int>(cinfo.image_height);
-  *c = cinfo.num_components >= 3 ? 3 : 1;
+  // 4-component streams (Adobe CMYK / YCCK) decode to 4-channel CMYK
+  // samples (libjpeg applies the YCCK->CMYK transform itself).
+  *c = cinfo.num_components == 4 ? 4 : (cinfo.num_components >= 3 ? 3 : 1);
   jpeg_destroy_decompress(&cinfo);
   return 0;
 }
@@ -68,7 +70,9 @@ int hipe_jpeg_decode(const unsigned char* buf, size_t len, unsigned char* out,
   jpeg_create_decompress(&cinfo);
   jpeg_mem_src(&cinfo, const_cast<unsigned char*>(buf), len);
   jpeg_read_header(&cinfo, TRUE);
-  cinfo.out_color_space = expect_c == 1 ? JCS_GRAYSCALE : JCS_RGB;
+  cinfo.out_color_space = expect_c == 1   ? JCS_GRAYSCALE
+                          : expect_c == 4 ? JCS_CMYK
+                                          : JCS_RGB;
   jpeg_start_decompress(&cinfo);
   if (static_cast<int>(cinfo.output_width) != expect_w ||
       static_cast<int>(cinfo.output_height) != expect_h ||
@@ -106,7 +110,7 @@ int hipe_jpeg_scaled_dims(const unsigned char* buf, size_t len, int scale_num,
   jpeg_calc_output_dimensions(&cinfo);
   *w = static_cast<int>(cinfo.output_width);
   *h = static_cast<int>(cinfo.output_height);
-  *c = cinfo.num_components >= 3 ? 3 : 1;
+  *c = cinfo.num_components == 4 ? 4 : (cinfo.num_components >= 3 ? 3 : 1);
   jpeg_destroy_decompress(&cinfo);
   return 0;
 }
@@ -130,7 +134,9 @@ int hipe_jpeg_decode_scaled(const unsigned char* buf, size_t len,
   jpeg_create_decompress(&cinfo);
   jpeg_mem_src(&cinfo, const_cast<unsigned char*>(buf), len);
   jpeg_read_header(&cinfo, TRUE);
-  cinfo.out_color_space = expect_c == 1 ? JCS_GRAYSCALE : JCS_RGB;
+  cinfo.out_color_space = expect_c == 1   ? JCS_GRAYSCALE
+                          : expect_c == 4 ? JCS_CMYK
+                                          : JCS_RGB;
   cinfo.scale_num = static_cast<unsigned int>(scale_num);
   cinfo.scale_denom = static_cast<unsigned int>(scale_denom);
   jpeg_start_decompress(&cinfo);
@@ -254,7 +260,9 @@ enum {
   INFO_PROGRESSIVE = 5,
   INFO_PER_COMP = 6,   // start of per-component records
   COMP_FIELDS = 5,     // h_samp, v_samp, width_in_blocks, height_in_blocks, qno
-  INFO_LEN = 6 + 4 * 5,
+  INFO_COLOR = 26,     // coded color space (J_COLOR_SPACE: 3=YCbCr,
+                       // 4=CMYK, 5=YCCK — decides the device transform)
+  INFO_LEN = 6 + 4 * 5 + 1,
 };
 
 // Header-only scan of the coefficient geometry. Returns 0 on success.
@@ -287,6 +295,7 @@ int hipe_jpeg_coef_info(const unsigned char* buf, size_t len, int* info) {
   info[INFO_MAX_H] = max_h;
   info[INFO_MAX_V] = max_v;
   info[INFO_PROGRESSIVE] = cinfo.progressive_mode ? 1 : 0;
+  info[INFO_COLOR] = static_cast<int>(cinfo.jpeg_color_space);
   for (int i = 0; i < cinfo.num_components; ++i) {
     jpeg_component_info* comp = &cinfo.comp_info[i];
     int* rec = info + INFO_PER_COMP + COMP_FIELDS * i;
@@ -413,6 +422,58 @@ int hipe_jpeg_encode_opts(const unsigned char* img, int w, int h, int c,
   if (progressive) jpeg_simple_progression(&cinfo);
   jpeg_start_compress(&cinfo, TRUE);
   const size_t stride = static_cast<size_t>(w) * c;
+  while (cinfo.next_scanline < cinfo.image_height) {
+    JSAMPROW row = const_cast<unsigned char*>(img) +
+                   cinfo.next_scanline * stride;
+    jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  int rc = 0;
+  *out_len = mem_len;
+  if (mem_len <= out_cap) {
+    memcpy(out, mem, mem_len);
+  } else {
+    rc = 3;  // *out_len reports the needed capacity
+  }
+  free(mem);
+  return rc;
+}
+
+// Encode a 4-channel CMYK image (samples passed through as-is; whether
+// they follow the Adobe-inverted convention is the caller's concern —
+// decode returns the identical values, which is what the device-decode
+// byte-identity tests need). ycck != 0 compresses as YCCK (Adobe
+// transform 2, subsampled chroma per jpeg_set_colorspace); otherwise
+// plain CMYK (transform 0, all components full resolution). Both write
+// the Adobe APP14 marker so decoders classify them correctly.
+int hipe_jpeg_encode_cmyk(const unsigned char* img, int w, int h,
+                          int quality, int ycck, int progressive,
+                          unsigned char* out, size_t out_cap,
+                          size_t* out_len) {
+  jpeg_compress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit_handler;
+  unsigned char* mem = nullptr;
+  unsigned long mem_len = 0;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_compress(&cinfo);
+    if (mem) free(mem);
+    return 1;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_mem_dest(&cinfo, &mem, &mem_len);
+  cinfo.image_width = static_cast<JDIMENSION>(w);
+  cinfo.image_height = static_cast<JDIMENSION>(h);
+  cinfo.input_components = 4;
+  cinfo.in_color_space = JCS_CMYK;
+  jpeg_set_defaults(&cinfo);
+  if (ycck) jpeg_set_colorspace(&cinfo, JCS_YCCK);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  if (progressive) jpeg_simple_progression(&cinfo);
+  jpeg_start_compress(&cinfo, TRUE);
+  const size_t stride = static_cast<size_t>(w) * 4;
   while (cinfo.next_scanline < cinfo.image_height) {
     JSAMPROW row = const_cast<unsigned char*>(img) +
                    cinfo.next_scanline * stride;

@@ -96,6 +96,12 @@ def _load() -> ctypes.CDLL | None:
             u8p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
         ]
         lib.hipe_jpeg_encode_opts.restype = ctypes.c_int
+        lib.hipe_jpeg_encode_cmyk.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            u8p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.hipe_jpeg_encode_cmyk.restype = ctypes.c_int
         lib.hipe_jpeg_write_coefs.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(i16p),
@@ -374,6 +380,11 @@ class JpegCoefficients:
     max_h: int
     max_v: int
     progressive: bool
+    # Coded color space (libjpeg J_COLOR_SPACE after header parse):
+    # 1=grayscale, 3=YCbCr, 4=CMYK (Adobe transform 0), 5=YCCK (Adobe
+    # transform 2). Decides the device-side color transform for
+    # 4-component streams.
+    color_space: int = 3
 
     @property
     def num_components(self) -> int:
@@ -388,7 +399,7 @@ def read_coefficients(data: bytes) -> JpegCoefficients:
             "native codec unavailable: coefficient decode requires libjpeg"
         )
     buf = np.frombuffer(data, dtype=np.uint8)
-    info = (ctypes.c_int * 26)()
+    info = (ctypes.c_int * _INFO_LEN)()
     rc = lib.hipe_jpeg_coef_info(_as_u8p(buf), buf.size, info)
     if rc != 0:
         raise ValueError(f"JPEG coefficient scan failed (rc={rc})")
@@ -423,6 +434,7 @@ def read_coefficients(data: bytes) -> JpegCoefficients:
     return JpegCoefficients(
         width=width, height=height, components=components,
         max_h=max_h, max_v=max_v, progressive=progressive,
+        color_space=int(info[26]),
     )
 
 
@@ -482,6 +494,36 @@ def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
     if rc != 0:
         raise ValueError(f"quality table query failed (rc={rc})")
     return qtabs[0].copy(), qtabs[1].copy()
+
+
+def encode_cmyk_bytes(
+    img: np.ndarray,
+    quality: int = 90,
+    ycck: bool = False,
+    progressive: bool = False,
+) -> bytes:
+    """Encode a 4-channel CMYK image (test surface for 4-component decode).
+
+    Samples pass through as-is (the Adobe-inversion convention is the
+    caller's concern; decode returns identical values). ycck=True stores
+    as Adobe YCCK (transform 2, subsampled chroma); otherwise plain CMYK
+    (transform 0, all components full resolution). Both carry the Adobe
+    APP14 marker, so `decode_bytes`/`read_coefficients` classify them the
+    way libjpeg does.
+    """
+    assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 4
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native codec unavailable")
+    img = np.ascontiguousarray(img)
+    h, w, _ = img.shape
+    return _run_encode(
+        lambda out, cap, out_len: lib.hipe_jpeg_encode_cmyk(
+            _as_u8p(img), w, h, quality, int(ycck), int(progressive),
+            out, cap, out_len
+        ),
+        w * h * 4 + 65536,
+    )
 
 
 def _coef_block_shapes(
@@ -555,7 +597,7 @@ def write_coefficients(
 # path that replaces the reference's serial host IO loop
 # (/root/reference/heterogeneous_blur.c:106-137) at serving scale.
 
-_INFO_LEN = 26  # mirrors INFO_LEN in jpeg_codec.cpp
+_INFO_LEN = 27  # mirrors INFO_LEN in jpeg_codec.cpp
 
 
 def _batch_ptrs(datas: list[bytes]):
@@ -639,7 +681,7 @@ def read_coefficients_batch(
             JpegCoefficients(
                 width=int(info[1]), height=int(info[2]), components=comps,
                 max_h=int(info[3]), max_v=int(info[4]),
-                progressive=bool(info[5]),
+                progressive=bool(info[5]), color_space=int(info[26]),
             )
         )
     return out

@@ -445,6 +445,33 @@ def _interleave_col_phases(rgb_e: jnp.ndarray, rgb_o: jnp.ndarray):
     return pair.reshape(*rgb_e.shape[:-1], w2 * 6)
 
 
+def _cmyk_rows(comps: list, color: int) -> jnp.ndarray:
+    """Four full-res sample grids -> interleaved CMYK rows (..., H, W*4).
+
+    color == 5 (YCCK, Adobe transform 2): jdcolor.c ycck_cmyk_convert —
+    the standard fixed-point YCC->RGB on components 0-2 with the result
+    inverted (MAXJSAMPLE - x), K passed through untouched. color == 4
+    (plain CMYK): null conversion — all four components pass through
+    (samples are already range-limited by the IDCT).
+    """
+    if color == 5:
+        y = comps[0].astype(jnp.int32)
+        cbc = comps[1].astype(jnp.int32) - 128
+        crc = comps[2].astype(jnp.int32) - 128
+        r = y + ((_FIX_1_40200 * crc + _ONE_HALF) >> _SCALEBITS)
+        b = y + ((_FIX_1_77200 * cbc + _ONE_HALF) >> _SCALEBITS)
+        g = y + ((-_FIX_0_34414 * cbc + _ONE_HALF + -_FIX_0_71414 * crc)
+                 >> _SCALEBITS)
+        cmy = 255 - jnp.clip(jnp.stack([r, g, b], axis=-1), 0, 255)
+        out = jnp.concatenate(
+            [cmy, comps[3].astype(jnp.int32)[..., None]], axis=-1)
+    else:
+        out = jnp.stack([c.astype(jnp.int32) for c in comps], axis=-1)
+    out = out.astype(jnp.uint8)
+    h, w = out.shape[-3], out.shape[-2]
+    return out.reshape(*out.shape[:-3], h, w * 4)
+
+
 def _decode_rgb_rows_from_planes(
     geo: DecodeGeometry,
     y_planes: list, cb_planes: list, cr_planes: list,
@@ -552,6 +579,11 @@ class DecodeGeometry(NamedTuple):
     comps: tuple[tuple[int, int, int, int], ...]
     max_h: int
     max_v: int
+    # Coded color space for 4-component streams (libjpeg J_COLOR_SPACE:
+    # 4=CMYK passthrough, 5=YCCK -> CMYK transform). 1/3-component
+    # geometries always carry the default so existing cache keys,
+    # equality checks and hand-built geometries are unchanged.
+    color: int = 3
 
 
 def geometry_of(co) -> DecodeGeometry:
@@ -566,6 +598,8 @@ def geometry_of(co) -> DecodeGeometry:
         ),
         max_h=co.max_h,
         max_v=co.max_v,
+        color=(getattr(co, "color_space", 3)
+               if co.num_components == 4 else 3),
     )
 
 
@@ -590,6 +624,16 @@ def supported(geo: DecodeGeometry) -> bool:
     """
     if geo.ncomps == 1:
         return True
+    if geo.ncomps == 4:
+        # Adobe CMYK / YCCK: per-component upsample + elementwise color
+        # transform — only integer ratios required (no luma-at-max
+        # constraint; jdcolor's ycck/null converts are per-sample).
+        if geo.color not in (4, 5):
+            return False
+        return not any(
+            geo.max_h % h_samp or geo.max_v % v_samp
+            for h_samp, v_samp, _, _ in geo.comps
+        )
     if geo.ncomps != 3:
         return False
     y_h, y_v, _, _ = geo.comps[0]
@@ -693,20 +737,22 @@ def decode_planes_scaled(
         y = grids[0][..., :out_h, :out_w]
         return y if layout == "rows" else y[..., None]
     mins = {2: 4, 4: 2, 8: 1}[scale_denom]
-    y = grids[0].astype(jnp.int32)
-    chroma = []
-    for ci in (1, 2):
+
+    def up_scaled(ci: int) -> jnp.ndarray:
+        """Upsample one component's scaled grid to the scaled output res.
+
+        The installed library honors do_fancy_upsampling only when
+        min_DCT_scaled_size (the luma ssize, = mins) is > 1: at 1/8 it
+        replicates even a ratio-2 chroma axis. Probe-verified both ways
+        — 4:2:2 at 1/4 needs fancy (chroma ssize 2, mins 2) while 4:1:0
+        at 1/8 needs replication (chroma ssize 2, mins 1); the two rules
+        are indistinguishable on standard layouts. Ratios beyond the
+        fancy set (4:1:1-family) replicate at any ssize, as at full size.
+        """
         h_samp, v_samp, _, _ = geo.comps[ci]
         hr = geo.max_h * mins // (h_samp * sizes[ci])
         vr = geo.max_v * mins // (v_samp * sizes[ci])
         g = grids[ci]
-        # The installed library honors do_fancy_upsampling only when
-        # min_DCT_scaled_size (the luma ssize, = mins) is > 1: at 1/8 it
-        # replicates even a ratio-2 chroma axis. Probe-verified both ways
-        # — 4:2:2 at 1/4 needs fancy (chroma ssize 2, mins 2) while 4:1:0
-        # at 1/8 needs replication (chroma ssize 2, mins 1); the two rules
-        # are indistinguishable on standard layouts. Ratios beyond the
-        # fancy set (4:1:1-family) replicate at any ssize, as at full size.
         if mins == 1:
             x = g.astype(jnp.int32)
             if vr > 1:
@@ -716,7 +762,15 @@ def decode_planes_scaled(
             g = x
         else:
             g = upsample_component(g, hr, vr)
-        chroma.append(g[..., :out_h, :out_w])
+        return g[..., :out_h, :out_w]
+
+    if geo.ncomps == 4:
+        rows = _cmyk_rows([up_scaled(ci) for ci in range(4)], geo.color)
+        if layout == "rows":
+            return rows
+        return rows.reshape(*rows.shape[:-1], out_w, 4)
+    y = grids[0].astype(jnp.int32)
+    chroma = [up_scaled(1), up_scaled(2)]
     rgb = ycc_to_rgb(y, chroma[0], chroma[1])
     if layout == "rows":
         return rgb.reshape(*rgb.shape[:-3], out_h, out_w * 3)
@@ -784,6 +838,33 @@ def decode_planes(
             y = idct8x8_islow(comp_coefs[0], qtables[0])
         y = y[..., : geo.height, : geo.width]
         return y if layout == "rows" else y[..., None]
+    if geo.ncomps == 4:
+        # Adobe CMYK / YCCK: rare streams, so correctness path — the
+        # concatenated IDCT graph over all four components, then the
+        # generic per-component upsample and the jdcolor transform
+        # (_cmyk_rows). pallas_idct is ignored here (XLA graph only).
+        dqs = [_dequant_planes(comp_coefs[ci], qtables[ci])
+               for ci in range(4)]
+        ns = [comp_coefs[ci].shape[-3] * comp_coefs[ci].shape[-2]
+              for ci in range(4)]
+        cat = [jnp.concatenate([dqs[c][k] for c in range(4)], axis=-1)
+               for k in range(64)]
+        out = _idct_planes_core(cat)
+        offs = [sum(ns[:i]) for i in range(5)]
+        comps = []
+        for ci in range(4):
+            planes = [o[..., offs[ci]:offs[ci + 1]] for o in out]
+            h_samp, v_samp, wb, hb = geo.comps[ci]
+            dh, dw = _downsampled_dims(geo, ci)
+            g = _grid_from_planes(planes, hb, wb,
+                                  range(8), range(8))[..., :dh, :dw]
+            up = upsample_component(
+                g, geo.max_h // h_samp, geo.max_v // v_samp)
+            comps.append(up[..., : geo.height, : geo.width])
+        rows = _cmyk_rows(comps, geo.color)
+        if layout == "rows":
+            return rows
+        return rows.reshape(*rows.shape[:-1], geo.width, 4)
     if pallas_idct:
         from hipe_tpu.ops.pallas_dct import dequant_idct_planes_pallas
 

@@ -180,6 +180,15 @@ class ServingPipeline:
                                         num_threads=self.decode_threads)
         else:
             batch = decode_batch(payloads, num_threads=self.decode_threads)
+        if batch.shape[-1] == 4:
+            # 4-component (Adobe CMYK/YCCK) streams decode fine standalone
+            # (io_.jpeg.decode_bytes / ops.jpeg_decode) but the serving
+            # filter+re-encode contract is 1/3-channel.
+            raise ValueError(
+                "4-component (CMYK) JPEG serving is not supported; decode "
+                "via hipe_tpu.io_.jpeg.decode_bytes or "
+                "ops.jpeg_decode.decode_coefficients instead"
+            )
         self.stats.decode_ms += now_ms() - t0
         return batch
 
@@ -364,9 +373,12 @@ class ServingPipeline:
         t0 = now_ms()
         out: list[np.ndarray | None] = [None] * len(cos)
         for (geo, qkey), idxs in groups.items():
-            if not jd.supported_scaled(geo, self.decode_scale):
+            if geo.ncomps == 4 or not jd.supported_scaled(
+                    geo, self.decode_scale):
                 # Host fallback keeps exotic sampling factors working (the
                 # native codec applies the same DCT-domain scale there).
+                # 4-component (CMYK) streams take this route too so the
+                # host decode raises the clear not-servable error.
                 batch = self._decode([payloads[i] for i in idxs])
                 res = self._filter_device(batch)
             else:
@@ -451,7 +463,8 @@ class ServingPipeline:
 
         out: list[bytes | None] = [None] * len(cos)
         for (geo, qkey), idxs in groups.items():
-            if not jd.supported_scaled(geo, self.decode_scale):
+            if geo.ncomps == 4 or not jd.supported_scaled(
+                    geo, self.decode_scale):
                 batch = self._decode([payloads[i] for i in idxs])
                 res = self._encode_device(batch, with_filter=True)
             else:
