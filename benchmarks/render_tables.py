@@ -71,6 +71,12 @@ def render_device_decode() -> str:
          d["device_decode_img_s"], True),
         ("device decode fused with blur3",
          d["device_decode_blur3_img_s"], False),
+        ("device scaled decode 1/2 (DCT-domain thumbnails)",
+         d["device_decode_scaled2_img_s"], False),
+        ("device scaled decode 1/4",
+         d["device_decode_scaled4_img_s"], False),
+        ("device scaled decode 1/8",
+         d["device_decode_scaled8_img_s"], True),
         ("host entropy-only encode (drains the device encoder)",
          d["host_entropy_encode_img_s"], False),
         ("device encode (HBM-resident pixels -> quantized coefficients)",

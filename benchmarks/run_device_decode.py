@@ -61,11 +61,16 @@ def measure_host(fn, payloads, reps: int = 3) -> float:
     return len(payloads) / best
 
 
-def measure_device_chain(chained, arrs, passes: int, reps: int = 3) -> float:
-    """Steady-state seconds/pass via pass-count differencing."""
+def measure_device_chain(chained, arrs, passes: int, reps: int = 5) -> float:
+    """Steady-state seconds/pass via pass-count differencing.
+
+    Median of reps, not min: tunnel jitter enters the differenced pair
+    with either sign, and min-selection keeps the luckiest sample (the
+    same bias that inflated the flagship readings before commit 699149a).
+    """
     sync(chained(arrs, 1))
     sync(chained(arrs, 1 + passes))
-    best = float("inf")
+    samples = []
     for _ in range(reps):
         t0 = time.perf_counter()
         sync(chained(arrs, 1))
@@ -73,10 +78,11 @@ def measure_device_chain(chained, arrs, passes: int, reps: int = 3) -> float:
         t0 = time.perf_counter()
         sync(chained(arrs, 1 + passes))
         t2 = time.perf_counter() - t0
-        best = min(best, (t2 - t1) / passes)
-    if best <= 0.0:
-        best = t2 / (1 + passes)
-    return best
+        samples.append((t2 - t1) / passes)
+    med = float(np.median(samples))
+    if med <= 0.0:
+        med = t2 / (1 + passes)
+    return med
 
 
 def main() -> int:
@@ -184,6 +190,34 @@ def main() -> int:
         )
         gbs = 2 * coef_bytes / per_pass / 1e9
         log(f"{label:22s} {rate:12,.0f} img/s (~{gbs:.0f} GB/s coef traffic)")
+
+    # 4b. scaled (thumbnail) device decode — DCT-domain 1/2, 1/4, 1/8 via
+    # reduced IDCTs (jidctred semantics). Same chained differencing, with
+    # a per-denom exactness gate against the library's own scaled decode.
+    for den in (2, 4, 8):
+        ref = jpeg.decode_bytes_scaled(payload, 1, den)
+        got = np.asarray(jd.decode_coefficients_scaled(co, den))
+        err = int(np.abs(got.astype(int) - ref.astype(int)).max())
+
+        def scaled_pass(arrs, _den=den):
+            rgb = jd.decode_planes_scaled(geo, list(arrs), qtables, _den)
+            z = (jnp.min(rgb).astype(jnp.int16) >> 8)
+            return [a + z for a in arrs]
+
+        def scaled_chained(arrs, r, _pass=scaled_pass):
+            out = lax.fori_loop(0, r, lambda i, x: _pass(x), arrs)
+            return sum(jnp.sum(a[::97, ::3, ::5, ::7].astype(jnp.int32))
+                       for a in out)
+
+        per_pass = measure_device_chain(
+            jax.jit(scaled_chained, static_argnames="r"), comp_batches,
+            passes=passes,
+        )
+        rate = num_images / per_pass
+        results[f"device_decode_scaled{den}_img_s"] = round(rate, 1)
+        results[f"decode_scaled{den}_max_abs_err"] = err
+        log(f"device_decode 1/{den}    {rate:12,.0f} img/s "
+            f"(max_abs_err {err})")
 
     # 5. host entropy-only encode (the drain side of the device encoder)
     from hipe_tpu.ops import jpeg_encode as je
