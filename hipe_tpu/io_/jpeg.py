@@ -186,8 +186,19 @@ def decode_bytes(data: bytes) -> np.ndarray:
 
 
 def decode_file(path: str) -> np.ndarray:
+    """Load an image file to HWC uint8.
+
+    JPEG content (SOI-marked) goes through the native codec; anything
+    else (BMP / PNG / PPM / ... — the formats the reference's CImg
+    loader dispatches on by extension, /root/reference/CImg/CImg.h
+    `load()`) decodes via PIL. Content sniffing, not extension, decides:
+    a mislabeled .jpg still takes the right path.
+    """
     with open(path, "rb") as f:
-        return decode_bytes(f.read())
+        data = f.read()
+    if data[:2] != b"\xff\xd8":
+        return _pil_decode(data)
+    return decode_bytes(data)
 
 
 def scaled_dims(data: bytes, scale_num: int, scale_denom: int) -> tuple[int, int, int]:
@@ -346,8 +357,21 @@ def encode_bytes(img: np.ndarray, quality: int = 90) -> bytes:
 
 
 def encode_file(img: np.ndarray, path: str, quality: int = 90) -> None:
-    with open(path, "wb") as f:
-        f.write(encode_bytes(img, quality))
+    """Save HWC uint8 to an image file, dispatching on the extension.
+
+    .jpg/.jpeg (and extension-less paths) use the native JPEG encoder;
+    other extensions (BMP / PNG / PPM / ...) save losslessly via PIL —
+    the extension-dispatch behavior of the reference's CImg `save()`.
+    """
+    ext = os.path.splitext(path)[1].lower()
+    if ext in ("", ".jpg", ".jpeg"):
+        with open(path, "wb") as f:
+            f.write(encode_bytes(img, quality))
+        return
+    from PIL import Image
+
+    arr = img[:, :, 0] if img.ndim == 3 and img.shape[2] == 1 else img
+    Image.fromarray(arr).save(path)
 
 
 # ---- Entropy-only decode (feeds the TPU-side device decode) ----

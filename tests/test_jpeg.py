@@ -73,3 +73,31 @@ def test_decode_batch_with_one_bad_payload_raises():
         good = f.read()
     with pytest.raises(ValueError):
         jpeg.decode_batch([good, b"junk-not-a-jpeg", good])
+
+
+def test_file_io_dispatches_on_format(tmp_path):
+    """decode_file/encode_file handle non-JPEG formats via PIL — the
+    extension-dispatch behavior of the reference's CImg load()/save()
+    (BMP/PNM are native there; load is content-sniffed here so a
+    mislabeled .jpg still decodes)."""
+    img = np.random.default_rng(3).integers(
+        0, 256, (24, 32, 3), dtype=np.uint8
+    )
+    for ext in ("bmp", "png", "ppm"):
+        p = str(tmp_path / f"t.{ext}")
+        jpeg.encode_file(img, p)
+        np.testing.assert_array_equal(jpeg.decode_file(p), img)  # lossless
+    # JPEG path still the native codec (bit-identical to decode_bytes).
+    pj = str(tmp_path / "t.jpg")
+    jpeg.encode_file(img, pj, quality=90)
+    with open(pj, "rb") as f:
+        np.testing.assert_array_equal(
+            jpeg.decode_file(pj), jpeg.decode_bytes(f.read())
+        )
+    # Content sniffing: JPEG bytes under a .png name decode natively.
+    mislabeled = str(tmp_path / "fake.png")
+    with open(pj, "rb") as fsrc, open(mislabeled, "wb") as fdst:
+        fdst.write(fsrc.read())
+    np.testing.assert_array_equal(
+        jpeg.decode_file(mislabeled), jpeg.decode_file(pj)
+    )
