@@ -83,6 +83,8 @@ def render_device_decode() -> str:
          d["device_encode_img_s"], True),
         ("device transcode: decode -> blur3 -> encode, coefs in/out",
          d["device_transcode_blur3_img_s"], False),
+        ("device thumbnail transcode: 1/8 decode -> blur3 -> encode",
+         d["device_transcode_scaled8_blur3_img_s"], False),
     ]
     out = ["| path | img/s |", "|---|---|"]
     for name, v, bold in rows:

@@ -312,6 +312,43 @@ def main() -> int:
     results["device_transcode_blur3_img_s"] = round(rate, 1)
     log(f"device_transcode_blur3 {rate:12,.0f} img/s")
 
+    # 7b. thumbnail transcode: 1/8 scaled decode -> blur3 -> encode at
+    # the scaled dims (the decode_scale=8 serving pipeline's device
+    # stage). Output grids are scaled, so the chain carries a synthetic
+    # data-dependent zero that consumes EVERY output component (a
+    # partial feedback lets XLA dead-code the rest — see FINDINGS).
+    den = 8
+    sc_h, sc_w = -(-h // den), -(-w // den)
+    enc_geo_s = je.encode_geometry(sc_h, sc_w, 3, "420")
+
+    def transcode_scaled_pass(arrs):
+        rgb = jd.decode_planes_scaled(geo, list(arrs), qtables, den)
+        b, hh, ww, c = rgb.shape
+        rows = pipe.apply_rows(rgb.reshape(b, hh, ww * c), c,
+                               use_pallas=on_tpu, alias=on_tpu)
+        coefs = je.encode_planes(enc_geo_s, rows.reshape(b, hh, ww, c),
+                                 enc_qt)
+        # max|coef| < 2^15 and the 3-component sum < 2^17, so >> 20 is
+        # always 0 — but data-dependently, so no pass can be elided.
+        z = (sum(jnp.max(jnp.abs(cf.astype(jnp.int32))) for cf in coefs)
+             >> 20).astype(jnp.int16)
+        return [a + z for a in arrs]
+
+    @jax.jit
+    def transcode_scaled_chained(arrs, r):
+        out = lax.fori_loop(0, r, lambda i, x: transcode_scaled_pass(x),
+                            arrs)
+        return sum(jnp.sum(a[::97, ::3, ::5, ::7].astype(jnp.int32))
+                   for a in out)
+
+    per_pass = measure_device_chain(
+        jax.jit(transcode_scaled_chained, static_argnames="r"),
+        comp_batches, passes=passes,
+    )
+    rate = num_images / per_pass
+    results["device_transcode_scaled8_blur3_img_s"] = round(rate, 1)
+    log(f"device_transcode 1/8   {rate:12,.0f} img/s")
+
     # 8. end-to-end serving: JPEG bytes in -> filtered JPEG bytes out via
     # ServingPipeline with the full numeric transcode on device and the
     # batch entropy coding on the host. On THIS harness the number is

@@ -90,3 +90,53 @@ def test_transcode_batch_sharded_matches_unsharded():
         for i in (0, 7)
     ]
     assert all(f[:2] == b"\xff\xd8" for f in files)
+
+
+def test_scaled_decode_batch_sharded_matches_unsharded():
+    """The thumbnail (1/8 DCT-domain) decode shards like the full path —
+    the multi-chip story for thumbnail serving."""
+    mesh = meshlib.make_mesh(8, axis="batch")
+    geo, qt, comp_batches = _coef_batch()
+    want = np.asarray(jd.decode_planes_scaled(
+        geo, [jnp.asarray(c) for c in comp_batches], qt, 8))
+
+    sharding = NamedSharding(mesh, P("batch"))
+    sharded = [jax.device_put(c, sharding) for c in comp_batches]
+
+    @jax.jit
+    def run(*cs):
+        return jd.decode_planes_scaled(geo, list(cs), qt, 8)
+
+    out = run(*sharded)
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(out), want)
+
+
+def test_cmyk_decode_batch_sharded_matches_unsharded():
+    """4-component (YCCK) decode under DP sharding, bit-identical."""
+    mesh = meshlib.make_mesh(8, axis="batch")
+    rng = np.random.default_rng(5)
+    cos = [
+        jpeg.read_coefficients(
+            jpeg.encode_cmyk_bytes(
+                rng.integers(0, 256, (32, 40, 4), dtype=np.uint8),
+                quality=85, ycck=True,
+            )
+        )
+        for _ in range(8)
+    ]
+    geo = jd.geometry_of(cos[0])
+    qt = [c.qtable for c in cos[0].components]
+    comp_batches = [
+        np.stack([co.components[ci].coefs for co in cos])
+        for ci in range(4)
+    ]
+    want = np.asarray(jd.decode_planes(
+        geo, [jnp.asarray(c) for c in comp_batches], qt))
+
+    sharding = NamedSharding(mesh, P("batch"))
+    sharded = [jax.device_put(c, sharding) for c in comp_batches]
+    out = jax.jit(lambda *cs: jd.decode_planes(geo, list(cs), qt))(*sharded)
+    assert len(out.sharding.device_set) == 8
+    assert out.shape[-1] == 4
+    np.testing.assert_array_equal(np.asarray(out), want)
