@@ -223,6 +223,11 @@ def main() -> int:
     # surfaces. 410 at 1/8 is the layout that distinguishes the
     # min_DCT_scaled_size replication rule from a per-component one.
     for tag, (ch, cw, q, sub) in {
+        # w=4: narrow chroma (downsampled_width <= 2) — jdsample.c
+        # replicates instead of fancy-upsampling; decoded with err up
+        # to 72 before the guard was mirrored on device.
+        "16x4_q85_420": (16, 4, 85, "420"),
+        "12x3_q85_422": (12, 3, 85, "422"),
         "41x53_q85_411": (41, 53, 85, "411"),
         "40x52_q80_410": (40, 52, 80, "410"),
         "33x49_q90_311": (33, 49, 90, "311"),

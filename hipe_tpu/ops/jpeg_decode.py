@@ -375,30 +375,42 @@ def fancy_upsample_h1v2(plane: jnp.ndarray) -> jnp.ndarray:
     return _interleave(out_even, out_odd, axis=-2)
 
 
-def upsample_component(plane: jnp.ndarray, hr: int, vr: int) -> jnp.ndarray:
-    """Upsample one component by (hr, vr), exactly as jdsample.c selects.
-
-    Per component (independent of the others): identity at (1, 1), the
-    triangular fancy filters for (2, 1)/(1, 2)/(2, 2), and plain pixel
-    replication (int_upsample) for every other integer ratio — 4:1:1,
-    4:1:0, 3:1:1 etc. Verified bit-exact against the installed libjpeg
-    over all of these layouts incl. mismatched Cb/Cr (tests/test_jpeg_device.py).
-    Returns int32 samples at (..., h*vr, w*hr).
-    """
-    if (hr, vr) == (1, 1):
-        return plane.astype(jnp.int32)
-    if (hr, vr) == (2, 2):
-        return fancy_upsample_h2v2(plane)
-    if (hr, vr) == (2, 1):
-        return fancy_upsample_h2v1(plane)
-    if (hr, vr) == (1, 2):
-        return fancy_upsample_h1v2(plane)
+def _replicate(plane: jnp.ndarray, hr: int, vr: int) -> jnp.ndarray:
+    """Plain pixel replication (jdsample.c int_upsample) by (hr, vr)."""
     x = plane.astype(jnp.int32)
     if vr > 1:
         x = jnp.repeat(x, vr, axis=-2)
     if hr > 1:
         x = jnp.repeat(x, hr, axis=-1)
     return x
+
+
+def upsample_component(plane: jnp.ndarray, hr: int, vr: int) -> jnp.ndarray:
+    """Upsample one component by (hr, vr), exactly as jdsample.c selects.
+
+    Per component (independent of the others): identity at (1, 1), the
+    triangular fancy filters for (2, 1)/(1, 2)/(2, 2), and plain pixel
+    replication (int_upsample) for every other integer ratio — 4:1:1,
+    4:1:0, 3:1:1 etc. jdsample.c's narrow-plane guard is honored: the
+    horizontal-ratio-2 fancy upsamplers require downsampled_width > 2,
+    else the component replicates on BOTH axes (probe-verified: 4:2:0 /
+    4:2:2 at image width <= 4 decode with replication in libjpeg, while
+    the v-only h1v2 fancy has no such guard — 4:4:0 is exact at every
+    width). Verified bit-exact against the installed libjpeg over all of
+    these layouts incl. mismatched Cb/Cr (tests/test_jpeg_device.py).
+    Returns int32 samples at (..., h*vr, w*hr).
+    """
+    if (hr, vr) == (1, 1):
+        return plane.astype(jnp.int32)
+    if hr == 2 and plane.shape[-1] <= 2:
+        return _replicate(plane, hr, vr)
+    if (hr, vr) == (2, 2):
+        return fancy_upsample_h2v2(plane)
+    if (hr, vr) == (2, 1):
+        return fancy_upsample_h2v1(plane)
+    if (hr, vr) == (1, 2):
+        return fancy_upsample_h1v2(plane)
+    return _replicate(plane, hr, vr)
 
 
 def ycc_to_rgb(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray) -> jnp.ndarray:
@@ -455,16 +467,14 @@ def _cmyk_rows(comps: list, color: int) -> jnp.ndarray:
     (samples are already range-limited by the IDCT).
     """
     if color == 5:
-        y = comps[0].astype(jnp.int32)
-        cbc = comps[1].astype(jnp.int32) - 128
-        crc = comps[2].astype(jnp.int32) - 128
-        r = y + ((_FIX_1_40200 * crc + _ONE_HALF) >> _SCALEBITS)
-        b = y + ((_FIX_1_77200 * cbc + _ONE_HALF) >> _SCALEBITS)
-        g = y + ((-_FIX_0_34414 * cbc + _ONE_HALF + -_FIX_0_71414 * crc)
-                 >> _SCALEBITS)
-        cmy = 255 - jnp.clip(jnp.stack([r, g, b], axis=-1), 0, 255)
+        # MAXJSAMPLE - range_limit(ycc_rgb(...)): the inversion wraps the
+        # exact fixed-point converter the YCbCr path uses (ycc_to_rgb).
+        rgb = ycc_to_rgb(comps[0].astype(jnp.int32),
+                         comps[1].astype(jnp.int32),
+                         comps[2].astype(jnp.int32))
         out = jnp.concatenate(
-            [cmy, comps[3].astype(jnp.int32)[..., None]], axis=-1)
+            [255 - rgb.astype(jnp.int32),
+             comps[3].astype(jnp.int32)[..., None]], axis=-1)
     else:
         out = jnp.stack([c.astype(jnp.int32) for c in comps], axis=-1)
     out = out.astype(jnp.uint8)
@@ -497,12 +507,16 @@ def _decode_rgb_rows_from_planes(
     _, _, cwb, chb = geo.comps[1]
     hr = geo.max_h // geo.comps[1][0]
     vr = geo.max_v // geo.comps[1][1]
+    _, dw_c = _downsampled_dims(geo, 1)
     if (geo.comps[1][:2] != geo.comps[2][:2]
-            or (hr, vr) not in ((1, 1), (2, 1), (2, 2), (1, 2))):
+            or (hr, vr) not in ((1, 1), (2, 1), (2, 2), (1, 2))
+            or (hr == 2 and dw_c <= 2)):
         # Exotic layouts (4:1:1 / 4:1:0 / 3:1:1 replication ratios,
-        # mismatched Cb/Cr): per-component upsample at full resolution —
-        # the straightforward jdsample/jdcolor formulation. Rare streams,
-        # so correctness path, not phase-fused.
+        # mismatched Cb/Cr) and narrow chroma planes (jdsample.c uses
+        # replication, not the fancy filters, when downsampled_width <= 2
+        # and the horizontal ratio is 2): per-component upsample at full
+        # resolution — the straightforward jdsample/jdcolor formulation.
+        # Rare streams, so correctness path, not phase-fused.
         y = _grid_from_planes(y_planes, yhb, ywb,
                               range(8), range(8))[..., :hgt, :wid]
         chroma = []
@@ -753,15 +767,12 @@ def decode_planes_scaled(
         hr = geo.max_h * mins // (h_samp * sizes[ci])
         vr = geo.max_v * mins // (v_samp * sizes[ci])
         g = grids[ci]
-        if mins == 1:
-            x = g.astype(jnp.int32)
-            if vr > 1:
-                x = jnp.repeat(x, vr, axis=-2)
-            if hr > 1:
-                x = jnp.repeat(x, hr, axis=-1)
-            g = x
-        else:
-            g = upsample_component(g, hr, vr)
+        # At mins == 1 the library replicates every ratio; otherwise
+        # upsample_component applies the fancy/replication selection —
+        # including the narrow-plane width guard, which at a scaled
+        # decode acts on the SCALED downsampled width (g's own width).
+        g = (_replicate(g, hr, vr) if mins == 1
+             else upsample_component(g, hr, vr))
         return g[..., :out_h, :out_w]
 
     if geo.ncomps == 4:

@@ -115,6 +115,17 @@ def test_exotic_samplings_bit_exact(subs):
     _roundtrip_exact(_rand(32, 48, 3, seed=7), quality=70, subsampling=subs)
 
 
+@pytest.mark.parametrize("subs,w", [("420", 4), ("420", 1), ("422", 3),
+                                    ("asym", 4)])
+def test_narrow_images_use_replication(subs, w):
+    # jdsample.c guards the horizontal-ratio-2 fancy upsamplers with
+    # downsampled_width > 2 — narrow chroma planes replicate instead.
+    # These widths decoded with errors up to 72 before the guard was
+    # replicated on device (probe-verified across w=1..16).
+    _roundtrip_exact(_rand(16, w, 3, seed=8), quality=85, subsampling=subs)
+    _roundtrip_exact(_rand(3, w, 3, seed=9), quality=85, subsampling=subs)
+
+
 def test_unsupported_geometry_detected():
     # Subsampled luma (Y not at max sampling factor): host path.
     geo = jd.DecodeGeometry(

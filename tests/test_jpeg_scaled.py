@@ -64,6 +64,18 @@ def test_scaled_decode_bit_exact(subs, denom):
     _exact(data, denom)
 
 
+def test_scaled_decode_narrow_chroma_replicates():
+    # The jdsample.c downsampled_width > 2 guard acts on the SCALED
+    # chroma width at a scaled decode: 4:2:2 at width 16 has full-size
+    # chroma width 8 (fancy) but 1/4-scale chroma width 2 (replication).
+    # Decoded with err 9 before the guard was applied at scaled widths.
+    for subs, w in (("422", 16), ("420", 12)):
+        data = jpeg.encode_bytes_opts(_rand(24, w, 3, seed=15), quality=85,
+                                      subsampling=subs)
+        for den in (2, 4):
+            _exact(data, den)
+
+
 def test_scaled_decode_even_dims_and_quality():
     for q in (60, 95):
         data = jpeg.encode_bytes_opts(_rand(64, 64, 3, seed=q), quality=q,
