@@ -84,6 +84,12 @@ def _build_parser() -> argparse.ArgumentParser:
                     choices=("420", "444", "422", "440",
                              "411", "410", "311"),
                     help="chroma subsampling of the emitted JPEGs")
+    sv.add_argument("--encode-arithmetic", action="store_true",
+                    help="arithmetic-coded output streams (SOF9; ~5-10% "
+                         "smaller than Huffman at identical pixels)")
+    sv.add_argument("--encode-restart-interval", type=int, default=0,
+                    metavar="MCUS",
+                    help="insert RSTn markers every MCUS MCUs (0 = none)")
     sv.add_argument("--thumbnail", action="store_true",
                     help="half-size outputs: filter, then an exact 2x2 "
                          "average (jcsample rounding), then encode")
@@ -226,8 +232,10 @@ def _main_serve(args) -> int:
         if args.decode_on_device else "host (native libjpeg)"
     )
     print(f"Decode: {decode_desc}")
-    if args.encode_on_device and args.encode_subsampling not in (
-            "420", "444", "422", "440"):
+    from hipe_tpu.ops.jpeg_encode import DEVICE_SUBSAMPLINGS
+
+    if args.encode_on_device and \
+            args.encode_subsampling not in DEVICE_SUBSAMPLINGS:
         # Reference-style warn-and-default: the device encoder implements
         # the standard layouts; exotic names encode on host.
         print(f"Warning: subsampling {args.encode_subsampling} has no "
@@ -249,6 +257,8 @@ def _main_serve(args) -> int:
         decode_on_device=args.decode_on_device,
         encode_on_device=args.encode_on_device,
         encode_subsampling=args.encode_subsampling,
+        encode_arithmetic=args.encode_arithmetic,
+        encode_restart_interval=args.encode_restart_interval,
         output_scale=2 if args.thumbnail else 1,
         decode_scale=args.decode_scale,
     )

@@ -391,12 +391,14 @@ static void apply_subsamp(jpeg_compress_struct* cinfo, int subsamp) {
 }
 
 // Encode with explicit chroma subsampling (subsamp codes: see
-// apply_subsamp above) and optional progressive
-// scan script —
+// apply_subsamp above), optional progressive scan script, optional
+// arithmetic entropy coding (arith != 0 => jdarith streams instead of
+// Huffman), and an optional restart-marker interval (MCUs; 0 = none) —
 // test/bench surface for the device-decode paths. Same contract as
 // hipe_jpeg_encode otherwise.
 int hipe_jpeg_encode_opts(const unsigned char* img, int w, int h, int c,
                           int quality, int subsamp, int progressive,
+                          int arith, int restart_interval,
                           unsigned char* out, size_t out_cap,
                           size_t* out_len) {
   jpeg_compress_struct cinfo;
@@ -420,6 +422,9 @@ int hipe_jpeg_encode_opts(const unsigned char* img, int w, int h, int c,
   jpeg_set_quality(&cinfo, quality, TRUE);
   if (c == 3 && subsamp != 0) apply_subsamp(&cinfo, subsamp);
   if (progressive) jpeg_simple_progression(&cinfo);
+  if (arith) cinfo.arith_code = TRUE;
+  if (restart_interval > 0)
+    cinfo.restart_interval = static_cast<unsigned int>(restart_interval);
   jpeg_start_compress(&cinfo, TRUE);
   const size_t stride = static_cast<size_t>(w) * c;
   while (cinfo.next_scanline < cinfo.image_height) {
@@ -532,7 +537,8 @@ int hipe_jpeg_quality_tables(int quality, unsigned short* qtabs /*2*64*/) {
 // 3=4:4:0 (h1v2),
 // 2=4:2:2 (as hipe_jpeg_encode_opts). Returns 0 on success.
 int hipe_jpeg_write_coefs(int w, int h, int c, int quality, int subsamp,
-                          int progressive, const short* const* comp_in,
+                          int progressive, int arith, int restart_interval,
+                          const short* const* comp_in,
                           unsigned char* out, size_t out_cap,
                           size_t* out_len) {
   jpeg_compress_struct cinfo;
@@ -560,6 +566,9 @@ int hipe_jpeg_write_coefs(int w, int h, int c, int quality, int subsamp,
   jpeg_set_quality(&cinfo, quality, TRUE);
   if (c == 3 && subsamp != 0) apply_subsamp(&cinfo, subsamp);
   if (progressive) jpeg_simple_progression(&cinfo);
+  if (arith) cinfo.arith_code = TRUE;
+  if (restart_interval > 0)
+    cinfo.restart_interval = static_cast<unsigned int>(restart_interval);
 
   int max_h = 1, max_v = 1;
   for (int i = 0; i < cinfo.num_components; ++i) {
@@ -794,7 +803,7 @@ void* read_batch_worker(void* arg) {
 
 struct WriteBatchTask {
   WorkQueue q;
-  int w, h, c, quality, subsamp, progressive;
+  int w, h, c, quality, subsamp, progressive, arith, restart_interval;
   const short* const* comp_ptrs;  // count * 4 pointers (unused slots null)
   unsigned char* out;             // count * out_cap
   size_t out_cap;
@@ -807,6 +816,7 @@ void* write_batch_worker(void* arg) {
   for (int i; (i = wq_pull(&t->q)) >= 0;)
     t->rcs[i] = hipe_jpeg_write_coefs(
         t->w, t->h, t->c, t->quality, t->subsamp, t->progressive,
+        t->arith, t->restart_interval,
         t->comp_ptrs + (size_t)i * 4, t->out + (size_t)i * t->out_cap,
         t->out_cap, &t->out_lens[i]);
   return nullptr;
@@ -857,7 +867,8 @@ int hipe_jpeg_read_coefs_batch(const unsigned char* const* bufs,
 // lengths in out_lens (rc 3 => out_lens[i] holds the needed capacity, as
 // in hipe_jpeg_write_coefs). Returns the number of failed images.
 int hipe_jpeg_write_coefs_batch(int w, int h, int c, int quality, int subsamp,
-                                int progressive,
+                                int progressive, int arith,
+                                int restart_interval,
                                 const short* const* comp_ptrs, int count,
                                 unsigned char* out, size_t out_cap,
                                 size_t* out_lens, int* rcs, int num_threads) {
@@ -868,6 +879,8 @@ int hipe_jpeg_write_coefs_batch(int w, int h, int c, int quality, int subsamp,
   t.quality = quality;
   t.subsamp = subsamp;
   t.progressive = progressive;
+  t.arith = arith;
+  t.restart_interval = restart_interval;
   t.comp_ptrs = comp_ptrs;
   t.out = out;
   t.out_cap = out_cap;

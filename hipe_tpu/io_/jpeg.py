@@ -92,7 +92,7 @@ def _load() -> ctypes.CDLL | None:
         lib.hipe_jpeg_read_coefs.restype = ctypes.c_int
         lib.hipe_jpeg_encode_opts.argtypes = [
             u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             u8p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
         ]
         lib.hipe_jpeg_encode_opts.restype = ctypes.c_int
@@ -104,7 +104,8 @@ def _load() -> ctypes.CDLL | None:
         lib.hipe_jpeg_encode_cmyk.restype = ctypes.c_int
         lib.hipe_jpeg_write_coefs.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.POINTER(i16p),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(i16p),
             u8p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
         ]
         lib.hipe_jpeg_write_coefs.restype = ctypes.c_int
@@ -126,7 +127,8 @@ def _load() -> ctypes.CDLL | None:
         lib.hipe_jpeg_read_coefs_batch.restype = ctypes.c_int
         lib.hipe_jpeg_write_coefs_batch.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.POINTER(i16p), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(i16p), ctypes.c_int,
             u8p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
         ]
@@ -167,7 +169,12 @@ def _as_u8p(arr: np.ndarray):
 
 
 def decode_bytes(data: bytes) -> np.ndarray:
-    """Decode a JPEG byte string to HWC uint8 (interleaved RGB or grayscale)."""
+    """Decode a JPEG byte string to HWC uint8.
+
+    Interleaved RGB (C=3), grayscale (C=1), or — for 4-component Adobe
+    streams — CMYK samples exactly as libjpeg emits them (C=4; YCCK gets
+    the library's Adobe transform).
+    """
     lib = _load()
     if lib is None:
         return _pil_decode(data)
@@ -488,8 +495,17 @@ def encode_bytes_opts(
     quality: int = 90,
     subsampling: str = "420",
     progressive: bool = False,
+    arithmetic: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
-    """Encode with explicit chroma subsampling (a `_SUB_CODES` name)."""
+    """Encode with explicit chroma subsampling (a `_SUB_CODES` name).
+
+    ``arithmetic=True`` emits arithmetic-coded entropy data (SOF9/SOF10
+    streams) instead of Huffman; ``restart_interval`` (MCUs, 0 = none)
+    inserts RSTn markers. Both change only the host entropy layer — the
+    quantized coefficients, and hence the device decode path, are
+    identical to the Huffman baseline encode.
+    """
     assert img.dtype == np.uint8 and img.ndim == 3
     sub_code = _SUB_CODES[subsampling]
     lib = _load()
@@ -500,7 +516,7 @@ def encode_bytes_opts(
     return _run_encode(
         lambda out, cap, out_len: lib.hipe_jpeg_encode_opts(
             _as_u8p(img), w, h, c, quality, sub_code, int(progressive),
-            out, cap, out_len,
+            int(arithmetic), int(restart_interval), out, cap, out_len,
         ),
         w * h * c + 65536,
     )
@@ -573,6 +589,8 @@ def write_coefficients(
     quality: int = 90,
     subsampling: str = "420",
     progressive: bool = False,
+    arithmetic: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Entropy-encode quantized DCT coefficients into a full JPEG.
 
@@ -606,7 +624,7 @@ def write_coefficients(
     return _run_encode(
         lambda out, cap, out_len: lib.hipe_jpeg_write_coefs(
             width, height, ncomps, quality, sub_code, int(progressive),
-            ptrs, out, cap, out_len,
+            int(arithmetic), int(restart_interval), ptrs, out, cap, out_len,
         ),
         width * height * 3 + 65536,
     )
@@ -718,6 +736,8 @@ def write_coefficients_batch(
     quality: int = 90,
     subsampling: str = "420",
     progressive: bool = False,
+    arithmetic: bool = False,
+    restart_interval: int = 0,
     num_threads: int | None = None,
 ) -> list[bytes]:
     """Entropy-encode a coefficient batch into JPEG files concurrently.
@@ -769,6 +789,7 @@ def write_coefficients_batch(
     nt = num_threads or (os.cpu_count() or 1)
     lib.hipe_jpeg_write_coefs_batch(
         width, height, ncomps, quality, sub_code, int(progressive),
+        int(arithmetic), int(restart_interval),
         ptr_table, b, _as_u8p(out), cap,
         out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_size_t)),
         rcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), nt,
@@ -785,7 +806,8 @@ def write_coefficients_batch(
                 write_coefficients(
                     [arrays[ci][i] for ci in range(ncomps)], width, height,
                     quality=quality, subsampling=subsampling,
-                    progressive=progressive,
+                    progressive=progressive, arithmetic=arithmetic,
+                    restart_interval=restart_interval,
                 )
             )
         else:
@@ -803,11 +825,15 @@ def _pil_decode(data: bytes) -> np.ndarray:
     from PIL import Image
 
     img = Image.open(io.BytesIO(data))
-    if img.mode not in ("RGB", "L"):
+    if img.mode not in ("RGB", "L", "CMYK"):
         img = img.convert("RGB")
     arr = np.asarray(img, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
+    # CMYK keeps the native codec's 4-channel shape contract. Values can
+    # differ from libjpeg's raw output for Adobe streams (PIL applies the
+    # inverted-CMYK convention); the fallback is shape-faithful, not
+    # bit-faithful, for 4-component files.
     return arr
 
 

@@ -261,6 +261,15 @@ def fdct_quantize(plane: jnp.ndarray, qtable: np.ndarray,
     return stacked.reshape(*stacked.shape[:-2], hb, wb, 64)
 
 
+# Chroma layouts the DEVICE encoder implements (the host codec's exotic
+# test-surface names — "411" etc. — are deliberately absent). serve.py
+# and cli.py gate encode_on_device against this, so adding a layout here
+# enables it everywhere at once.
+DEVICE_SUBSAMPLINGS = ("420", "444", "422", "440")
+_SUBSAMP_FACTORS = {"420": (2, 2), "422": (2, 1), "444": (1, 1),
+                    "440": (1, 2)}
+
+
 def encode_geometry(height: int, width: int, channels: int,
                     subsampling: str = "420") -> DecodeGeometry:
     """Component geometry for an encode, matching jpeg_set_defaults."""
@@ -268,8 +277,7 @@ def encode_geometry(height: int, width: int, channels: int,
         hb, wb = -(-height // 8), -(-width // 8)
         return DecodeGeometry(width=width, height=height, ncomps=1,
                               comps=((1, 1, wb, hb),), max_h=1, max_v=1)
-    hs, vs = {"420": (2, 2), "422": (2, 1), "444": (1, 1),
-              "440": (1, 2)}[subsampling]
+    hs, vs = _SUBSAMP_FACTORS[subsampling]
     ywb = -(-width * hs // (8 * hs))
     yhb = -(-height * vs // (8 * vs))
     cwb = -(-width // (8 * hs))

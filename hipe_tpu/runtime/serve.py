@@ -53,6 +53,8 @@ class ServingPipeline:
         decode_on_device: bool = False,
         encode_on_device: bool = False,
         encode_subsampling: str = "420",
+        encode_arithmetic: bool = False,
+        encode_restart_interval: int = 0,
         output_scale: int = 1,
         decode_scale: int = 1,
     ):
@@ -74,17 +76,28 @@ class ServingPipeline:
         # transcode is one jitted program: coefficients in -> coefficients
         # out, no pixel round trip through the host.
         self.encode_on_device = encode_on_device
-        if encode_on_device and encode_subsampling not in (
-                "420", "444", "422", "440"):
+        from hipe_tpu.ops import jpeg_encode as je
+
+        if encode_on_device and encode_subsampling not in \
+                je.DEVICE_SUBSAMPLINGS:
             # The device encoder (ops/jpeg_encode.py) implements the
             # libjpeg-default layouts; exotic names ("411"/"410"/"311"/
             # "asym") are host-encode / device-DECODE test surfaces.
             raise ValueError(
-                f"encode_on_device supports subsampling 420/444/422/440, "
-                f"got {encode_subsampling!r} (drop encode_on_device to "
+                f"encode_on_device supports subsampling "
+                f"{'/'.join(je.DEVICE_SUBSAMPLINGS)}, got "
+                f"{encode_subsampling!r} (drop encode_on_device to "
                 f"use the host encoder)"
             )
         self.encode_subsampling = encode_subsampling
+        # Output entropy-coding options (host entropy layer, so they apply
+        # to every encode placement): arithmetic-coded streams are ~5-10%
+        # smaller than Huffman at identical pixels; restart markers make
+        # streams error-resilient / parallel-decodable. Neither changes
+        # the quantized coefficients, so device-encode output stays
+        # byte-identical to a direct libjpeg encode with the same options.
+        self.encode_arithmetic = encode_arithmetic
+        self.encode_restart_interval = encode_restart_interval
         # output_scale=2: thumbnail serving — after the filter, an exact
         # 2x2 average (jcsample.c h2v2 rounding, ops/jpeg_encode.py
         # downsample_h2v2 per channel, edge-replicated to even dims)
@@ -208,13 +221,16 @@ class ServingPipeline:
         from hipe_tpu.io_.jpeg import encode_bytes, encode_bytes_opts
 
         t0 = now_ms()
-        if self.encode_subsampling != "420":
-            # Honor non-default subsampling on the host path too (raises if
-            # the native codec is unavailable rather than silently emitting
-            # 4:2:0).
+        if (self.encode_subsampling != "420" or self.encode_arithmetic
+                or self.encode_restart_interval):
+            # Honor non-default subsampling / entropy options on the host
+            # path too (raises if the native codec is unavailable rather
+            # than silently emitting defaults).
             def enc(im):
                 return encode_bytes_opts(
-                    im, self.quality, subsampling=self.encode_subsampling
+                    im, self.quality, subsampling=self.encode_subsampling,
+                    arithmetic=self.encode_arithmetic,
+                    restart_interval=self.encode_restart_interval,
                 )
         else:
             def enc(im):
@@ -278,6 +294,8 @@ class ServingPipeline:
         sub = self.encode_subsampling if channels == 3 else "444"
         out = jio.write_coefficients_batch(
             coefs, w, h, quality=self.quality, subsampling=sub,
+            arithmetic=self.encode_arithmetic,
+            restart_interval=self.encode_restart_interval,
             num_threads=self.decode_threads,
         )
         self.stats.encode_ms += now_ms() - t0

@@ -101,3 +101,56 @@ def test_file_io_dispatches_on_format(tmp_path):
     np.testing.assert_array_equal(
         jpeg.decode_file(mislabeled), jpeg.decode_file(pj)
     )
+
+
+def test_arithmetic_and_restart_entropy_codings():
+    # Arithmetic coding (SOF9 streams) and restart markers change only the
+    # entropy layer: pixels and quantized coefficients must match the
+    # Huffman baseline bit-for-bit (jdarith.c vs jdhuff.c feed the same
+    # IDCT). The reference's CImg/libjpeg loader accepts both stream kinds.
+    from hipe_tpu.io_ import jpeg
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (37, 51, 3), dtype=np.uint8)
+    base = jpeg.encode_bytes_opts(img, quality=85, subsampling="420")
+    ari = jpeg.encode_bytes_opts(img, quality=85, subsampling="420",
+                                 arithmetic=True)
+    rst = jpeg.encode_bytes_opts(img, quality=85, subsampling="420",
+                                 restart_interval=2)
+    assert b"\xff\xc9" in ari        # SOF9: arithmetic sequential
+    assert b"\xff\xc9" not in base
+    assert b"\xff\xd0" in rst        # RST0 marker present
+    ref = jpeg.decode_bytes(base)
+    np.testing.assert_array_equal(ref, jpeg.decode_bytes(ari))
+    np.testing.assert_array_equal(ref, jpeg.decode_bytes(rst))
+    cb = jpeg.read_coefficients(base)
+    for variant in (ari, rst):
+        cv = jpeg.read_coefficients(variant)
+        for x, y in zip(cb.components, cv.components):
+            np.testing.assert_array_equal(x.coefs, y.coefs)
+
+
+def test_write_coefficients_arithmetic_byte_identical():
+    # jpegtran-style recompression: coefficients read from a Huffman
+    # stream, written back with arithmetic=True, must byte-equal a direct
+    # arithmetic encode of the same pixels (identical coefficients =>
+    # identical deterministic entropy encode). Same for restart markers,
+    # and for the batched pthread writer.
+    from hipe_tpu.io_ import jpeg
+
+    rng = np.random.default_rng(22)
+    img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    co = jpeg.read_coefficients(
+        jpeg.encode_bytes_opts(img, quality=80, subsampling="420"))
+    coefs = [c.coefs for c in co.components]
+    for kw in ({"arithmetic": True}, {"restart_interval": 3},
+               {"arithmetic": True, "restart_interval": 1}):
+        direct = jpeg.encode_bytes_opts(img, quality=80, subsampling="420",
+                                        **kw)
+        rewritten = jpeg.write_coefficients(coefs, 40, 24, quality=80,
+                                            subsampling="420", **kw)
+        assert rewritten == direct
+        batched = jpeg.write_coefficients_batch(
+            [c.coefs[None] for c in co.components], 40, 24, quality=80,
+            subsampling="420", **kw)
+        assert batched == [direct]

@@ -203,3 +203,15 @@ def test_range_limit_matches_table():
     vals = np.arange(-2048, 2048, dtype=np.int32)
     got = np.asarray(jd._range_limit(vals))
     np.testing.assert_array_equal(got, table[vals & 1023])
+
+
+def test_arithmetic_and_restart_streams_device_exact():
+    # Entropy coding is entirely the host's half of the split; arithmetic
+    # (SOF9) and restart-marker streams deliver the same quantized
+    # coefficients, so the device graph must be bit-exact on them too.
+    img = _rand(33, 29, 3, seed=31)
+    for kw in ({"arithmetic": True}, {"restart_interval": 2},
+               {"arithmetic": True, "restart_interval": 1}):
+        _roundtrip_exact(img, quality=85, subsampling="420", **kw)
+    _roundtrip_exact(_rand(16, 24, 3, seed=32), quality=90,
+                     subsampling="444", arithmetic=True, progressive=True)

@@ -188,3 +188,26 @@ def test_exotic_encode_subsampling_host_only():
     with pytest.raises(ValueError, match="encode_on_device"):
         ServingPipeline("blur3", encode_on_device=True,
                         encode_subsampling="411")
+
+
+def test_encode_arithmetic_and_restart_all_placements():
+    # Output entropy options live in the host entropy layer, so every
+    # encode placement (host, device-encode, full device transcode) must
+    # emit identical bytes: arithmetic-coded (SOF9) / restart-marker
+    # streams that decode to the same pixels as the Huffman output.
+    payloads = _payloads(n=3, seed=9)
+    kw = dict(encode_arithmetic=True, encode_restart_interval=2)
+    ref = ServingPipeline("blur3", use_pallas=False, **kw).process_batch(
+        payloads)
+    assert all(b"\xff\xc9" in f and b"\xff\xd0" in f for f in ref)
+    dev_enc = ServingPipeline("blur3", use_pallas=False,
+                              encode_on_device=True, **kw)
+    full = ServingPipeline("blur3", use_pallas=False, decode_on_device=True,
+                           encode_on_device=True, **kw)
+    assert dev_enc.process_batch(payloads) == ref
+    assert full.process_batch(payloads) == ref
+    huff = ServingPipeline("blur3", use_pallas=False).process_batch(payloads)
+    for a, hf in zip(ref, huff):
+        assert len(a) < len(hf)  # arithmetic coding strictly smaller here
+        np.testing.assert_array_equal(jpeg.decode_bytes(a),
+                                      jpeg.decode_bytes(hf))
