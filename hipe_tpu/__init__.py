@@ -61,6 +61,10 @@ def __getattr__(name):
         from hipe_tpu.parallel.image_level import make_image_level_fn
 
         return make_image_level_fn
+    if name in ("resize_bilinear", "resize_bilinear_planar"):
+        from hipe_tpu.ops import resize
+
+        return getattr(resize, name)
     if name == "decode_coefficients":
         from hipe_tpu.ops.jpeg_decode import decode_coefficients
 

@@ -93,6 +93,11 @@ def _build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--thumbnail", action="store_true",
                     help="half-size outputs: filter, then an exact 2x2 "
                          "average (jcsample rounding), then encode")
+    sv.add_argument("--resize", type=int, nargs=2, default=None,
+                    metavar=("H", "W"),
+                    help="arbitrary output size: filter, then the "
+                         "integer-exact bilinear resize (MXU banded "
+                         "matmuls), then encode")
     sv.add_argument("--decode-scale", type=int, default=1,
                     choices=(1, 2, 4, 8),
                     help="DCT-domain scaled decode 1/N (libjpeg "
@@ -260,6 +265,7 @@ def _main_serve(args) -> int:
         encode_arithmetic=args.encode_arithmetic,
         encode_restart_interval=args.encode_restart_interval,
         output_scale=2 if args.thumbnail else 1,
+        resize_to=tuple(args.resize) if args.resize else None,
         decode_scale=args.decode_scale,
     )
 

@@ -56,6 +56,7 @@ class ServingPipeline:
         encode_arithmetic: bool = False,
         encode_restart_interval: int = 0,
         output_scale: int = 1,
+        resize_to: tuple | None = None,
         decode_scale: int = 1,
     ):
         self.pipeline = plib.get(pipeline) if isinstance(pipeline, str) else pipeline
@@ -107,6 +108,22 @@ class ServingPipeline:
         if output_scale not in (1, 2):
             raise ValueError(f"output_scale must be 1 or 2, got {output_scale}")
         self.output_scale = output_scale
+        # resize_to=(H, W): arbitrary-size outputs — after the filter, the
+        # integer-exact separable bilinear resize (ops/resize.py, two
+        # two-tap banded matmuls, MXU-native) rescales to exactly (H, W).
+        # Orthogonal to decode_scale (which changes the FILTER resolution);
+        # not combinable with the fixed 2x jcsample thumbnail.
+        if resize_to is not None:
+            rh, rw = resize_to
+            if output_scale == 2:
+                raise ValueError("resize_to and output_scale=2 are "
+                                 "mutually exclusive")
+            if not (isinstance(rh, int) and isinstance(rw, int)
+                    and rh > 0 and rw > 0):
+                raise ValueError(f"resize_to must be positive ints, "
+                                 f"got {resize_to!r}")
+            resize_to = (rh, rw)
+        self.resize_to = resize_to
         # decode_scale=2/4/8: DCT-domain scaled decode (libjpeg
         # scale_num/denom semantics, bit-exact) — the image enters the
         # pipeline already at ceil(dim/scale), so filter + encode run on
@@ -132,10 +149,24 @@ class ServingPipeline:
         self.stats = ServeStats()
 
     def _out_dims(self, h: int, w: int) -> tuple[int, int]:
-        """Output pixel dims after the optional thumbnail downscale."""
+        """Output pixel dims after the optional downscale/resize."""
+        if self.resize_to is not None:
+            return self.resize_to
         if self.output_scale == 2:
             return -(-h // 2), -(-w // 2)
         return h, w
+
+    def _post_filter_rows(self, rows, b: int, h: int, w: int, c: int):
+        """Post-filter output sizing on rows layout: 2x thumb or resize."""
+        if self.resize_to is not None:
+            from hipe_tpu.ops.resize import resize_bilinear
+
+            oh, ow = self.resize_to
+            img = resize_bilinear(rows.reshape(b, h, w, c), oh, ow)
+            return img.reshape(b, oh, ow * c)
+        if self.output_scale == 2:
+            return self._downscale_rows(rows, b, h, w, c)
+        return rows
 
     def _scaled_in_dims(self, h: int, w: int) -> tuple[int, int]:
         """Pixel dims entering the filter after the scaled decode."""
@@ -166,7 +197,7 @@ class ServingPipeline:
         if shape not in self._fns:
             pipe, pallas_flag = self.pipeline, self.use_pallas
             b, h, w, channels = shape
-            scale = self.output_scale
+            resizes = self.output_scale == 2 or self.resize_to is not None
 
             def fn(rows):
                 # The staged input is dead after the call: donate it and run
@@ -174,13 +205,11 @@ class ServingPipeline:
                 out = pipe.apply_rows(rows, channels,
                                       use_pallas=pallas_flag,
                                       alias=pallas_flag)
-                if scale == 2:
-                    out = self._downscale_rows(out, rows.shape[0], h, w,
-                                               channels)
-                return out
+                return self._post_filter_rows(out, rows.shape[0], h, w,
+                                              channels)
 
             self._fns[shape] = jax.jit(
-                fn, donate_argnums=0 if (pallas_flag and scale == 1) else ()
+                fn, donate_argnums=0 if (pallas_flag and not resizes) else ()
             )
         return self._fns[shape]
 
@@ -254,7 +283,7 @@ class ServingPipeline:
     def _device_encode_fn(self, shape: tuple, with_filter: bool):
         """Per-shape jitted (filter +) encode: rows -> quantized coefs."""
         key = ("enc", shape, self.encode_subsampling, with_filter,
-               self.output_scale)
+               self.output_scale, self.resize_to)
         if key not in self._fns:
             from hipe_tpu.ops import jpeg_encode as je
 
@@ -265,14 +294,11 @@ class ServingPipeline:
             geo = je.encode_geometry(oh, ow, c, self.encode_subsampling)
             luma, chroma = self._encode_tables()
             qtables = [luma] if c == 1 else [luma, chroma, chroma]
-            scale = self.output_scale
-
             def fn(rows):
                 if with_filter:
                     rows = pipe.apply_rows(rows, c, use_pallas=pallas_flag,
                                            alias=pallas_flag)
-                    if scale == 2:
-                        rows = self._downscale_rows(rows, b, h, w, c)
+                    rows = self._post_filter_rows(rows, b, h, w, c)
                 img = rows.reshape(b, oh, ow, c)
                 return tuple(je.encode_planes(geo, img, qtables))
 
@@ -323,13 +349,13 @@ class ServingPipeline:
 
     def _fused_decode_filter_fn(self, geo, qkey):
         """Per-(geometry, quant-tables) jitted decode+filter program."""
-        key = (geo, qkey, self.output_scale, self.decode_scale)
+        key = (geo, qkey, self.output_scale, self.resize_to,
+               self.decode_scale)
         if key not in self._fused_fns:
             from hipe_tpu.ops import jpeg_decode as jd
 
             qtables = [np.array(q, dtype=np.uint16) for q in qkey]
             pipe, pallas_flag = self.pipeline, self.use_pallas
-            scale = self.output_scale
             denom = self.decode_scale
             # Filter (and everything downstream) runs at the scaled-decode
             # resolution — the point of DCT-domain thumbnailing.
@@ -345,8 +371,7 @@ class ServingPipeline:
                 # copy-protect (see ops.pallas_blur on input/output aliasing)
                 out = pipe.apply_rows(rows, c, use_pallas=pallas_flag,
                                       alias=pallas_flag)
-                if scale == 2:
-                    out = self._downscale_rows(out, b, h, w, c)
+                out = self._post_filter_rows(out, b, h, w, c)
                 oh, ow = self._out_dims(h, w)
                 return out.reshape(b, oh, ow, c)
 
@@ -429,7 +454,7 @@ class ServingPipeline:
         coefficient batch goes in and a coefficient batch comes out.
         """
         key = ("transcode", geo, qkey, self.encode_subsampling,
-               self.output_scale, self.decode_scale)
+               self.output_scale, self.resize_to, self.decode_scale)
         if key not in self._fused_fns:
             from hipe_tpu.ops import jpeg_decode as jd
             from hipe_tpu.ops import jpeg_encode as je
@@ -442,7 +467,6 @@ class ServingPipeline:
             enc_geo = je.encode_geometry(oh, ow, c, self.encode_subsampling)
             luma, chroma = self._encode_tables()
             enc_qt = [luma] if c == 1 else [luma, chroma, chroma]
-            scale = self.output_scale
             denom = self.decode_scale
 
             def fn(*comp_coefs):
@@ -450,8 +474,7 @@ class ServingPipeline:
                                                denom, layout="rows")
                 out = pipe.apply_rows(rows, c, use_pallas=pallas_flag,
                                       alias=pallas_flag)
-                if scale == 2:
-                    out = self._downscale_rows(out, out.shape[0], h, w, c)
+                out = self._post_filter_rows(out, out.shape[0], h, w, c)
                 img = out.reshape(out.shape[0], oh, ow, c)
                 return tuple(je.encode_planes(enc_geo, img, enc_qt))
 

@@ -211,3 +211,69 @@ def test_encode_arithmetic_and_restart_all_placements():
         assert len(a) < len(hf)  # arithmetic coding strictly smaller here
         np.testing.assert_array_equal(jpeg.decode_bytes(a),
                                       jpeg.decode_bytes(hf))
+
+
+@pytest.mark.parametrize("dims,target", [((48, 64), (20, 31)),
+                                         ((41, 53), (64, 80))])
+def test_resize_to_all_placements(dims, target):
+    """resize_to=(H, W): filter -> integer-exact bilinear (ops/resize.py)
+    -> encode at the target size, identical bytes across every codec
+    placement, down- and up-scaling, odd input dims included."""
+    from hipe_tpu.ops.resize import resize_bilinear
+
+    h, w = dims
+    rng = np.random.default_rng(13)
+    payloads = [
+        jpeg.encode_bytes(
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8), 90
+        )
+        for _ in range(2)
+    ]
+    full = ServingPipeline("blur3", use_pallas=False).process_batch(
+        payloads, encode=False
+    )
+    small = np.asarray(resize_bilinear(np.asarray(full), *target))
+    assert small.shape[1:3] == target
+    want = [jpeg.encode_bytes_opts(im, quality=90, subsampling="420")
+            for im in small]
+
+    for kwargs in (
+        {},
+        {"encode_on_device": True},
+        {"decode_on_device": True, "encode_on_device": True},
+    ):
+        sp = ServingPipeline("blur3", use_pallas=False, resize_to=target,
+                             **kwargs)
+        assert sp.process_batch(payloads) == want, kwargs
+    px = ServingPipeline("blur3", use_pallas=False, resize_to=target,
+                         decode_on_device=True).process_batch(
+        payloads, encode=False)
+    np.testing.assert_array_equal(px, small)
+
+
+def test_resize_to_composes_with_decode_scale():
+    # decode_scale sets the filter resolution; resize_to sets the output
+    # size from there. The oracle composes the scaled host decode, the
+    # XLA filter, and the standalone resize op.
+    from hipe_tpu.models import pipelines as plib
+    from hipe_tpu.ops.resize import resize_bilinear
+
+    rng = np.random.default_rng(14)
+    payloads = [jpeg.encode_bytes(
+        rng.integers(0, 256, (64, 96, 3), dtype=np.uint8), 90)]
+    scaled = np.stack([jpeg.decode_bytes_scaled(p, 1, 4) for p in payloads])
+    filtered = np.asarray(plib.get("blur3")(scaled))
+    want_px = np.asarray(resize_bilinear(filtered, 10, 10))
+    want = [jpeg.encode_bytes_opts(im, quality=90, subsampling="420")
+            for im in want_px]
+    for kwargs in ({}, {"decode_on_device": True, "encode_on_device": True}):
+        sp = ServingPipeline("blur3", use_pallas=False, decode_scale=4,
+                             resize_to=(10, 10), **kwargs)
+        assert sp.process_batch(payloads) == want, kwargs
+
+
+def test_resize_to_validation():
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ServingPipeline("blur3", output_scale=2, resize_to=(10, 10))
+    with pytest.raises(ValueError, match="positive ints"):
+        ServingPipeline("blur3", resize_to=(0, 10))
