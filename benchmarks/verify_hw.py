@@ -90,6 +90,22 @@ def main() -> int:
         )
         total_err += check(f"planar/chain {h}x{w}", got, want_chain)
 
+        # Nonlinear stage (median): the generic fused VPU kernel path.
+        want_den = np.stack(
+            [
+                oracle.gaussian_blur_int_oracle(oracle.median3x3_oracle(b))
+                for b in batch
+            ]
+        )
+        got = planar_to_hwc(
+            np.asarray(
+                pallas_blur.filter_chain_planar_pallas(
+                    planes, ("median", "gaussian3")
+                )
+            ), 3,
+        )
+        total_err += check(f"planar/denoise {h}x{w}", got, want_den)
+
         # In-place (input/output-aliased) kernels: same values, and the
         # live operand must be copy-protected by XLA (planes unchanged).
         want1 = np.stack(
@@ -146,6 +162,7 @@ def main() -> int:
         ("chain", ("gaussian3", "sharpen", "edge"),
          lambda b: oracle.sobel_edge_oracle(
              oracle.sharpen3x3_oracle(oracle.gaussian_blur_int_oracle(b)))),
+        ("median", ("median",), oracle.median3x3_oracle),
     ]
     for tag, names, ofn in tiled_cases:
         got = np.asarray(

@@ -202,6 +202,8 @@ PIPELINES = {
     "sharpen": Pipeline("sharpen", ("sharpen",)),
     "edge": Pipeline("edge", ("edge",)),
     "chain": Pipeline("chain", ("gaussian3", "sharpen", "edge")),
+    "median": Pipeline("median", ("median",)),
+    "denoise": Pipeline("denoise", ("median", "gaussian3")),
 }
 
 # The flagship model: the reference workload (3x3 Gaussian on image streams).

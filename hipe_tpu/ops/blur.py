@@ -139,6 +139,45 @@ def sobel_edge(
     return jnp.clip(jnp.abs(gx) + jnp.abs(gy), 0, 255).astype(jnp.uint8)
 
 
+def _median_of_9(vals):
+    """Elementwise median of 9 arrays: Paeth's 19-op min/max network.
+
+    Sort each triple to (lo, me, hi); the median of all nine is then
+    med3(max of the los, med3 of the mes, min of the his). Pure
+    minimum/maximum ops — VPU-friendly (and Mosaic-safe: the chain
+    kernel traces this directly into the fused Pallas program).
+    """
+    mn, mx = jnp.minimum, jnp.maximum
+
+    def sort3(a, b, c):
+        tl, th = mn(a, b), mx(a, b)
+        return mn(tl, c), mx(tl, mn(th, c)), mx(th, c)
+
+    def med3(a, b, c):
+        return mx(mn(a, b), mn(mx(a, b), c))
+
+    t = [sort3(*vals[i:i + 3]) for i in (0, 3, 6)]
+    lo = mx(mx(t[0][0], t[1][0]), t[2][0])
+    me = med3(t[0][1], t[1][1], t[2][1])
+    hi = mn(mn(t[0][2], t[1][2]), t[2][2])
+    return med3(lo, me, hi)
+
+
+def median3x3(
+    x: jax.Array, *, h_axis: int = -3, w_axis: int = -2, h_pad: bool = True
+) -> jax.Array:
+    """3x3 median (salt-and-pepper denoise), clamp-to-edge, per channel.
+
+    The engine's one nonlinear stencil: no MXU formulation exists, so
+    every path (XLA, fused Pallas chain, tiled) runs the same min/max
+    network — integer-exact by construction on all backends.
+    """
+    assert x.dtype == jnp.uint8
+    v = _stencil3x3(x, h_axis, w_axis, h_pad)
+    vals = [v(dy, dx) for dy in range(3) for dx in range(3)]
+    return _median_of_9(vals).astype(jnp.uint8)
+
+
 # Registry of named filter ops. Each op maps uint8 -> uint8 and accepts
 # (h_axis, w_axis, h_pad) kwargs; chains quantize to uint8 between stages.
 FILTERS = {
@@ -147,6 +186,7 @@ FILTERS = {
     "gaussian9": functools.partial(gaussian_blur, radius=4),
     "sharpen": sharpen3x3,
     "edge": sobel_edge,
+    "median": median3x3,
 }
 
 # Halo rows each filter needs on each side of its H slice (== stencil radius).
@@ -156,6 +196,7 @@ FILTER_RADIUS = {
     "gaussian9": 4,
     "sharpen": 1,
     "edge": 1,
+    "median": 1,
 }
 
 
@@ -265,12 +306,22 @@ def sobel_edge_rows(
     return jnp.clip(jnp.abs(gx) + jnp.abs(gy), 0, 255).astype(jnp.uint8)
 
 
+def median3x3_rows(
+    x: jax.Array, channels: int, *, h_pad: bool = True
+) -> jax.Array:
+    assert x.dtype == jnp.uint8
+    v = _rows_stencil(x, channels, h_pad)
+    vals = [v(dy, dx) for dy in range(3) for dx in (-1, 0, 1)]
+    return _median_of_9(vals).astype(jnp.uint8)
+
+
 ROWS_FILTERS = {
     "gaussian3": functools.partial(gaussian_blur_rows, radius=1),
     "gaussian5": functools.partial(gaussian_blur_rows, radius=2),
     "gaussian9": functools.partial(gaussian_blur_rows, radius=4),
     "sharpen": sharpen3x3_rows,
     "edge": sobel_edge_rows,
+    "median": median3x3_rows,
 }
 
 

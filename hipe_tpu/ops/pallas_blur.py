@@ -310,7 +310,7 @@ def _tiled_blur_kernel(top_ref, x_ref, bot_ref, o_ref, *, taps: tuple,
 
 
 def _tiled_point_kernel(top_ref, x_ref, bot_ref, o_ref, *, name: str):
-    """One H tile of a radius-1 point stage (sharpen/edge) with halos.
+    """One H tile of a radius-1 point stage (sharpen/edge/median), haloed.
 
     Same tiling scheme as `_tiled_blur_kernel`; the stage math matches
     :mod:`hipe_tpu.ops.blur` (`sharpen3x3`/`sobel_edge`) bit-for-bit.
@@ -341,6 +341,10 @@ def _tiled_point_kernel(top_ref, x_ref, bot_ref, o_ref, *, name: str):
             v(0, 0) + 2 * v(0, 1) + v(0, 2)
         )
         out = jnp.minimum(jnp.abs(gx) + jnp.abs(gy), 255)
+    elif name == "median":
+        from hipe_tpu.ops.blur import _median_of_9
+
+        out = _median_of_9([v(dy, dx) for dy in range(3) for dx in range(3)])
     else:
         raise KeyError(name)
     o_ref[0] = out.astype(jnp.uint8)

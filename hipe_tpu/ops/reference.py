@@ -122,3 +122,18 @@ def sobel_edge_oracle(img: np.ndarray) -> np.ndarray:
     gx = (sl(0, 2) + 2 * sl(1, 2) + sl(2, 2)) - (sl(0, 0) + 2 * sl(1, 0) + sl(2, 0))
     gy = (sl(2, 0) + 2 * sl(2, 1) + sl(2, 2)) - (sl(0, 0) + 2 * sl(0, 1) + sl(0, 2))
     return np.clip(np.abs(gx) + np.abs(gy), 0, 255).astype(np.uint8)
+
+
+def median3x3_oracle(img: np.ndarray) -> np.ndarray:
+    """3x3 median per channel, clamp-to-edge — straight np.median loops.
+
+    Oracle for ops/blur.py median3x3 (the Paeth min/max network); the
+    median of nine integers is the 5th order statistic, so np.median is
+    exact here.
+    """
+    h, w, _ = img.shape
+    xp = np.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    views = np.stack(
+        [xp[dy:dy + h, dx:dx + w] for dy in range(3) for dx in range(3)]
+    )
+    return np.median(views, axis=0).astype(np.uint8)

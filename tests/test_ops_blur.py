@@ -84,3 +84,25 @@ def test_filter_chain_halo_mode():
         xblur.filter_chain(jnp.asarray(slab), names, h_pad=False)
     )
     np.testing.assert_array_equal(got, want[lo:hi])
+
+
+def test_median_matches_oracle_all_layouts():
+    img = checker_image(27, 34, 3, seed=17)
+    want = oracle.median3x3_oracle(img)
+    np.testing.assert_array_equal(
+        np.asarray(xblur.median3x3(jnp.asarray(img))), want)
+    rows = jnp.asarray(img[None].reshape(1, 27, 34 * 3))
+    got_rows = np.asarray(xblur.median3x3_rows(rows, 3)).reshape(27, 34, 3)
+    np.testing.assert_array_equal(got_rows, want)
+    # valid (halo) mode: interior of the padded image
+    got_valid = np.asarray(
+        xblur.median3x3(jnp.asarray(img), h_pad=False))
+    np.testing.assert_array_equal(got_valid, want[1:-1])
+
+
+def test_denoise_chain_matches_sequential_oracle():
+    img = checker_image(24, 24, 3, seed=19)
+    got = np.asarray(
+        xblur.filter_chain(jnp.asarray(img), ("median", "gaussian3")))
+    want = oracle.gaussian_blur_int_oracle(oracle.median3x3_oracle(img))
+    np.testing.assert_array_equal(got, want)

@@ -95,3 +95,25 @@ def test_vmem_limit_ignored_in_interpret_mode():
         oracle.gaussian_blur_int_oracle(img)
     ).transpose(2, 0, 1)
     np.testing.assert_array_equal(got, want2)
+
+
+def test_pallas_median_and_denoise_fused():
+    # Nonlinear stage: no MXU band form, so the chain routes to the
+    # generic fused VPU kernel — must stay bit-exact, halo mode included.
+    from hipe_tpu.ops import reference as oracle
+
+    x = np.stack([checker_image(32, 48, 1, seed=s)[..., 0]
+                  for s in range(4)])
+    want = np.stack([
+        oracle.median3x3_oracle(p[..., None])[..., 0] for p in x])
+    got = np.asarray(pallas_blur.filter_chain_planar_pallas(
+        jnp.asarray(x), ("median",), interpret=True))
+    np.testing.assert_array_equal(got, want)
+    from hipe_tpu.ops import blur as xblur
+
+    want2 = np.asarray(xblur.filter_chain(
+        jnp.asarray(x)[..., None], ("median", "gaussian3"),
+        h_axis=-3, w_axis=-2))[..., 0]
+    got2 = np.asarray(pallas_blur.filter_chain_planar_pallas(
+        jnp.asarray(x), ("median", "gaussian3"), interpret=True))
+    np.testing.assert_array_equal(got2, want2)
