@@ -90,6 +90,10 @@ def _build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--encode-restart-interval", type=int, default=0,
                     metavar="MCUS",
                     help="insert RSTn markers every MCUS MCUs (0 = none)")
+    sv.add_argument("--gray", action="store_true",
+                    help="grayscale outputs: device luma convert (jccolor "
+                         "rgb_gray fixed point), byte-identical to "
+                         "libjpeg's RGB->grayscale encode")
     sv.add_argument("--thumbnail", action="store_true",
                     help="half-size outputs: filter, then an exact 2x2 "
                          "average (jcsample rounding), then encode")
@@ -266,6 +270,7 @@ def _main_serve(args) -> int:
         encode_restart_interval=args.encode_restart_interval,
         output_scale=2 if args.thumbnail else 1,
         resize_to=tuple(args.resize) if args.resize else None,
+        gray_output=args.gray,
         decode_scale=args.decode_scale,
     )
 

@@ -393,12 +393,14 @@ static void apply_subsamp(jpeg_compress_struct* cinfo, int subsamp) {
 // Encode with explicit chroma subsampling (subsamp codes: see
 // apply_subsamp above), optional progressive scan script, optional
 // arithmetic entropy coding (arith != 0 => jdarith streams instead of
-// Huffman), and an optional restart-marker interval (MCUs; 0 = none) —
-// test/bench surface for the device-decode paths. Same contract as
-// hipe_jpeg_encode otherwise.
+// Huffman), an optional restart-marker interval (MCUs; 0 = none), and
+// optional RGB->grayscale conversion (gray != 0 with c == 3: libjpeg's
+// rgb_gray_convert via jpeg_set_colorspace(JCS_GRAYSCALE) — the oracle
+// for the device gray-output serving path). Test/bench surface for the
+// device-codec paths. Same contract as hipe_jpeg_encode otherwise.
 int hipe_jpeg_encode_opts(const unsigned char* img, int w, int h, int c,
                           int quality, int subsamp, int progressive,
-                          int arith, int restart_interval,
+                          int arith, int restart_interval, int gray,
                           unsigned char* out, size_t out_cap,
                           size_t* out_len) {
   jpeg_compress_struct cinfo;
@@ -420,7 +422,11 @@ int hipe_jpeg_encode_opts(const unsigned char* img, int w, int h, int c,
   cinfo.in_color_space = c == 1 ? JCS_GRAYSCALE : JCS_RGB;
   jpeg_set_defaults(&cinfo);
   jpeg_set_quality(&cinfo, quality, TRUE);
-  if (c == 3 && subsamp != 0) apply_subsamp(&cinfo, subsamp);
+  if (c == 3 && gray) {
+    jpeg_set_colorspace(&cinfo, JCS_GRAYSCALE);
+  } else if (c == 3 && subsamp != 0) {
+    apply_subsamp(&cinfo, subsamp);
+  }
   if (progressive) jpeg_simple_progression(&cinfo);
   if (arith) cinfo.arith_code = TRUE;
   if (restart_interval > 0)

@@ -93,6 +93,7 @@ def _load() -> ctypes.CDLL | None:
         lib.hipe_jpeg_encode_opts.argtypes = [
             u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
             u8p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
         ]
         lib.hipe_jpeg_encode_opts.restype = ctypes.c_int
@@ -497,6 +498,7 @@ def encode_bytes_opts(
     progressive: bool = False,
     arithmetic: bool = False,
     restart_interval: int = 0,
+    gray_from_rgb: bool = False,
 ) -> bytes:
     """Encode with explicit chroma subsampling (a `_SUB_CODES` name).
 
@@ -516,7 +518,8 @@ def encode_bytes_opts(
     return _run_encode(
         lambda out, cap, out_len: lib.hipe_jpeg_encode_opts(
             _as_u8p(img), w, h, c, quality, sub_code, int(progressive),
-            int(arithmetic), int(restart_interval), out, cap, out_len,
+            int(arithmetic), int(restart_interval), int(gray_from_rgb),
+            out, cap, out_len,
         ),
         w * h * c + 65536,
     )

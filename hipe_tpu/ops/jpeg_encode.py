@@ -84,6 +84,22 @@ def rgb_to_ycc(rgb: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
     return y, cb, cr
 
 
+def rgb_to_gray(rgb: jnp.ndarray) -> jnp.ndarray:
+    """Fixed-point RGB->luma, bit-exact vs jccolor.c rgb_gray_convert.
+
+    The Y channel of :func:`rgb_to_ycc` alone (libjpeg uses the same
+    tables for both converters, so a grayscale encode of this plane is
+    byte-identical to libjpeg's own RGB->grayscale encode — verified in
+    tests/test_serve_device_encode.py). rgb: (..., H, W, 3) uint8;
+    returns (..., H, W) int32 in [0, 255].
+    """
+    r = rgb[..., 0].astype(jnp.int32)
+    g = rgb[..., 1].astype(jnp.int32)
+    b = rgb[..., 2].astype(jnp.int32)
+    return (_FIX_0_29900 * r + _FIX_0_58700 * g + _FIX_0_11400 * b
+            + _ONE_HALF) >> _SCALEBITS
+
+
 def _pad_edge(x: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
     """Edge-replicate the trailing (h, w) dims up to (rows, cols).
 

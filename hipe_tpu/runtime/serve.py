@@ -58,6 +58,7 @@ class ServingPipeline:
         output_scale: int = 1,
         resize_to: tuple | None = None,
         decode_scale: int = 1,
+        gray_output: bool = False,
     ):
         self.pipeline = plib.get(pipeline) if isinstance(pipeline, str) else pipeline
         self.device = device or jax.devices()[0]
@@ -124,6 +125,13 @@ class ServingPipeline:
                                  f"got {resize_to!r}")
             resize_to = (rh, rw)
         self.resize_to = resize_to
+        # gray_output: color inputs leave as grayscale — the jccolor
+        # rgb_gray_convert fixed-point luma (ops/jpeg_encode.rgb_to_gray)
+        # computed on device after filter/resize, encoded 1-component.
+        # Byte-identical to libjpeg's own RGB->grayscale encode of the
+        # same pixels (encode_bytes_opts(gray_from_rgb=True) is the
+        # oracle). Grayscale inputs pass through unchanged.
+        self.gray_output = gray_output
         # decode_scale=2/4/8: DCT-domain scaled decode (libjpeg
         # scale_num/denom semantics, bit-exact) — the image enters the
         # pipeline already at ceil(dim/scale), so filter + encode run on
@@ -155,6 +163,19 @@ class ServingPipeline:
         if self.output_scale == 2:
             return -(-h // 2), -(-w // 2)
         return h, w
+
+    def _out_c(self, c: int) -> int:
+        """Output channel count (1 when gray_output converts color)."""
+        return 1 if (self.gray_output and c == 3) else c
+
+    def _gray_rows(self, rows, b: int, h: int, w: int, c: int):
+        """rgb_to_gray on rows layout: (b, h, w*3) -> (b, h, w)."""
+        if not (self.gray_output and c == 3):
+            return rows
+        from hipe_tpu.ops.jpeg_encode import rgb_to_gray
+
+        y = rgb_to_gray(rows.reshape(b, h, w, c))
+        return y.astype(jnp.uint8)
 
     def _post_filter_rows(self, rows, b: int, h: int, w: int, c: int):
         """Post-filter output sizing on rows layout: 2x thumb or resize."""
@@ -197,7 +218,8 @@ class ServingPipeline:
         if shape not in self._fns:
             pipe, pallas_flag = self.pipeline, self.use_pallas
             b, h, w, channels = shape
-            resizes = self.output_scale == 2 or self.resize_to is not None
+            reshapes = (self.output_scale == 2 or self.resize_to is not None
+                        or self._out_c(channels) != channels)
 
             def fn(rows):
                 # The staged input is dead after the call: donate it and run
@@ -205,11 +227,13 @@ class ServingPipeline:
                 out = pipe.apply_rows(rows, channels,
                                       use_pallas=pallas_flag,
                                       alias=pallas_flag)
-                return self._post_filter_rows(out, rows.shape[0], h, w,
-                                              channels)
+                out = self._post_filter_rows(out, rows.shape[0], h, w,
+                                             channels)
+                oh, ow = self._out_dims(h, w)
+                return self._gray_rows(out, rows.shape[0], oh, ow, channels)
 
             self._fns[shape] = jax.jit(
-                fn, donate_argnums=0 if (pallas_flag and not resizes) else ()
+                fn, donate_argnums=0 if (pallas_flag and not reshapes) else ()
             )
         return self._fns[shape]
 
@@ -242,7 +266,7 @@ class ServingPipeline:
         out = np.asarray(self._device_fn(batch.shape)(rows))
         self.stats.device_ms += now_ms() - t0
         oh, ow = self._out_dims(h, w)
-        return out.reshape(b, oh, ow, c)
+        return out.reshape(b, oh, ow, self._out_c(c))
 
     def _encode(self, batch: np.ndarray) -> list[bytes]:
         if self.encode_on_device:
@@ -251,15 +275,19 @@ class ServingPipeline:
 
         t0 = now_ms()
         if (self.encode_subsampling != "420" or self.encode_arithmetic
-                or self.encode_restart_interval):
+                or self.encode_restart_interval
+                or (self.gray_output and batch.shape[-1] == 3)):
             # Honor non-default subsampling / entropy options on the host
             # path too (raises if the native codec is unavailable rather
             # than silently emitting defaults).
+            gray = self.gray_output and batch.shape[-1] == 3
+
             def enc(im):
                 return encode_bytes_opts(
                     im, self.quality, subsampling=self.encode_subsampling,
                     arithmetic=self.encode_arithmetic,
                     restart_interval=self.encode_restart_interval,
+                    gray_from_rgb=gray,
                 )
         else:
             def enc(im):
@@ -283,23 +311,27 @@ class ServingPipeline:
     def _device_encode_fn(self, shape: tuple, with_filter: bool):
         """Per-shape jitted (filter +) encode: rows -> quantized coefs."""
         key = ("enc", shape, self.encode_subsampling, with_filter,
-               self.output_scale, self.resize_to)
+               self.output_scale, self.resize_to, self.gray_output)
         if key not in self._fns:
             from hipe_tpu.ops import jpeg_encode as je
 
             pipe, pallas_flag = self.pipeline, self.use_pallas
             b, h, w, c = shape
-            # Downscale (if any) applies with the filter, before encode.
+            # Downscale/resize/gray (if any) apply with the filter, before
+            # encode; a with_filter=False batch already carries them.
             oh, ow = self._out_dims(h, w) if with_filter else (h, w)
-            geo = je.encode_geometry(oh, ow, c, self.encode_subsampling)
+            oc = self._out_c(c) if with_filter else c
+            geo = je.encode_geometry(oh, ow, oc, self.encode_subsampling)
             luma, chroma = self._encode_tables()
-            qtables = [luma] if c == 1 else [luma, chroma, chroma]
+            qtables = [luma] if oc == 1 else [luma, chroma, chroma]
+
             def fn(rows):
                 if with_filter:
                     rows = pipe.apply_rows(rows, c, use_pallas=pallas_flag,
                                            alias=pallas_flag)
                     rows = self._post_filter_rows(rows, b, h, w, c)
-                img = rows.reshape(b, oh, ow, c)
+                    rows = self._gray_rows(rows, b, oh, ow, c)
+                img = rows.reshape(b, oh, ow, oc)
                 return tuple(je.encode_planes(geo, img, qtables))
 
             # No donation: outputs are int16 coefficient planes, never
@@ -342,7 +374,8 @@ class ServingPipeline:
         coefs = [np.asarray(x) for x in fn(rows)]
         self.stats.device_ms += now_ms() - t0
         oh, ow = self._out_dims(h, w) if with_filter else (h, w)
-        return self._entropy_encode(coefs, oh, ow, c)
+        oc = self._out_c(c) if with_filter else c
+        return self._entropy_encode(coefs, oh, ow, oc)
 
     # ---- device-decode path: entropy decode on host, the rest fused with
     # the filter in one jitted program (no decoded-RGB host round trip) ----
@@ -350,7 +383,7 @@ class ServingPipeline:
     def _fused_decode_filter_fn(self, geo, qkey):
         """Per-(geometry, quant-tables) jitted decode+filter program."""
         key = (geo, qkey, self.output_scale, self.resize_to,
-               self.decode_scale)
+               self.decode_scale, self.gray_output)
         if key not in self._fused_fns:
             from hipe_tpu.ops import jpeg_decode as jd
 
@@ -373,7 +406,8 @@ class ServingPipeline:
                                       alias=pallas_flag)
                 out = self._post_filter_rows(out, b, h, w, c)
                 oh, ow = self._out_dims(h, w)
-                return out.reshape(b, oh, ow, c)
+                out = self._gray_rows(out, b, oh, ow, c)
+                return out.reshape(b, oh, ow, self._out_c(c))
 
             self._fused_fns[key] = jax.jit(fn)
         return self._fused_fns[key]
@@ -454,7 +488,8 @@ class ServingPipeline:
         coefficient batch goes in and a coefficient batch comes out.
         """
         key = ("transcode", geo, qkey, self.encode_subsampling,
-               self.output_scale, self.resize_to, self.decode_scale)
+               self.output_scale, self.resize_to, self.decode_scale,
+               self.gray_output)
         if key not in self._fused_fns:
             from hipe_tpu.ops import jpeg_decode as jd
             from hipe_tpu.ops import jpeg_encode as je
@@ -464,9 +499,10 @@ class ServingPipeline:
             h, w = self._scaled_in_dims(geo.height, geo.width)
             c = 3 if geo.ncomps == 3 else 1
             oh, ow = self._out_dims(h, w)
-            enc_geo = je.encode_geometry(oh, ow, c, self.encode_subsampling)
+            oc = self._out_c(c)
+            enc_geo = je.encode_geometry(oh, ow, oc, self.encode_subsampling)
             luma, chroma = self._encode_tables()
-            enc_qt = [luma] if c == 1 else [luma, chroma, chroma]
+            enc_qt = [luma] if oc == 1 else [luma, chroma, chroma]
             denom = self.decode_scale
 
             def fn(*comp_coefs):
@@ -475,7 +511,8 @@ class ServingPipeline:
                 out = pipe.apply_rows(rows, c, use_pallas=pallas_flag,
                                       alias=pallas_flag)
                 out = self._post_filter_rows(out, out.shape[0], h, w, c)
-                img = out.reshape(out.shape[0], oh, ow, c)
+                out = self._gray_rows(out, out.shape[0], oh, ow, c)
+                img = out.reshape(out.shape[0], oh, ow, oc)
                 return tuple(je.encode_planes(enc_geo, img, enc_qt))
 
             self._fused_fns[key] = jax.jit(fn)

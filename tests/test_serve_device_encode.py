@@ -277,3 +277,56 @@ def test_resize_to_validation():
         ServingPipeline("blur3", output_scale=2, resize_to=(10, 10))
     with pytest.raises(ValueError, match="positive ints"):
         ServingPipeline("blur3", resize_to=(0, 10))
+
+
+def test_gray_output_all_placements():
+    """gray_output: filter -> jccolor rgb_gray luma on device -> grayscale
+    encode, byte-identical to libjpeg's own RGB->grayscale encode of the
+    filtered pixels on every codec placement; composes with resize_to."""
+    payloads = _payloads(n=2, h=33, w=41, seed=21)
+    full = ServingPipeline("blur3", use_pallas=False).process_batch(
+        payloads, encode=False)
+    want = [jpeg.encode_bytes_opts(im, quality=90, gray_from_rgb=True)
+            for im in np.asarray(full)]
+    for kwargs in (
+        {},
+        {"encode_on_device": True},
+        {"decode_on_device": True, "encode_on_device": True},
+    ):
+        sp = ServingPipeline("blur3", use_pallas=False, gray_output=True,
+                             **kwargs)
+        assert sp.process_batch(payloads) == want, kwargs
+    # pixel-return path: (B, H, W, 1) luma, matching the decoded gray files
+    px = ServingPipeline("blur3", use_pallas=False, gray_output=True,
+                         decode_on_device=True).process_batch(
+        payloads, encode=False)
+    assert px.shape[-1] == 1
+    # the returned pixels are exactly the device-computed luma plane
+    from hipe_tpu.ops.jpeg_encode import rgb_to_gray
+    import jax.numpy as jnp
+
+    luma = np.asarray(rgb_to_gray(jnp.asarray(np.asarray(full)))
+                      ).astype(np.uint8)[..., None]
+    np.testing.assert_array_equal(np.asarray(px), luma)
+    # composes with resize_to
+    from hipe_tpu.ops.resize import resize_bilinear
+
+    small = np.asarray(resize_bilinear(np.asarray(full), 12, 17))
+    want_rs = [jpeg.encode_bytes_opts(im, quality=90, gray_from_rgb=True)
+               for im in small]
+    sp = ServingPipeline("blur3", use_pallas=False, gray_output=True,
+                         resize_to=(12, 17), decode_on_device=True,
+                         encode_on_device=True)
+    assert sp.process_batch(payloads) == want_rs
+
+
+def test_gray_output_passthrough_on_gray_inputs():
+    # 1-channel inputs are already luma: gray_output must be a no-op and
+    # the output identical to the plain pipeline's.
+    rng = np.random.default_rng(23)
+    payloads = [jpeg.encode_bytes_opts(
+        rng.integers(0, 256, (24, 24, 1), dtype=np.uint8), quality=90)]
+    ref = ServingPipeline("blur3", use_pallas=False).process_batch(payloads)
+    got = ServingPipeline("blur3", use_pallas=False,
+                          gray_output=True).process_batch(payloads)
+    assert got == ref
