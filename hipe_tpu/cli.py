@@ -90,6 +90,10 @@ def _build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--encode-restart-interval", type=int, default=0,
                     metavar="MCUS",
                     help="insert RSTn markers every MCUS MCUs (0 = none)")
+    sv.add_argument("--decode-gray", action="store_true",
+                    help="decode color streams as grayscale at the source "
+                         "(libjpeg JCS_GRAYSCALE: Y-only IDCT, no chroma "
+                         "work) and run the pipeline 1-channel")
     sv.add_argument("--gray", action="store_true",
                     help="grayscale outputs: device luma convert (jccolor "
                          "rgb_gray fixed point), byte-identical to "
@@ -271,6 +275,7 @@ def _main_serve(args) -> int:
         output_scale=2 if args.thumbnail else 1,
         resize_to=tuple(args.resize) if args.resize else None,
         gray_output=args.gray,
+        decode_gray=args.decode_gray,
         decode_scale=args.decode_scale,
     )
 

@@ -169,22 +169,33 @@ def _as_u8p(arr: np.ndarray):
     return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
 
 
-def decode_bytes(data: bytes) -> np.ndarray:
+def decode_bytes(data: bytes, force_gray: bool = False) -> np.ndarray:
     """Decode a JPEG byte string to HWC uint8.
 
     Interleaved RGB (C=3), grayscale (C=1), or — for 4-component Adobe
     streams — CMYK samples exactly as libjpeg emits them (C=4; YCCK gets
-    the library's Adobe transform).
+    the library's Adobe transform). ``force_gray=True`` decodes color
+    streams with out_color_space=JCS_GRAYSCALE (Y-only IDCT, chroma
+    never touched — libjpeg's fast gray path); 4-component streams have
+    no gray conversion and raise.
     """
     lib = _load()
     if lib is None:
-        return _pil_decode(data)
+        out = _pil_decode(data)
+        if force_gray and out.shape[-1] == 3:
+            raise RuntimeError("force_gray needs the native codec")
+        return out
     buf = np.frombuffer(data, dtype=np.uint8)
     w = ctypes.c_int()
     h = ctypes.c_int()
     c = ctypes.c_int()
     if lib.hipe_jpeg_dims(_as_u8p(buf), buf.size, w, h, c) != 0:
         raise ValueError("invalid JPEG header")
+    if force_gray:
+        if c.value == 4:
+            raise ValueError("4-component (CMYK) streams have no "
+                             "grayscale conversion in libjpeg")
+        c.value = 1
     out = np.empty((h.value, w.value, c.value), dtype=np.uint8)
     rc = lib.hipe_jpeg_decode(_as_u8p(buf), buf.size, _as_u8p(out),
                               w.value, h.value, c.value)
@@ -277,14 +288,15 @@ def decode_bytes_scaled(data: bytes, scale_num: int, scale_denom: int) -> np.nda
     return out
 
 
-def decode_batch(datas: list[bytes], num_threads: int | None = None) -> np.ndarray:
+def decode_batch(datas: list[bytes], num_threads: int | None = None,
+                 force_gray: bool = False) -> np.ndarray:
     """Decode same-shaped JPEGs concurrently into one (B, H, W, C) batch."""
     if not datas:
         raise ValueError("empty batch")
     lib = _load()
     if lib is None:
         return np.stack([_pil_decode(d) for d in datas])
-    first = decode_bytes(datas[0])
+    first = decode_bytes(datas[0], force_gray=force_gray)
     h, w, c = first.shape
     out = np.empty((len(datas), h, w, c), dtype=np.uint8)
     out[0] = first

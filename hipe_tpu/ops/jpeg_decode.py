@@ -625,6 +625,24 @@ def _downsampled_dims(geo: DecodeGeometry, ci: int) -> tuple[int, int]:
     return dh, dw
 
 
+def gray_geometry(geo: DecodeGeometry) -> DecodeGeometry:
+    """1-component (luma-only) view of a color stream's geometry.
+
+    Models libjpeg's out_color_space=JCS_GRAYSCALE decode of a YCbCr
+    stream: chroma components are never IDCT'd (jdmaster marks them not
+    component_needed) and jdcolor's grayscale conversion copies the
+    range-limited Y samples — i.e. exactly the 1-component decode graph
+    on component 0. Valid only for full-resolution-luma streams
+    (comps[0] at max sampling, the same constraint the color device
+    path's fast formulation has); callers gate on that.
+    """
+    h_samp, v_samp, wb, hb = geo.comps[0]
+    assert (h_samp, v_samp) == (geo.max_h, geo.max_v), geo.comps
+    return DecodeGeometry(width=geo.width, height=geo.height, ncomps=1,
+                          comps=((h_samp, v_samp, wb, hb),),
+                          max_h=h_samp, max_v=v_samp)
+
+
 def supported(geo: DecodeGeometry) -> bool:
     """True if this geometry decodes on device (else fall back to host).
 

@@ -59,6 +59,7 @@ class ServingPipeline:
         resize_to: tuple | None = None,
         decode_scale: int = 1,
         gray_output: bool = False,
+        decode_gray: bool = False,
     ):
         self.pipeline = plib.get(pipeline) if isinstance(pipeline, str) else pipeline
         self.device = device or jax.devices()[0]
@@ -132,6 +133,18 @@ class ServingPipeline:
         # same pixels (encode_bytes_opts(gray_from_rgb=True) is the
         # oracle). Grayscale inputs pass through unchanged.
         self.gray_output = gray_output
+        # decode_gray: decode color streams as grayscale at the SOURCE
+        # (libjpeg out_color_space=JCS_GRAYSCALE semantics: Y-only IDCT,
+        # chroma never touched) and run the whole pipeline 1-channel —
+        # the cheap gray path. Distinct from gray_output, which filters
+        # in color and converts at the end (filter-then-luma). Device
+        # path: the 1-component decode graph on component 0
+        # (ops/jpeg_decode.gray_geometry), bit-exact vs the host gray
+        # decode. Full-size only for now (the scaled-size selection of a
+        # gray-decoded color stream is unprobed).
+        if decode_gray and decode_scale != 1:
+            raise ValueError("decode_gray supports decode_scale=1 only")
+        self.decode_gray = decode_gray
         # decode_scale=2/4/8: DCT-domain scaled decode (libjpeg
         # scale_num/denom semantics, bit-exact) — the image enters the
         # pipeline already at ceil(dim/scale), so filter + encode run on
@@ -245,7 +258,8 @@ class ServingPipeline:
             batch = decode_batch_scaled(payloads, 1, self.decode_scale,
                                         num_threads=self.decode_threads)
         else:
-            batch = decode_batch(payloads, num_threads=self.decode_threads)
+            batch = decode_batch(payloads, num_threads=self.decode_threads,
+                                 force_gray=self.decode_gray)
         if batch.shape[-1] == 4:
             # 4-component (Adobe CMYK/YCCK) streams decode fine standalone
             # (io_.jpeg.decode_bytes / ops.jpeg_decode) but the serving
@@ -412,6 +426,18 @@ class ServingPipeline:
             self._fused_fns[key] = jax.jit(fn)
         return self._fused_fns[key]
 
+    def _maybe_gray_geo(self, jd, geo, qkey):
+        """Reduce a color geometry to its luma-only view for decode_gray.
+
+        Only full-resolution-luma 3-component streams reduce (the same
+        constraint as gray_geometry); anything else keeps its geometry
+        and the host-fallback path decodes it gray.
+        """
+        if (self.decode_gray and geo.ncomps == 3
+                and geo.comps[0][:2] == (geo.max_h, geo.max_v)):
+            return jd.gray_geometry(geo), (qkey[0],)
+        return geo, qkey
+
     def _read_coefs(self, payloads: list[bytes]):
         """Host entropy decode (one GIL-free native batch call)."""
         from hipe_tpu.io_.jpeg import read_coefficients_batch
@@ -444,6 +470,7 @@ class ServingPipeline:
             qkey = tuple(
                 tuple(int(v) for v in c.qtable) for c in co.components
             )
+            geo, qkey = self._maybe_gray_geo(jd, geo, qkey)
             keys.append((geo, qkey))
             groups.setdefault((geo, qkey), []).append(i)
 
@@ -537,6 +564,7 @@ class ServingPipeline:
             qkey = tuple(
                 tuple(int(v) for v in c.qtable) for c in co.components
             )
+            geo, qkey = self._maybe_gray_geo(jd, geo, qkey)
             groups.setdefault((geo, qkey), []).append(i)
 
         out: list[bytes | None] = [None] * len(cos)

@@ -330,3 +330,50 @@ def test_gray_output_passthrough_on_gray_inputs():
     got = ServingPipeline("blur3", use_pallas=False,
                           gray_output=True).process_batch(payloads)
     assert got == ref
+
+
+def test_decode_gray_all_placements():
+    """decode_gray: the whole pipeline runs on the libjpeg JCS_GRAYSCALE
+    decode (Y-only IDCT). Every placement must equal the oracle: host
+    gray decode -> 1-channel filter -> grayscale encode."""
+    payloads = _payloads(n=3, h=41, w=29, seed=25)
+    gray_px = np.stack([
+        jpeg.decode_bytes(p, force_gray=True) for p in payloads])
+    from hipe_tpu.models import pipelines as plib
+
+    filtered = np.asarray(plib.get("chain")(gray_px))
+    want = [jpeg.encode_bytes_opts(im, quality=90) for im in filtered]
+    for kwargs in (
+        {},
+        {"encode_on_device": True},
+        {"decode_on_device": True},
+        {"decode_on_device": True, "encode_on_device": True},
+    ):
+        sp = ServingPipeline("chain", use_pallas=False, decode_gray=True,
+                             **kwargs)
+        assert sp.process_batch(payloads) == want, kwargs
+    px = ServingPipeline("chain", use_pallas=False, decode_gray=True,
+                         decode_on_device=True).process_batch(
+        payloads, encode=False)
+    np.testing.assert_array_equal(np.asarray(px), filtered)
+
+
+def test_decode_gray_validation_and_exotic_fallback():
+    with pytest.raises(ValueError, match="decode_scale=1"):
+        ServingPipeline("blur3", decode_gray=True, decode_scale=2)
+    # 4:1:0 (full-res luma) reduces to the device gray graph; the payload
+    # mix with a gray stream shares the 1-component jit specialization.
+    rng = np.random.default_rng(27)
+    img = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    p_color = jpeg.encode_bytes_opts(img, quality=85, subsampling="410")
+    p_gray = jpeg.encode_bytes_opts(
+        rng.integers(0, 256, (16, 24, 1), dtype=np.uint8), quality=85)
+    sp = ServingPipeline("blur3", use_pallas=False, decode_gray=True,
+                         decode_on_device=True, encode_on_device=True)
+    got = sp.process_batch([p_color, p_gray])
+    from hipe_tpu.models import pipelines as plib
+
+    for g, p in zip(got, [p_color, p_gray]):
+        want_px = np.asarray(plib.get("blur3")(
+            jpeg.decode_bytes(p, force_gray=True)[None]))[0]
+        assert g == jpeg.encode_bytes_opts(want_px, quality=90)
