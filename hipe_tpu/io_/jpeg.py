@@ -269,16 +269,23 @@ def scaled_info(data: bytes, scale_num: int, scale_denom: int):
     return (info[0], info[1]), comps
 
 
-def decode_bytes_scaled(data: bytes, scale_num: int, scale_denom: int) -> np.ndarray:
+def decode_bytes_scaled(data: bytes, scale_num: int, scale_denom: int,
+                        force_gray: bool = False) -> np.ndarray:
     """Decode at scale_num/scale_denom via libjpeg DCT-domain scaling.
 
     The host fallback for thumbnail serving and the golden oracle for the
     device reduced-IDCT decode (`ops/jpeg_decode.decode_planes_scaled`).
+    ``force_gray`` composes with scaling exactly as in `decode_bytes`.
     """
     lib = _load()
     if lib is None:
         raise RuntimeError("native codec unavailable: scaled decode requires libjpeg")
     h, w, c = scaled_dims(data, scale_num, scale_denom)
+    if force_gray:
+        if c == 4:
+            raise ValueError("4-component (CMYK) streams have no "
+                             "grayscale conversion in libjpeg")
+        c = 1
     buf = np.frombuffer(data, dtype=np.uint8)
     out = np.empty((h, w, c), dtype=np.uint8)
     rc = lib.hipe_jpeg_decode_scaled(_as_u8p(buf), buf.size, _as_u8p(out),
@@ -315,7 +322,8 @@ def decode_batch(datas: list[bytes], num_threads: int | None = None,
 
 
 def decode_batch_scaled(datas: list[bytes], scale_num: int, scale_denom: int,
-                        num_threads: int | None = None) -> np.ndarray:
+                        num_threads: int | None = None,
+                        force_gray: bool = False) -> np.ndarray:
     """Scaled decode of same-shaped JPEGs into one (B, H, W, C) batch.
 
     The GIL-free pthread batch path of `decode_bytes_scaled` — the host
@@ -327,7 +335,8 @@ def decode_batch_scaled(datas: list[bytes], scale_num: int, scale_denom: int,
     lib = _load()
     if lib is None:
         raise RuntimeError("native codec unavailable: scaled decode requires libjpeg")
-    first = decode_bytes_scaled(datas[0], scale_num, scale_denom)
+    first = decode_bytes_scaled(datas[0], scale_num, scale_denom,
+                                force_gray=force_gray)
     h, w, c = first.shape
     out = np.empty((len(datas), h, w, c), dtype=np.uint8)
     out[0] = first

@@ -140,10 +140,9 @@ class ServingPipeline:
         # in color and converts at the end (filter-then-luma). Device
         # path: the 1-component decode graph on component 0
         # (ops/jpeg_decode.gray_geometry), bit-exact vs the host gray
-        # decode. Full-size only for now (the scaled-size selection of a
-        # gray-decoded color stream is unprobed).
-        if decode_gray and decode_scale != 1:
-            raise ValueError("decode_gray supports decode_scale=1 only")
+        # decode — full-size AND scaled (probe-verified across samplings
+        # x 1/2-1/8: jdmaster's scaled-size selection for gray output
+        # matches the 1-component selection on full-res-luma streams).
         self.decode_gray = decode_gray
         # decode_scale=2/4/8: DCT-domain scaled decode (libjpeg
         # scale_num/denom semantics, bit-exact) — the image enters the
@@ -256,7 +255,8 @@ class ServingPipeline:
         t0 = now_ms()
         if self.decode_scale > 1:
             batch = decode_batch_scaled(payloads, 1, self.decode_scale,
-                                        num_threads=self.decode_threads)
+                                        num_threads=self.decode_threads,
+                                        force_gray=self.decode_gray)
         else:
             batch = decode_batch(payloads, num_threads=self.decode_threads,
                                  force_gray=self.decode_gray)

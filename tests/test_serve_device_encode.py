@@ -358,9 +358,28 @@ def test_decode_gray_all_placements():
     np.testing.assert_array_equal(np.asarray(px), filtered)
 
 
+def test_decode_gray_composes_with_decode_scale():
+    # Scaled gray decode: jdmaster's scaled-size selection for gray
+    # output matches the 1-component selection (probe-verified); every
+    # placement equals the host scaled-gray oracle.
+    from hipe_tpu.models import pipelines as plib
+
+    payloads = _payloads(n=2, h=35, w=51, seed=29)
+    for den in (2, 8):
+        gray_px = np.stack([
+            jpeg.decode_bytes_scaled(p, 1, den, force_gray=True)
+            for p in payloads])
+        filtered = np.asarray(plib.get("blur3")(gray_px))
+        want = [jpeg.encode_bytes_opts(im, quality=90) for im in filtered]
+        for kwargs in ({}, {"decode_on_device": True,
+                            "encode_on_device": True}):
+            sp = ServingPipeline("blur3", use_pallas=False,
+                                 decode_gray=True, decode_scale=den,
+                                 **kwargs)
+            assert sp.process_batch(payloads) == want, (den, kwargs)
+
+
 def test_decode_gray_validation_and_exotic_fallback():
-    with pytest.raises(ValueError, match="decode_scale=1"):
-        ServingPipeline("blur3", decode_gray=True, decode_scale=2)
     # 4:1:0 (full-res luma) reduces to the device gray graph; the payload
     # mix with a gray stream shares the 1-component jit specialization.
     rng = np.random.default_rng(27)
