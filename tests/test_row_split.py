@@ -201,3 +201,27 @@ def test_weighted_row_split_randomized_properties():
         np.testing.assert_array_equal(got, want, err_msg=str(
             (n, names, h, w, weights.round(3).tolist())
         ))
+
+
+def test_row_split_median_and_denoise_seam_exact():
+    # The nonlinear median shard-splits like any radius-1 stencil (the
+    # halo machinery is tap-agnostic); seams and global edges must stay
+    # exact, single stage and in the denoise chain, even and uneven.
+    mesh = _mesh(4)
+    batch = np.stack([checker_image(64, 48, 3, seed=s) for s in range(2)])
+    want_m = np.stack([oracle.median3x3_oracle(b) for b in batch])
+    got = np.asarray(make_row_split_fn(mesh, ("median",))(jnp.asarray(batch)))
+    np.testing.assert_array_equal(got, want_m)
+    want_d = np.stack(
+        [oracle.gaussian_blur_int_oracle(oracle.median3x3_oracle(b))
+         for b in batch]
+    )
+    got = np.asarray(
+        make_row_split_fn(mesh, ("median", "gaussian3"))(jnp.asarray(batch))
+    )
+    np.testing.assert_array_equal(got, want_d)
+    from hipe_tpu.parallel.row_split import make_weighted_row_split_fn
+
+    wfn = make_weighted_row_split_fn(mesh, ("median", "gaussian3"),
+                                     weights=[1, 2, 3, 2])
+    np.testing.assert_array_equal(np.asarray(wfn(jnp.asarray(batch))), want_d)
