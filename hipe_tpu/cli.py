@@ -87,6 +87,9 @@ def _build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--encode-arithmetic", action="store_true",
                     help="arithmetic-coded output streams (SOF9; ~5-10% "
                          "smaller than Huffman at identical pixels)")
+    sv.add_argument("--encode-optimize", action="store_true",
+                    help="per-image optimal Huffman tables (~2-5% smaller "
+                         "files, identical pixels)")
     sv.add_argument("--encode-restart-interval", type=int, default=0,
                     metavar="MCUS",
                     help="insert RSTn markers every MCUS MCUs (0 = none)")
@@ -272,6 +275,7 @@ def _main_serve(args) -> int:
         encode_subsampling=args.encode_subsampling,
         encode_arithmetic=args.encode_arithmetic,
         encode_restart_interval=args.encode_restart_interval,
+        encode_optimize=args.encode_optimize,
         output_scale=2 if args.thumbnail else 1,
         resize_to=tuple(args.resize) if args.resize else None,
         gray_output=args.gray,

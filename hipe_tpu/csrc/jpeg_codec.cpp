@@ -401,6 +401,7 @@ static void apply_subsamp(jpeg_compress_struct* cinfo, int subsamp) {
 int hipe_jpeg_encode_opts(const unsigned char* img, int w, int h, int c,
                           int quality, int subsamp, int progressive,
                           int arith, int restart_interval, int gray,
+                          int optimize,
                           unsigned char* out, size_t out_cap,
                           size_t* out_len) {
   jpeg_compress_struct cinfo;
@@ -429,6 +430,7 @@ int hipe_jpeg_encode_opts(const unsigned char* img, int w, int h, int c,
   }
   if (progressive) jpeg_simple_progression(&cinfo);
   if (arith) cinfo.arith_code = TRUE;
+  if (optimize) cinfo.optimize_coding = TRUE;
   if (restart_interval > 0)
     cinfo.restart_interval = static_cast<unsigned int>(restart_interval);
   jpeg_start_compress(&cinfo, TRUE);
@@ -544,6 +546,7 @@ int hipe_jpeg_quality_tables(int quality, unsigned short* qtabs /*2*64*/) {
 // 2=4:2:2 (as hipe_jpeg_encode_opts). Returns 0 on success.
 int hipe_jpeg_write_coefs(int w, int h, int c, int quality, int subsamp,
                           int progressive, int arith, int restart_interval,
+                          int optimize,
                           const short* const* comp_in,
                           unsigned char* out, size_t out_cap,
                           size_t* out_len) {
@@ -573,6 +576,7 @@ int hipe_jpeg_write_coefs(int w, int h, int c, int quality, int subsamp,
   if (c == 3 && subsamp != 0) apply_subsamp(&cinfo, subsamp);
   if (progressive) jpeg_simple_progression(&cinfo);
   if (arith) cinfo.arith_code = TRUE;
+  if (optimize) cinfo.optimize_coding = TRUE;
   if (restart_interval > 0)
     cinfo.restart_interval = static_cast<unsigned int>(restart_interval);
 
@@ -809,7 +813,8 @@ void* read_batch_worker(void* arg) {
 
 struct WriteBatchTask {
   WorkQueue q;
-  int w, h, c, quality, subsamp, progressive, arith, restart_interval;
+  int w, h, c, quality, subsamp, progressive, arith, restart_interval,
+      optimize;
   const short* const* comp_ptrs;  // count * 4 pointers (unused slots null)
   unsigned char* out;             // count * out_cap
   size_t out_cap;
@@ -822,7 +827,7 @@ void* write_batch_worker(void* arg) {
   for (int i; (i = wq_pull(&t->q)) >= 0;)
     t->rcs[i] = hipe_jpeg_write_coefs(
         t->w, t->h, t->c, t->quality, t->subsamp, t->progressive,
-        t->arith, t->restart_interval,
+        t->arith, t->restart_interval, t->optimize,
         t->comp_ptrs + (size_t)i * 4, t->out + (size_t)i * t->out_cap,
         t->out_cap, &t->out_lens[i]);
   return nullptr;
@@ -874,7 +879,7 @@ int hipe_jpeg_read_coefs_batch(const unsigned char* const* bufs,
 // in hipe_jpeg_write_coefs). Returns the number of failed images.
 int hipe_jpeg_write_coefs_batch(int w, int h, int c, int quality, int subsamp,
                                 int progressive, int arith,
-                                int restart_interval,
+                                int restart_interval, int optimize,
                                 const short* const* comp_ptrs, int count,
                                 unsigned char* out, size_t out_cap,
                                 size_t* out_lens, int* rcs, int num_threads) {
@@ -887,6 +892,7 @@ int hipe_jpeg_write_coefs_batch(int w, int h, int c, int quality, int subsamp,
   t.progressive = progressive;
   t.arith = arith;
   t.restart_interval = restart_interval;
+  t.optimize = optimize;
   t.comp_ptrs = comp_ptrs;
   t.out = out;
   t.out_cap = out_cap;

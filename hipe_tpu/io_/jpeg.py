@@ -93,7 +93,7 @@ def _load() -> ctypes.CDLL | None:
         lib.hipe_jpeg_encode_opts.argtypes = [
             u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
             u8p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
         ]
         lib.hipe_jpeg_encode_opts.restype = ctypes.c_int
@@ -106,7 +106,7 @@ def _load() -> ctypes.CDLL | None:
         lib.hipe_jpeg_write_coefs.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(i16p),
+            ctypes.c_int, ctypes.POINTER(i16p),
             u8p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
         ]
         lib.hipe_jpeg_write_coefs.restype = ctypes.c_int
@@ -129,6 +129,7 @@ def _load() -> ctypes.CDLL | None:
         lib.hipe_jpeg_write_coefs_batch.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
             ctypes.POINTER(i16p), ctypes.c_int,
             u8p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
@@ -520,6 +521,7 @@ def encode_bytes_opts(
     arithmetic: bool = False,
     restart_interval: int = 0,
     gray_from_rgb: bool = False,
+    optimize: bool = False,
 ) -> bytes:
     """Encode with explicit chroma subsampling (a `_SUB_CODES` name).
 
@@ -540,6 +542,7 @@ def encode_bytes_opts(
         lambda out, cap, out_len: lib.hipe_jpeg_encode_opts(
             _as_u8p(img), w, h, c, quality, sub_code, int(progressive),
             int(arithmetic), int(restart_interval), int(gray_from_rgb),
+            int(optimize),
             out, cap, out_len,
         ),
         w * h * c + 65536,
@@ -615,6 +618,7 @@ def write_coefficients(
     progressive: bool = False,
     arithmetic: bool = False,
     restart_interval: int = 0,
+    optimize: bool = False,
 ) -> bytes:
     """Entropy-encode quantized DCT coefficients into a full JPEG.
 
@@ -648,7 +652,8 @@ def write_coefficients(
     return _run_encode(
         lambda out, cap, out_len: lib.hipe_jpeg_write_coefs(
             width, height, ncomps, quality, sub_code, int(progressive),
-            int(arithmetic), int(restart_interval), ptrs, out, cap, out_len,
+            int(arithmetic), int(restart_interval), int(optimize),
+            ptrs, out, cap, out_len,
         ),
         width * height * 3 + 65536,
     )
@@ -762,6 +767,7 @@ def write_coefficients_batch(
     progressive: bool = False,
     arithmetic: bool = False,
     restart_interval: int = 0,
+    optimize: bool = False,
     num_threads: int | None = None,
 ) -> list[bytes]:
     """Entropy-encode a coefficient batch into JPEG files concurrently.
@@ -813,7 +819,7 @@ def write_coefficients_batch(
     nt = num_threads or (os.cpu_count() or 1)
     lib.hipe_jpeg_write_coefs_batch(
         width, height, ncomps, quality, sub_code, int(progressive),
-        int(arithmetic), int(restart_interval),
+        int(arithmetic), int(restart_interval), int(optimize),
         ptr_table, b, _as_u8p(out), cap,
         out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_size_t)),
         rcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), nt,
@@ -831,7 +837,7 @@ def write_coefficients_batch(
                     [arrays[ci][i] for ci in range(ncomps)], width, height,
                     quality=quality, subsampling=subsampling,
                     progressive=progressive, arithmetic=arithmetic,
-                    restart_interval=restart_interval,
+                    restart_interval=restart_interval, optimize=optimize,
                 )
             )
         else:

@@ -55,6 +55,7 @@ class ServingPipeline:
         encode_subsampling: str = "420",
         encode_arithmetic: bool = False,
         encode_restart_interval: int = 0,
+        encode_optimize: bool = False,
         output_scale: int = 1,
         resize_to: tuple | None = None,
         decode_scale: int = 1,
@@ -101,6 +102,11 @@ class ServingPipeline:
         # byte-identical to a direct libjpeg encode with the same options.
         self.encode_arithmetic = encode_arithmetic
         self.encode_restart_interval = encode_restart_interval
+        # encode_optimize: per-image optimal Huffman tables (libjpeg
+        # optimize_coding, cjpeg -optimize): ~2-5% smaller files, same
+        # coefficients, so placement byte-identity holds as for the
+        # other entropy options. Ignored by arithmetic coding.
+        self.encode_optimize = encode_optimize
         # output_scale=2: thumbnail serving — after the filter, an exact
         # 2x2 average (jcsample.c h2v2 rounding, ops/jpeg_encode.py
         # downsample_h2v2 per channel, edge-replicated to even dims)
@@ -289,7 +295,7 @@ class ServingPipeline:
 
         t0 = now_ms()
         if (self.encode_subsampling != "420" or self.encode_arithmetic
-                or self.encode_restart_interval
+                or self.encode_restart_interval or self.encode_optimize
                 or (self.gray_output and batch.shape[-1] == 3)):
             # Honor non-default subsampling / entropy options on the host
             # path too (raises if the native codec is unavailable rather
@@ -301,7 +307,7 @@ class ServingPipeline:
                     im, self.quality, subsampling=self.encode_subsampling,
                     arithmetic=self.encode_arithmetic,
                     restart_interval=self.encode_restart_interval,
-                    gray_from_rgb=gray,
+                    gray_from_rgb=gray, optimize=self.encode_optimize,
                 )
         else:
             def enc(im):
@@ -368,6 +374,7 @@ class ServingPipeline:
             coefs, w, h, quality=self.quality, subsampling=sub,
             arithmetic=self.encode_arithmetic,
             restart_interval=self.encode_restart_interval,
+            optimize=self.encode_optimize,
             num_threads=self.decode_threads,
         )
         self.stats.encode_ms += now_ms() - t0

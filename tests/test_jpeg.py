@@ -154,3 +154,25 @@ def test_write_coefficients_arithmetic_byte_identical():
             [c.coefs[None] for c in co.components], 40, 24, quality=80,
             subsampling="420", **kw)
         assert batched == [direct]
+
+
+def test_optimize_huffman_entropy_coding():
+    # optimize_coding: per-image optimal Huffman tables — smaller files,
+    # identical pixels/coefficients, and coefficient rewrites byte-equal
+    # direct optimized encodes (single and batched writers).
+    from hipe_tpu.io_ import jpeg
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (29, 43, 3), dtype=np.uint8)
+    base = jpeg.encode_bytes_opts(img, quality=85)
+    opt = jpeg.encode_bytes_opts(img, quality=85, optimize=True)
+    assert len(opt) < len(base)
+    np.testing.assert_array_equal(jpeg.decode_bytes(base),
+                                  jpeg.decode_bytes(opt))
+    co = jpeg.read_coefficients(base)
+    coefs = [c.coefs for c in co.components]
+    assert jpeg.write_coefficients(coefs, 43, 29, quality=85,
+                                   optimize=True) == opt
+    assert jpeg.write_coefficients_batch(
+        [c.coefs[None] for c in co.components], 43, 29, quality=85,
+        optimize=True) == [opt]

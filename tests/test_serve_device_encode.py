@@ -190,6 +190,24 @@ def test_exotic_encode_subsampling_host_only():
                         encode_subsampling="411")
 
 
+def test_encode_optimize_all_placements():
+    # Optimal per-image Huffman tables: smaller files, identical
+    # coefficients, byte-identical across every codec placement.
+    payloads = _payloads(n=2, seed=10)
+    ref = ServingPipeline("blur3", use_pallas=False,
+                          encode_optimize=True).process_batch(payloads)
+    for kwargs in ({"encode_on_device": True},
+                   {"decode_on_device": True, "encode_on_device": True}):
+        sp = ServingPipeline("blur3", use_pallas=False, encode_optimize=True,
+                             **kwargs)
+        assert sp.process_batch(payloads) == ref, kwargs
+    plain = ServingPipeline("blur3", use_pallas=False).process_batch(payloads)
+    for o, p in zip(ref, plain):
+        assert len(o) < len(p)
+        np.testing.assert_array_equal(jpeg.decode_bytes(o),
+                                      jpeg.decode_bytes(p))
+
+
 def test_encode_arithmetic_and_restart_all_placements():
     # Output entropy options live in the host entropy layer, so every
     # encode placement (host, device-encode, full device transcode) must
