@@ -61,6 +61,10 @@ def __getattr__(name):
         from hipe_tpu.parallel.image_level import make_image_level_fn
 
         return make_image_level_fn
+    if name == "transform_jpeg_bytes":
+        from hipe_tpu.ops.jpeg_transform import transform_bytes
+
+        return transform_bytes
     if name in ("resize_bilinear", "resize_bilinear_planar"):
         from hipe_tpu.ops import resize
 

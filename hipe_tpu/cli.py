@@ -119,6 +119,17 @@ def _build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--json", action="store_true",
                     help="print one JSON result line")
 
+    tr = sub.add_parser(
+        "transform",
+        help="lossless DCT-domain transform (jpegtran analog on device)")
+    tr.add_argument("input", help="input JPEG path")
+    tr.add_argument("op", choices=("flip_h", "flip_v", "rot90", "rot180",
+                                   "rot270", "transpose", "transverse"))
+    tr.add_argument("-o", "--output", required=True, help="output JPEG path")
+    tr.add_argument("--progressive", action="store_true")
+    tr.add_argument("--arithmetic", action="store_true")
+    tr.add_argument("--optimize", action="store_true")
+
     a2 = sub.add_parser("approach2", help="split-image distribution")
     a2.add_argument("gpu_ratio", nargs="?", type=float,
                     default=pt.DEFAULT_RATIO)
@@ -212,6 +223,26 @@ def _main_stream(args) -> int:
             "config": (runner.tuning or {}).get("chosen", "default"),
         }))
     return 0 if err <= 1 else 1
+
+
+def _main_transform(args) -> int:
+    """Lossless DCT-domain transform of one JPEG (jpegtran analog)."""
+    from hipe_tpu.ops.jpeg_transform import transform_bytes
+
+    try:
+        with open(args.input, "rb") as f:
+            data = f.read()
+        out = transform_bytes(data, args.op, progressive=args.progressive,
+                              arithmetic=args.arithmetic,
+                              optimize=args.optimize)
+    except (OSError, ValueError) as e:
+        print(f"Error: {e}")
+        return 1
+    with open(args.output, "wb") as f:
+        f.write(out)
+    print(f"{args.op}: {args.input} -> {args.output} "
+          f"({len(data)} -> {len(out)} bytes, lossless)")
+    return 0
 
 
 def _main_serve(args) -> int:
@@ -331,6 +362,8 @@ def main(argv: list[str] | None = None) -> int:
         return _main_stream(args)
     if args.approach == "serve":
         return _main_serve(args)
+    if args.approach == "transform":
+        return _main_transform(args)
     approach = 1 if args.approach == "approach1" else 2
     mode = getattr(args, "mode", "both")
     pipeline = (

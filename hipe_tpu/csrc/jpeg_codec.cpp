@@ -544,9 +544,13 @@ int hipe_jpeg_quality_tables(int quality, unsigned short* qtabs /*2*64*/) {
 // direct libjpeg encode of the same pixels. subsamp: 0=4:2:0, 1=4:4:4,
 // 3=4:4:0 (h1v2),
 // 2=4:2:2 (as hipe_jpeg_encode_opts). Returns 0 on success.
+// qt_override: when non-null, 2*64 uint16 quant values in natural order
+// (luma table then chroma table) installed verbatim in place of the
+// jpeg_set_quality tables — required by lossless transpose-family
+// transforms, whose output tables are the transposed input tables.
 int hipe_jpeg_write_coefs(int w, int h, int c, int quality, int subsamp,
                           int progressive, int arith, int restart_interval,
-                          int optimize,
+                          int optimize, const unsigned short* qt_override,
                           const short* const* comp_in,
                           unsigned char* out, size_t out_cap,
                           size_t* out_len) {
@@ -574,6 +578,11 @@ int hipe_jpeg_write_coefs(int w, int h, int c, int quality, int subsamp,
   jpeg_set_defaults(&cinfo);
   jpeg_set_quality(&cinfo, quality, TRUE);
   if (c == 3 && subsamp != 0) apply_subsamp(&cinfo, subsamp);
+  if (qt_override) {
+    for (int t = 0; t < 2 && cinfo.quant_tbl_ptrs[t]; ++t)
+      for (int k = 0; k < DCTSIZE2; ++k)
+        cinfo.quant_tbl_ptrs[t]->quantval[k] = qt_override[t * DCTSIZE2 + k];
+  }
   if (progressive) jpeg_simple_progression(&cinfo);
   if (arith) cinfo.arith_code = TRUE;
   if (optimize) cinfo.optimize_coding = TRUE;
@@ -827,7 +836,7 @@ void* write_batch_worker(void* arg) {
   for (int i; (i = wq_pull(&t->q)) >= 0;)
     t->rcs[i] = hipe_jpeg_write_coefs(
         t->w, t->h, t->c, t->quality, t->subsamp, t->progressive,
-        t->arith, t->restart_interval, t->optimize,
+        t->arith, t->restart_interval, t->optimize, nullptr,
         t->comp_ptrs + (size_t)i * 4, t->out + (size_t)i * t->out_cap,
         t->out_cap, &t->out_lens[i]);
   return nullptr;

@@ -106,7 +106,8 @@ def _load() -> ctypes.CDLL | None:
         lib.hipe_jpeg_write_coefs.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.POINTER(i16p),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(i16p),
             u8p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
         ]
         lib.hipe_jpeg_write_coefs.restype = ctypes.c_int
@@ -619,8 +620,14 @@ def write_coefficients(
     arithmetic: bool = False,
     restart_interval: int = 0,
     optimize: bool = False,
+    qtables: list[np.ndarray] | None = None,
 ) -> bytes:
     """Entropy-encode quantized DCT coefficients into a full JPEG.
+
+    ``qtables``: optional explicit (luma[, chroma]) quant tables, (64,)
+    uint16 natural order, installed verbatim instead of the
+    jpeg_set_quality tables (lossless transforms of streams whose
+    tables are transposed or non-standard need this).
 
     The host half of the TPU-side encode (ops/jpeg_encode.py computes the
     coefficients on device). coefs[i]: (Hb_i, Wb_i, 64) int16 in natural
@@ -649,10 +656,17 @@ def write_coefficients(
             )
     i16p = ctypes.POINTER(ctypes.c_int16)
     ptrs = (i16p * ncomps)(*[a.ctypes.data_as(i16p) for a in arrays])
+    qt_ptr = None
+    if qtables is not None:
+        qt_buf = np.zeros((2, 64), dtype=np.uint16)
+        qt_buf[0] = np.asarray(qtables[0], dtype=np.uint16)
+        qt_buf[1] = np.asarray(qtables[min(1, len(qtables) - 1)],
+                               dtype=np.uint16)
+        qt_ptr = qt_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
     return _run_encode(
         lambda out, cap, out_len: lib.hipe_jpeg_write_coefs(
             width, height, ncomps, quality, sub_code, int(progressive),
-            int(arithmetic), int(restart_interval), int(optimize),
+            int(arithmetic), int(restart_interval), int(optimize), qt_ptr,
             ptrs, out, cap, out_len,
         ),
         width * height * 3 + 65536,

@@ -1,0 +1,194 @@
+"""Lossless DCT-domain JPEG transforms — the jpegtran analog, on device.
+
+jpegtran (transupp.c) rotates/flips JPEGs without decoding: coefficient
+blocks are permuted on the block grid and adjusted inside each 8x8 via
+DCT symmetries, so no IDCT/fDCT rounding ever happens. Those symmetries
+are pure tensor ops — grid reversals, per-axis sign masks, 8x8
+transposes — i.e. exactly the shape of work a TPU does for free inside
+one jitted program, batchable and shardable like the rest of the codec.
+
+DCT symmetries used (for an 8x8 block B[u, v] of a sample block b[y, x]):
+- mirror horizontally (x -> 7-x):  B[u, v] -> (-1)^v  * B[u, v]
+- mirror vertically   (y -> 7-y):  B[u, v] -> (-1)^u  * B[u, v]
+- transpose           (x <-> y):   B[u, v] -> B[v, u]
+
+Grid-level, the block positions mirror/transpose correspondingly.
+
+Exactness domain: like jpegtran's -perfect, a flip is lossless only
+when the flipped axis is a whole number of iMCUs (image dim % (8 *
+samp) == 0) — otherwise the hidden edge-block samples would have to
+re-enter the visible image, which cannot be expressed losslessly.
+Transpose is always perfect; rot90/rot270/rot180 inherit the flip
+constraints on the respective axes. Unsupported geometry raises.
+
+Reference behavior reproduced: jpegtran's documented transform
+semantics (the reference's CImg stack has no DCT-domain transform — a
+beyond-parity capability). "Lossless" means what it means for jpegtran:
+COEFFICIENT-exact (tested against an independent loop oracle, plus a
+float-IDCT semantic check, plus byte-identical involutions). The
+INTEGER decode of a transformed stream can differ from the spatial
+transform of the original decode by +-1 per sample — jpeg_idct_islow's
+floor-shift descales are not odd-symmetric and its pass order is fixed
+(and subsampled chroma upsampling swaps rounding phase under
+mirroring); jpegtran output has exactly the same property.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from hipe_tpu.io_ import jpeg as jio
+
+OPS = ("flip_h", "flip_v", "rot90", "rot180", "rot270", "transpose",
+       "transverse")
+
+_SIGN_V = np.array([(-1) ** v for v in range(8)], dtype=np.int16)
+
+
+def _blocks(c: jnp.ndarray) -> jnp.ndarray:
+    return c.reshape(*c.shape[:-1], 8, 8)
+
+
+def _flat(b: jnp.ndarray) -> jnp.ndarray:
+    return b.reshape(*b.shape[:-2], 64)
+
+
+def _flip_h(c: jnp.ndarray) -> jnp.ndarray:
+    """Mirror horizontally: reverse block columns, negate odd-v coefs."""
+    b = _blocks(c)[..., :, ::-1, :, :]
+    return _flat(b * jnp.asarray(_SIGN_V))
+
+
+def _flip_v(c: jnp.ndarray) -> jnp.ndarray:
+    """Mirror vertically: reverse block rows, negate odd-u coefs."""
+    b = _blocks(c)[..., ::-1, :, :, :]
+    return _flat(b * jnp.asarray(_SIGN_V)[:, None])
+
+
+def _transpose(c: jnp.ndarray) -> jnp.ndarray:
+    """Transpose: swap the block grid and each 8x8's u/v axes."""
+    b = _blocks(c)
+    return _flat(jnp.swapaxes(jnp.swapaxes(b, -4, -3), -2, -1))
+
+
+def transform_component(c: jnp.ndarray, op: str) -> jnp.ndarray:
+    """Apply one lossless op to a (..., Hb, Wb, 64) coefficient grid."""
+    if op == "flip_h":
+        return _flip_h(c)
+    if op == "flip_v":
+        return _flip_v(c)
+    if op == "transpose":
+        return _transpose(c)
+    if op == "rot90":      # clockwise: transpose, then mirror horizontally
+        return _flip_h(_transpose(c))
+    if op == "rot270":     # counter-clockwise
+        return _flip_v(_transpose(c))
+    if op == "rot180":
+        return _flip_v(_flip_h(c))
+    if op == "transverse":  # transpose across the anti-diagonal
+        return _flip_v(_flip_h(_transpose(c)))
+    raise ValueError(f"unknown transform {op!r} (one of {OPS})")
+
+
+def _swaps_axes(op: str) -> bool:
+    return op in ("rot90", "rot270", "transpose", "transverse")
+
+
+def _check_perfect(co, op: str) -> None:
+    """Raise unless `op` is lossless for this stream (jpegtran -perfect)."""
+    max_h = max(c.h_samp for c in co.components)
+    max_v = max(c.v_samp for c in co.components)
+    w_ok = co.width % (8 * max_h) == 0
+    h_ok = co.height % (8 * max_v) == 0
+    need = {
+        "flip_h": w_ok, "flip_v": h_ok, "rot180": w_ok and h_ok,
+        # After the transpose, the flipped axis is the ORIGINAL h/v.
+        "rot90": h_ok, "rot270": w_ok, "transverse": w_ok and h_ok,
+        "transpose": True,
+    }[op]
+    if not need:
+        raise ValueError(
+            f"{op} is not lossless for {co.width}x{co.height} at sampling "
+            f"{max_h}x{max_v}: the trailing partial iMCU cannot re-enter "
+            f"the image without recompression (jpegtran -perfect rule)"
+        )
+
+
+def transform_coefficients(co, op: str):
+    """Losslessly transform an io_.jpeg.JpegCoefficients -> writer pieces.
+
+    Returns (comp_coefs, width, height, comps_samp, qtables): the
+    transformed per-component (Hb, Wb, 64) int16 arrays (numpy,
+    host-side), the new image dims, the per-component (h_samp, v_samp)
+    after any axis swap, and the output quant tables — TRANSPOSED for
+    the transpose-family ops (the dequantized product C[u,v]*Q[u,v] is
+    what the symmetry acts on, so Q transposes with C; transupp.c does
+    the same). Runs the tensor ops under jit on the default device.
+    """
+    _check_perfect(co, op)
+    out = []
+    for comp in co.components:
+        t = np.asarray(_jitted(op)(jnp.asarray(comp.coefs)))
+        out.append(t.astype(np.int16))
+    qtables = [np.asarray(c.qtable, dtype=np.uint16) for c in co.components]
+    if _swaps_axes(op):
+        w, h = co.height, co.width
+        samp = [(c.v_samp, c.h_samp) for c in co.components]
+        qtables = [q.reshape(8, 8).T.reshape(64).copy() for q in qtables]
+    else:
+        w, h = co.width, co.height
+        samp = [(c.h_samp, c.v_samp) for c in co.components]
+    return out, w, h, samp, qtables
+
+
+@jax.jit
+def _noop(c):
+    return c
+
+
+_JITTED: dict = {}
+
+
+def _jitted(op: str):
+    if op not in _JITTED:
+        _JITTED[op] = jax.jit(lambda c, _op=op: transform_component(c, _op))
+    return _JITTED[op]
+
+
+_SAMP_NAMES = {
+    ((2, 2), (1, 1), (1, 1)): "420",
+    ((1, 1), (1, 1), (1, 1)): "444",
+    ((2, 1), (1, 1), (1, 1)): "422",
+    ((1, 2), (1, 1), (1, 1)): "440",
+    ((4, 1), (1, 1), (1, 1)): "411",
+    ((4, 2), (1, 1), (1, 1)): "410",
+    ((3, 1), (1, 1), (1, 1)): "311",
+    ((2, 2), (2, 1), (1, 1)): "asym",
+}
+
+
+def transform_bytes(data: bytes, op: str, **writer_opts) -> bytes:
+    """jpegtran analog: losslessly transform a JPEG byte stream.
+
+    Entropy-decodes on host, runs the DCT-domain tensor transform under
+    jit, entropy-encodes back with the stream's OWN quant tables
+    (transposed alongside the coefficients for transpose-family ops) —
+    no requantization ever, regardless of what quality produced the
+    stream. Writer entropy options (progressive/arithmetic/optimize/
+    restart_interval) pass through, since they do not touch
+    coefficients.
+    """
+    co = jio.read_coefficients(data)
+    coefs, w, h, samp, qtables = transform_coefficients(co, op)
+    if len(co.components) == 1:
+        sub = "444"
+    else:
+        key = tuple(samp)
+        if key not in _SAMP_NAMES:
+            raise ValueError(f"no writer layout for sampling {samp}")
+        sub = _SAMP_NAMES[key]
+    return jio.write_coefficients(coefs, w, h, subsampling=sub,
+                                  qtables=qtables, **writer_opts)

@@ -1,0 +1,255 @@
+"""Lossless DCT-domain transforms: exactness at the right level.
+
+No jpegtran binary exists here to diff against, so verification is by
+the transform's defining properties:
+
+- COEFFICIENT-exact (the lossless guarantee, the same one jpegtran
+  makes): the transformed stream's dequantized coefficients are exactly
+  the DCT-symmetry images of the originals. Checked against an
+  independent straight-loop numpy oracle, through a full file round
+  trip.
+- FLOAT-IDCT semantic: a float64 reference IDCT (no rounding) of the
+  transformed stream equals the spatial transform of the original's to
+  fp tolerance — independent physics-level confirmation the symmetry
+  math is right.
+- INTEGER decode bound: jpeg_idct_islow's floor-shift descales are not
+  odd-symmetric (DESCALE(-x) != -DESCALE(x)) and its pass order is
+  fixed, so the integer decode of a transformed stream can differ from
+  the spatial transform of the original decode by +-1 per sample —
+  exactly as with jpegtran. Asserted as a hard bound.
+- INVOLUTION byte-identity: op + inverse reproduces the canonical file
+  byte-for-byte through the deterministic coefficient writer — the
+  coefficients and quant tables round-trip exactly.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hipe_tpu.io_ import jpeg
+from hipe_tpu.ops import jpeg_decode as jd
+from hipe_tpu.ops import jpeg_transform as jt
+
+if not jpeg.native_available():  # pragma: no cover
+    pytest.skip("native libjpeg codec unavailable", allow_module_level=True)
+
+def _spatial(op, img):
+    if op == "flip_h":
+        return img[:, ::-1]
+    if op == "flip_v":
+        return img[::-1]
+    if op == "rot90":       # clockwise
+        return np.rot90(img, k=-1)
+    if op == "rot180":
+        return np.rot90(img, k=2)
+    if op == "rot270":
+        return np.rot90(img, k=1)
+    if op == "transpose":
+        return np.swapaxes(img, 0, 1)
+    if op == "transverse":
+        return np.swapaxes(np.rot90(img, 2), 0, 1)
+    raise AssertionError(op)
+
+
+def _stream(h, w, sub="420", quality=85, seed=0, c=3, **opts):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+    if c == 1:
+        return jpeg.encode_bytes_opts(img, quality=quality, **opts)
+    return jpeg.encode_bytes_opts(img, quality=quality, subsampling=sub,
+                                  **opts)
+
+
+def _dims(co, comp):
+    dh = -(-co.height * comp.v_samp // co.max_v)
+    dw = -(-co.width * comp.h_samp // co.max_h)
+    return dh, dw
+
+
+def _component_samples(data):
+    """Per-component integer IDCT sample planes (no upsampling)."""
+    co = jpeg.read_coefficients(data)
+    return [
+        np.asarray(jd.idct8x8_islow(jnp.asarray(c.coefs), c.qtable))
+        [: _dims(co, c)[0], : _dims(co, c)[1]]
+        for c in co.components
+    ]
+
+
+_BASIS = np.array([
+    [0.5 * (np.sqrt(0.5) if u == 0 else 1.0)
+     * np.cos((2 * x + 1) * u * np.pi / 16) for u in range(8)]
+    for x in range(8)
+])  # samples[x] = sum_u BASIS[x, u] * F[u]
+
+
+def _component_samples_float(data):
+    """Per-component FLOAT reference IDCT (symmetric, no rounding)."""
+    co = jpeg.read_coefficients(data)
+    out = []
+    for c in co.components:
+        hb, wb, _ = c.coefs.shape
+        dq = (c.coefs.reshape(hb, wb, 8, 8).astype(np.float64)
+              * np.asarray(c.qtable, np.float64).reshape(8, 8))
+        s = np.einsum("yu,hwuv,xv->hywx", _BASIS, dq, _BASIS)
+        s = s.reshape(hb * 8, wb * 8)
+        dh, dw = _dims(co, c)
+        out.append(s[:dh, :dw])
+    return out
+
+
+def _coef_oracle(op, blocks):
+    """Straight-loop numpy DCT-symmetry oracle on (Hb, Wb, 8, 8)."""
+    hb, wb = blocks.shape[:2]
+    if op == "flip_h":
+        out = np.empty_like(blocks)
+        for by in range(hb):
+            for bx in range(wb):
+                for u in range(8):
+                    for v in range(8):
+                        out[by, wb - 1 - bx, u, v] = (
+                            blocks[by, bx, u, v] * (1 if v % 2 == 0 else -1))
+        return out
+    if op == "flip_v":
+        out = np.empty_like(blocks)
+        for by in range(hb):
+            for bx in range(wb):
+                for u in range(8):
+                    for v in range(8):
+                        out[hb - 1 - by, bx, u, v] = (
+                            blocks[by, bx, u, v] * (1 if u % 2 == 0 else -1))
+        return out
+    if op == "transpose":
+        out = np.empty((wb, hb, 8, 8), dtype=blocks.dtype)
+        for by in range(hb):
+            for bx in range(wb):
+                out[bx, by] = blocks[by, bx].T
+        return out
+    if op == "rot90":
+        return _coef_oracle("flip_h", _coef_oracle("transpose", blocks))
+    if op == "rot270":
+        return _coef_oracle("flip_v", _coef_oracle("transpose", blocks))
+    if op == "rot180":
+        return _coef_oracle("flip_v", _coef_oracle("flip_h", blocks))
+    if op == "transverse":
+        return _coef_oracle(
+            "flip_v", _coef_oracle("flip_h", _coef_oracle("transpose",
+                                                          blocks)))
+    raise AssertionError(op)
+
+
+@pytest.mark.parametrize("op", jt.OPS)
+@pytest.mark.parametrize("sub,dims", [("420", (32, 48)), ("422", (24, 32)),
+                                      ("444", (16, 24)), ("440", (32, 16))])
+def test_coefficient_exact_vs_loop_oracle(op, sub, dims):
+    # The transformed FILE's coefficients equal the independent oracle's
+    # expectation — through entropy encode + decode, so writer/reader
+    # geometry (sampling swaps included) is validated too.
+    data = _stream(*dims, sub=sub, seed=3)
+    out = jt.transform_bytes(data, op)
+    ci = jpeg.read_coefficients(data)
+    co = jpeg.read_coefficients(out)
+    for a, b in zip(ci.components, co.components):
+        hb, wb, _ = a.coefs.shape
+        want = _coef_oracle(op, a.coefs.reshape(hb, wb, 8, 8))
+        got = b.coefs.reshape(*b.coefs.shape[:2], 8, 8)
+        np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("op", jt.OPS)
+@pytest.mark.parametrize("sub,dims", [("420", (32, 48)), ("444", (16, 24)),
+                                      ("440", (32, 16))])
+def test_float_exact_and_integer_bound(op, sub, dims):
+    data = _stream(*dims, sub=sub, seed=6)
+    out = jt.transform_bytes(data, op)
+    # Float reference IDCT: the dequantized transform is exact.
+    for b, a in zip(_component_samples_float(data),
+                    _component_samples_float(out)):
+        np.testing.assert_allclose(
+            a, _spatial(op, b[..., None])[..., 0], atol=1e-8)
+    # Integer IDCT: descale floor-shifts are not odd-symmetric, so the
+    # integer decode is within +-1 of the spatial transform (the
+    # jpegtran property), never more.
+    for b, a in zip(_component_samples(data), _component_samples(out)):
+        diff = np.abs(a.astype(int)
+                      - _spatial(op, b[..., None])[..., 0].astype(int))
+        assert diff.max() <= 1, diff.max()
+
+
+def test_progressive_stream_and_writer_options():
+    datap = _stream(32, 48, seed=6, progressive=True)
+    outp = jt.transform_bytes(datap, "flip_h", progressive=True)
+    for x, y in zip(_component_samples_float(datap),
+                    _component_samples_float(outp)):
+        np.testing.assert_allclose(y, x[:, ::-1], atol=1e-8)
+    ar = jt.transform_bytes(datap, "rot90", arithmetic=True)
+    op = jt.transform_bytes(datap, "rot90", optimize=True)
+    hu = jt.transform_bytes(datap, "rot90")
+    assert b"\xff\xc9" in ar and len(op) < len(hu)
+    np.testing.assert_array_equal(jpeg.decode_bytes(ar),
+                                  jpeg.decode_bytes(hu))
+    np.testing.assert_array_equal(jpeg.decode_bytes(op),
+                                  jpeg.decode_bytes(hu))
+
+
+def test_involutions_byte_identical():
+    data = _stream(32, 48, seed=7)
+    co = jpeg.read_coefficients(data)
+    canon = jpeg.write_coefficients(
+        [c.coefs for c in co.components], 48, 32, subsampling="420",
+        qtables=[c.qtable for c in co.components])
+    assert jt.transform_bytes(
+        jt.transform_bytes(data, "transpose"), "transpose") == canon
+    assert jt.transform_bytes(
+        jt.transform_bytes(data, "flip_h"), "flip_h") == canon
+    r = data
+    for _ in range(4):
+        r = jt.transform_bytes(r, "rot90")
+    assert r == canon
+
+
+def test_perfect_rule_enforced():
+    # 33 wide at 4:2:0: width not an iMCU multiple -> flip_h refused;
+    # transpose still works (always perfect), rot90 works (height 32
+    # is an iMCU multiple).
+    data = _stream(32, 33, seed=9)
+    with pytest.raises(ValueError, match="not lossless"):
+        jt.transform_bytes(data, "flip_h")
+    for op in ("transpose", "rot90"):
+        out = jt.transform_bytes(data, op)
+        for b, a in zip(_component_samples_float(data),
+                        _component_samples_float(out)):
+            np.testing.assert_allclose(
+                a, _spatial(op, b[..., None])[..., 0], atol=1e-8)
+
+
+def test_any_quality_tables_pass_through():
+    # The writer installs the stream's OWN tables (transposed for the
+    # swap ops), so any quality works, and the output stream's tables
+    # are the transposed input tables.
+    data = _stream(16, 16, quality=73, seed=11)
+    a = _component_samples(data)
+    out = jt.transform_bytes(data, "rot180")
+    for x, y in zip(a, _component_samples(out)):
+        np.testing.assert_array_equal(y, x[::-1, ::-1])
+    co_in = jpeg.read_coefficients(data)
+    co_out = jpeg.read_coefficients(jt.transform_bytes(data, "transpose"))
+    for ci, co in zip(co_in.components, co_out.components):
+        np.testing.assert_array_equal(
+            np.asarray(co.qtable).reshape(8, 8),
+            np.asarray(ci.qtable).reshape(8, 8).T)
+
+
+def test_grayscale_stream():
+    data = _stream(24, 40, c=1, seed=13)
+    out = jt.transform_bytes(data, "flip_v")
+    a = jpeg.decode_bytes(data)[::-1].astype(int)
+    b = jpeg.decode_bytes(out).astype(int)
+    assert np.abs(b - a).max() <= 1
+    ci = jpeg.read_coefficients(data)
+    co = jpeg.read_coefficients(out)
+    hb, wb, _ = ci.components[0].coefs.shape
+    np.testing.assert_array_equal(
+        co.components[0].coefs.reshape(hb, wb, 8, 8),
+        _coef_oracle("flip_v", ci.components[0].coefs.reshape(hb, wb, 8, 8)))
