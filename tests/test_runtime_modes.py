@@ -99,9 +99,17 @@ def test_autotune_skips_block_sweep_on_tiled_geometry(tmp_path):
     assert r.tuning["skipped"]["pallas"]  # exception class name recorded
 
 
-def test_autotune_cache_hit_skips_sweep(tmp_path, capsys):
+def test_autotune_cache_hit_skips_sweep(tmp_path, capsys, monkeypatch):
     """Second run re-verifies the persisted winner with one timing and
     skips the sweep; --retune forces a fresh sweep."""
+    # The regression re-sweep is timing-triggered by design; under a
+    # loaded CI host the microsecond-scale CPU timings here jitter well
+    # past the production factor, so pin a huge one — the cache-hit
+    # mechanics under test are timing-independent (the regression PATH
+    # has its own test below).
+    from hipe_tpu.runtime import device_stream as ds
+
+    monkeypatch.setattr(ds, "_RETUNE_FACTOR", 1e9)
     img = checker_image(32, 128, 3, seed=0)
     path = str(tmp_path / "tune.json")
     r = DeviceStreamRunner("blur3", num_images=4, image=img,
