@@ -164,6 +164,22 @@ def main() -> int:
              oracle.sharpen3x3_oracle(oracle.gaussian_blur_int_oracle(b)))),
         ("median", ("median",), oracle.median3x3_oracle),
     ]
+    # Lossless DCT-domain transform tensor ops on silicon: coefficient
+    # grids round-trip through the device rot90 + its inverse exactly.
+    from hipe_tpu.ops import jpeg_transform as jt
+
+    rng_t = np.random.default_rng(17)
+    coefs = rng_t.integers(-1024, 1024, (8, 6, 9, 64)).astype(np.int16)
+    dev_c = jnp.asarray(coefs)
+    once = jt._jitted("rot90")(dev_c)
+    four = once
+    for _ in range(3):
+        four = jt._jitted("rot90")(four)
+    total_err += check("transform/rot90^4", np.asarray(four), coefs)
+    total_err += check(
+        "transform/transpose^2",
+        np.asarray(jt._jitted("transpose")(jt._jitted("transpose")(dev_c))),
+        coefs)
     for tag, names, ofn in tiled_cases:
         got = np.asarray(
             pallas_blur.filter_chain_planar_tiled_pallas(bp, names)

@@ -824,6 +824,7 @@ struct WriteBatchTask {
   WorkQueue q;
   int w, h, c, quality, subsamp, progressive, arith, restart_interval,
       optimize;
+  const unsigned short* qt_override;
   const short* const* comp_ptrs;  // count * 4 pointers (unused slots null)
   unsigned char* out;             // count * out_cap
   size_t out_cap;
@@ -836,7 +837,7 @@ void* write_batch_worker(void* arg) {
   for (int i; (i = wq_pull(&t->q)) >= 0;)
     t->rcs[i] = hipe_jpeg_write_coefs(
         t->w, t->h, t->c, t->quality, t->subsamp, t->progressive,
-        t->arith, t->restart_interval, t->optimize, nullptr,
+        t->arith, t->restart_interval, t->optimize, t->qt_override,
         t->comp_ptrs + (size_t)i * 4, t->out + (size_t)i * t->out_cap,
         t->out_cap, &t->out_lens[i]);
   return nullptr;
@@ -889,6 +890,7 @@ int hipe_jpeg_read_coefs_batch(const unsigned char* const* bufs,
 int hipe_jpeg_write_coefs_batch(int w, int h, int c, int quality, int subsamp,
                                 int progressive, int arith,
                                 int restart_interval, int optimize,
+                                const unsigned short* qt_override,
                                 const short* const* comp_ptrs, int count,
                                 unsigned char* out, size_t out_cap,
                                 size_t* out_lens, int* rcs, int num_threads) {
@@ -902,6 +904,7 @@ int hipe_jpeg_write_coefs_batch(int w, int h, int c, int quality, int subsamp,
   t.arith = arith;
   t.restart_interval = restart_interval;
   t.optimize = optimize;
+  t.qt_override = qt_override;
   t.comp_ptrs = comp_ptrs;
   t.out = out;
   t.out_cap = out_cap;

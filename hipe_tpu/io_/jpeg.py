@@ -130,7 +130,7 @@ def _load() -> ctypes.CDLL | None:
         lib.hipe_jpeg_write_coefs_batch.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint16),
             ctypes.POINTER(i16p), ctypes.c_int,
             u8p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
@@ -782,6 +782,7 @@ def write_coefficients_batch(
     arithmetic: bool = False,
     restart_interval: int = 0,
     optimize: bool = False,
+    qtables: list[np.ndarray] | None = None,
     num_threads: int | None = None,
 ) -> list[bytes]:
     """Entropy-encode a coefficient batch into JPEG files concurrently.
@@ -831,9 +832,16 @@ def write_coefficients_batch(
     out_lens = np.zeros(b, dtype=np.uintp)
     rcs = np.zeros(b, dtype=np.intc)
     nt = num_threads or (os.cpu_count() or 1)
+    qt_ptr = None
+    if qtables is not None:
+        qt_buf = np.zeros((2, 64), dtype=np.uint16)
+        qt_buf[0] = np.asarray(qtables[0], dtype=np.uint16)
+        qt_buf[1] = np.asarray(qtables[min(1, len(qtables) - 1)],
+                               dtype=np.uint16)
+        qt_ptr = qt_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
     lib.hipe_jpeg_write_coefs_batch(
         width, height, ncomps, quality, sub_code, int(progressive),
-        int(arithmetic), int(restart_interval), int(optimize),
+        int(arithmetic), int(restart_interval), int(optimize), qt_ptr,
         ptr_table, b, _as_u8p(out), cap,
         out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_size_t)),
         rcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), nt,
@@ -852,6 +860,7 @@ def write_coefficients_batch(
                     quality=quality, subsampling=subsampling,
                     progressive=progressive, arithmetic=arithmetic,
                     restart_interval=restart_interval, optimize=optimize,
+                    qtables=qtables,
                 )
             )
         else:

@@ -192,3 +192,61 @@ def transform_bytes(data: bytes, op: str, **writer_opts) -> bytes:
         sub = _SAMP_NAMES[key]
     return jio.write_coefficients(coefs, w, h, subsampling=sub,
                                   qtables=qtables, **writer_opts)
+
+
+def transform_batch(payloads: list[bytes], op: str,
+                    num_threads: int | None = None,
+                    **writer_opts) -> list[bytes]:
+    """Batched lossless transform: one jitted tensor op per geometry group.
+
+    The serving-scale shape of transform_bytes: entropy decode via the
+    GIL-free native batch reader, ONE jit call per (geometry, op) on the
+    stacked coefficient grids (batch dims broadcast through the tensor
+    ops, and shard over a DP mesh like the rest of the codec), entropy
+    encode via the pthread batch writer. Mixed geometries group like the
+    serving transcode path; per-image table overrides require matching
+    tables within a group (one encoder's stream — the common case), so
+    groups key on the quant tables too.
+    """
+    cos = jio.read_coefficients_batch(payloads, num_threads=num_threads)
+    groups: dict[tuple, list[int]] = {}
+    for i, co in enumerate(cos):
+        key = (co.width, co.height,
+               tuple((c.h_samp, c.v_samp) for c in co.components),
+               tuple(tuple(int(v) for v in c.qtable) for c in co.components))
+        groups.setdefault(key, []).append(i)
+    out: list[bytes | None] = [None] * len(cos)
+    for idxs in groups.values():
+        rep = cos[idxs[0]]
+        _check_perfect(rep, op)
+        ncomps = len(rep.components)
+        stacked = [
+            np.stack([cos[i].components[ci].coefs for i in idxs])
+            for ci in range(ncomps)
+        ]
+        transformed = [
+            np.asarray(_jitted(op)(jnp.asarray(s))).astype(np.int16)
+            for s in stacked
+        ]
+        qtables = [np.asarray(c.qtable, dtype=np.uint16)
+                   for c in rep.components]
+        if _swaps_axes(op):
+            w, h = rep.height, rep.width
+            samp = [(c.v_samp, c.h_samp) for c in rep.components]
+            qtables = [q.reshape(8, 8).T.reshape(64).copy() for q in qtables]
+        else:
+            w, h = rep.width, rep.height
+            samp = [(c.h_samp, c.v_samp) for c in rep.components]
+        if ncomps == 1:
+            sub = "444"
+        else:
+            key = tuple(samp)
+            if key not in _SAMP_NAMES:
+                raise ValueError(f"no writer layout for sampling {samp}")
+            sub = _SAMP_NAMES[key]
+        files = jio.write_coefficients_batch(
+            transformed, w, h, subsampling=sub, qtables=qtables,
+            num_threads=num_threads, **writer_opts)
+        for j, i in enumerate(idxs):
+            out[i] = files[j]
+    return out

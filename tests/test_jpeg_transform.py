@@ -253,3 +253,34 @@ def test_grayscale_stream():
     np.testing.assert_array_equal(
         co.components[0].coefs.reshape(hb, wb, 8, 8),
         _coef_oracle("flip_v", ci.components[0].coefs.reshape(hb, wb, 8, 8)))
+
+
+def test_transform_batch_matches_singles_and_groups():
+    # Mixed geometries/qualities in one call group correctly; each file
+    # byte-equals the single-image path (which uses the single writer);
+    # the batch path goes through the pthread batch writer with the
+    # qtable override.
+    rng = np.random.default_rng(17)
+    ps = [jpeg.encode_bytes_opts(
+        rng.integers(0, 256, (32, 48, 3), np.uint8), quality=85)
+        for _ in range(3)]
+    ps += [jpeg.encode_bytes_opts(
+        rng.integers(0, 256, (16, 24, 3), np.uint8), quality=70,
+        subsampling="444")]
+    ps += [jpeg.encode_bytes_opts(
+        rng.integers(0, 256, (16, 24, 1), np.uint8), quality=60)]
+    for op in ("rot90", "flip_h"):
+        got = jt.transform_batch(ps, op)
+        want = [jt.transform_bytes(p, op) for p in ps]
+        assert got == want, op
+    got = jt.transform_batch(ps, "transpose", optimize=True)
+    want = [jt.transform_bytes(p, "transpose", optimize=True) for p in ps]
+    assert got == want
+
+
+def test_transform_batch_rejects_imperfect_group():
+    rng = np.random.default_rng(19)
+    ps = [jpeg.encode_bytes_opts(
+        rng.integers(0, 256, (32, 33, 3), np.uint8), quality=85)]
+    with pytest.raises(ValueError, match="not lossless"):
+        jt.transform_batch(ps, "flip_h")
