@@ -316,6 +316,49 @@ int hipe_jpeg_coef_info(const unsigned char* buf, size_t len, int* info) {
   return 0;
 }
 
+// Collect COM and APP1..APP13 markers (Exif, ICC, XMP, comments — the
+// jpegtran -copy surface; APP0/JFIF and APP14/Adobe are regenerated by
+// the writer, never copied). Serialized into out as repeated
+// [int32 marker_code][int32 data_len][data] records. Returns 0 on
+// success, 3 if out_cap is too small (*out_len then holds the need).
+int hipe_jpeg_read_markers(const unsigned char* buf, size_t len,
+                           unsigned char* out, size_t out_cap,
+                           size_t* out_len) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit_handler;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(buf), len);
+  jpeg_save_markers(&cinfo, JPEG_COM, 0xFFFF);
+  for (int m = 1; m <= 13; ++m)
+    jpeg_save_markers(&cinfo, JPEG_APP0 + m, 0xFFFF);
+  jpeg_read_header(&cinfo, TRUE);
+  size_t need = 0;
+  for (jpeg_saved_marker_ptr mk = cinfo.marker_list; mk; mk = mk->next)
+    need += 8 + mk->data_length;
+  *out_len = need;
+  if (need > out_cap) {
+    jpeg_destroy_decompress(&cinfo);
+    return 3;
+  }
+  unsigned char* p = out;
+  for (jpeg_saved_marker_ptr mk = cinfo.marker_list; mk; mk = mk->next) {
+    int code = mk->marker;
+    int dlen = static_cast<int>(mk->data_length);
+    memcpy(p, &code, 4);
+    memcpy(p + 4, &dlen, 4);
+    memcpy(p + 8, mk->data, mk->data_length);
+    p += 8 + mk->data_length;
+  }
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
 // Entropy-decode the whole image (baseline or progressive) and copy the
 // quantized coefficients (natural order, as the entropy decoder stores them,
 // jdhuff.c) into caller-allocated per-component buffers of
@@ -548,9 +591,13 @@ int hipe_jpeg_quality_tables(int quality, unsigned short* qtabs /*2*64*/) {
 // (luma table then chroma table) installed verbatim in place of the
 // jpeg_set_quality tables — required by lossless transpose-family
 // transforms, whose output tables are the transposed input tables.
+// markers/markers_len: optional serialized marker records (format of
+// hipe_jpeg_read_markers) re-emitted after the frame tables — the
+// jpegtran -copy behavior for metadata-preserving lossless transforms.
 int hipe_jpeg_write_coefs(int w, int h, int c, int quality, int subsamp,
                           int progressive, int arith, int restart_interval,
                           int optimize, const unsigned short* qt_override,
+                          const unsigned char* markers, size_t markers_len,
                           const short* const* comp_in,
                           unsigned char* out, size_t out_cap,
                           size_t* out_len) {
@@ -615,6 +662,14 @@ int hipe_jpeg_write_coefs(int w, int h, int c, int quality, int subsamp,
         (JDIMENSION)comp->v_samp_factor);
   }
   jpeg_write_coefficients(&cinfo, coef_arrays);
+  for (const unsigned char* p = markers; p && p < markers + markers_len;) {
+    int code, dlen;
+    memcpy(&code, p, 4);
+    memcpy(&dlen, p + 4, 4);
+    jpeg_write_marker(&cinfo, code, p + 8,
+                      static_cast<unsigned int>(dlen));
+    p += 8 + dlen;
+  }
   for (int i = 0; i < cinfo.num_components; ++i) {
     const short* src = comp_in[i];
     const int hs = cinfo.comp_info[i].h_samp_factor;
@@ -838,6 +893,7 @@ void* write_batch_worker(void* arg) {
     t->rcs[i] = hipe_jpeg_write_coefs(
         t->w, t->h, t->c, t->quality, t->subsamp, t->progressive,
         t->arith, t->restart_interval, t->optimize, t->qt_override,
+        nullptr, 0,
         t->comp_ptrs + (size_t)i * 4, t->out + (size_t)i * t->out_cap,
         t->out_cap, &t->out_lens[i]);
   return nullptr;

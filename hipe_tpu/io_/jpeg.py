@@ -107,10 +107,16 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint16),
+            u8p, ctypes.c_size_t,
             ctypes.POINTER(i16p),
             u8p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
         ]
         lib.hipe_jpeg_write_coefs.restype = ctypes.c_int
+        lib.hipe_jpeg_read_markers.argtypes = [
+            u8p, ctypes.c_size_t,
+            u8p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.hipe_jpeg_read_markers.restype = ctypes.c_int
         lib.hipe_jpeg_quality_tables.argtypes = [
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint16),
         ]
@@ -550,6 +556,39 @@ def encode_bytes_opts(
     )
 
 
+def read_markers(data: bytes) -> list[tuple[int, bytes]]:
+    """COM and APP1..APP13 markers of a JPEG stream, in file order.
+
+    (marker_code, payload) pairs — Exif (APP1=0xE1), ICC (APP2), XMP,
+    comments (COM=0xFE). APP0/JFIF and APP14/Adobe are excluded: the
+    writer regenerates those. The jpegtran -copy surface.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native codec unavailable")
+    buf = np.frombuffer(data, dtype=np.uint8)
+    cap = len(data) + 4096
+    out = np.empty(cap, dtype=np.uint8)
+    out_len = ctypes.c_size_t()
+    rc = lib.hipe_jpeg_read_markers(_as_u8p(buf), buf.size, _as_u8p(out),
+                                    cap, out_len)
+    if rc == 3:
+        out = np.empty(int(out_len.value), dtype=np.uint8)
+        rc = lib.hipe_jpeg_read_markers(_as_u8p(buf), buf.size,
+                                        _as_u8p(out), out.size, out_len)
+    if rc != 0:
+        raise ValueError(f"marker read failed (rc={rc})")
+    res: list[tuple[int, bytes]] = []
+    raw = out[: int(out_len.value)].tobytes()
+    p = 0
+    while p < len(raw):
+        code = int.from_bytes(raw[p:p + 4], "little")
+        dlen = int.from_bytes(raw[p + 4:p + 8], "little")
+        res.append((code, raw[p + 8:p + 8 + dlen]))
+        p += 8 + dlen
+    return res
+
+
 def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
     """(luma, chroma) quant tables jpeg_set_quality installs, natural order."""
     lib = _load()
@@ -621,8 +660,13 @@ def write_coefficients(
     restart_interval: int = 0,
     optimize: bool = False,
     qtables: list[np.ndarray] | None = None,
+    markers: list[tuple[int, bytes]] | None = None,
 ) -> bytes:
     """Entropy-encode quantized DCT coefficients into a full JPEG.
+
+    ``markers``: optional (marker_code, payload) records (from
+    :func:`read_markers`) re-emitted after the frame tables — metadata
+    preservation for lossless transforms (jpegtran -copy).
 
     ``qtables``: optional explicit (luma[, chroma]) quant tables, (64,)
     uint16 natural order, installed verbatim instead of the
@@ -663,11 +707,20 @@ def write_coefficients(
         qt_buf[1] = np.asarray(qtables[min(1, len(qtables) - 1)],
                                dtype=np.uint16)
         qt_ptr = qt_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+    mk_ptr, mk_len = None, 0
+    if markers:
+        parts = []
+        for code, payload in markers:
+            parts.append(int(code).to_bytes(4, "little"))
+            parts.append(len(payload).to_bytes(4, "little"))
+            parts.append(bytes(payload))
+        mk_buf = np.frombuffer(b"".join(parts), dtype=np.uint8)
+        mk_ptr, mk_len = _as_u8p(mk_buf), mk_buf.size
     return _run_encode(
         lambda out, cap, out_len: lib.hipe_jpeg_write_coefs(
             width, height, ncomps, quality, sub_code, int(progressive),
             int(arithmetic), int(restart_interval), int(optimize), qt_ptr,
-            ptrs, out, cap, out_len,
+            mk_ptr, mk_len, ptrs, out, cap, out_len,
         ),
         width * height * 3 + 65536,
     )

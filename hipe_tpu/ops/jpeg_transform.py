@@ -170,7 +170,8 @@ _SAMP_NAMES = {
 }
 
 
-def transform_bytes(data: bytes, op: str, **writer_opts) -> bytes:
+def transform_bytes(data: bytes, op: str, copy_markers: bool = True,
+                    **writer_opts) -> bytes:
     """jpegtran analog: losslessly transform a JPEG byte stream.
 
     Entropy-decodes on host, runs the DCT-domain tensor transform under
@@ -179,9 +180,15 @@ def transform_bytes(data: bytes, op: str, **writer_opts) -> bytes:
     no requantization ever, regardless of what quality produced the
     stream. Writer entropy options (progressive/arithmetic/optimize/
     restart_interval) pass through, since they do not touch
-    coefficients.
+    coefficients. ``copy_markers`` (default, the jpegtran -copy all
+    behavior) carries COM/APP1-13 metadata — Exif, ICC, XMP — into the
+    output. NOTE: spatial metadata inside the markers (Exif orientation,
+    thumbnails, pixel-dimension tags) is copied verbatim, not rewritten
+    — same as jpegtran.
     """
     co = jio.read_coefficients(data)
+    if copy_markers:
+        writer_opts.setdefault("markers", jio.read_markers(data))
     coefs, w, h, samp, qtables = transform_coefficients(co, op)
     if len(co.components) == 1:
         sub = "444"
@@ -196,6 +203,7 @@ def transform_bytes(data: bytes, op: str, **writer_opts) -> bytes:
 
 def transform_batch(payloads: list[bytes], op: str,
                     num_threads: int | None = None,
+                    copy_markers: bool = True,
                     **writer_opts) -> list[bytes]:
     """Batched lossless transform: one jitted tensor op per geometry group.
 
@@ -244,9 +252,26 @@ def transform_batch(payloads: list[bytes], op: str,
             if key not in _SAMP_NAMES:
                 raise ValueError(f"no writer layout for sampling {samp}")
             sub = _SAMP_NAMES[key]
-        files = jio.write_coefficients_batch(
-            transformed, w, h, subsampling=sub, qtables=qtables,
-            num_threads=num_threads, **writer_opts)
+        group_markers = (
+            [jio.read_markers(payloads[i]) for i in idxs]
+            if copy_markers else [[] for _ in idxs]
+        )
+        if any(group_markers):
+            # Markers are per-image; the pthread batch writer shares one
+            # option set, so metadata-carrying images take the single
+            # writer (markers are rare in machine-generated streams; a
+            # camera-originals batch trades GIL-free writes for -copy).
+            files = [
+                jio.write_coefficients(
+                    [t[j] for t in transformed], w, h, subsampling=sub,
+                    qtables=qtables, markers=group_markers[j],
+                    **writer_opts)
+                for j in range(len(idxs))
+            ]
+        else:
+            files = jio.write_coefficients_batch(
+                transformed, w, h, subsampling=sub, qtables=qtables,
+                num_threads=num_threads, **writer_opts)
         for j, i in enumerate(idxs):
             out[i] = files[j]
     return out

@@ -284,3 +284,24 @@ def test_transform_batch_rejects_imperfect_group():
         rng.integers(0, 256, (32, 33, 3), np.uint8), quality=85)]
     with pytest.raises(ValueError, match="not lossless"):
         jt.transform_batch(ps, "flip_h")
+
+
+def test_markers_copied_through_transforms():
+    # jpegtran -copy behavior: Exif/ICC/COM markers survive transforms
+    # verbatim; copy_markers=False drops them; batch matches singles.
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (16, 16, 3), np.uint8)
+    co = jpeg.read_coefficients(jpeg.encode_bytes_opts(img, quality=85))
+    mks = [(0xE1, b"Exif\x00\x00PAYLOAD"), (0xFE, b"hello"),
+           (0xE2, b"ICC_PROFILE\x00" + bytes(32))]
+    src = jpeg.write_coefficients([c.coefs for c in co.components], 16, 16,
+                                  quality=85, markers=mks)
+    assert jpeg.read_markers(src) == mks
+    out = jt.transform_bytes(src, "rot90")
+    assert jpeg.read_markers(out) == mks
+    out2 = jt.transform_bytes(src, "rot90", copy_markers=False)
+    assert jpeg.read_markers(out2) == []
+    plain = jpeg.encode_bytes_opts(img, quality=85)
+    batch = jt.transform_batch([src, plain], "rot90")
+    assert batch[0] == out
+    assert batch[1] == jt.transform_bytes(plain, "rot90")
