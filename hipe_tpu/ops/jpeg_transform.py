@@ -201,6 +201,28 @@ def transform_bytes(data: bytes, op: str, copy_markers: bool = True,
                                   qtables=qtables, **writer_opts)
 
 
+def _has_metadata(data: bytes) -> bool:
+    """Cheap segment scan: any COM/APP1-13 marker before SOS?
+
+    Pure-Python walk of the marker segments (each a few bytes of
+    header), so the batch path only pays a native read_markers parse
+    for payloads that actually carry metadata.
+    """
+    p = 2  # past SOI
+    n = len(data)
+    while p + 4 <= n:
+        if data[p] != 0xFF:
+            return False  # not a well-formed segment stream; be safe
+        code = data[p + 1]
+        if code == 0xDA:  # SOS: entropy data follows
+            return False
+        if code == 0xFE or 0xE1 <= code <= 0xED:
+            return True
+        seglen = (data[p + 2] << 8) | data[p + 3]
+        p += 2 + seglen
+    return False
+
+
 def transform_batch(payloads: list[bytes], op: str,
                     num_threads: int | None = None,
                     copy_markers: bool = True,
@@ -253,7 +275,9 @@ def transform_batch(payloads: list[bytes], op: str,
                 raise ValueError(f"no writer layout for sampling {samp}")
             sub = _SAMP_NAMES[key]
         group_markers = (
-            [jio.read_markers(payloads[i]) for i in idxs]
+            [jio.read_markers(payloads[i])
+             if _has_metadata(payloads[i]) else []
+             for i in idxs]
             if copy_markers else [[] for _ in idxs]
         )
         if any(group_markers):
