@@ -306,3 +306,32 @@ def test_cli_serve_decode_scale(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "Decode scale: 1/4" in out
+
+
+def test_cli_transform_mode(tmp_path, capsys):
+    """Lossless transform subcommand: success, clean error paths."""
+    from hipe_tpu import cli
+
+    out = str(tmp_path / "rot.jpg")
+    rc = cli.main(["transform", "/root/reference/image_320x240.jpg",
+                   "rot90", "-o", out])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "lossless" in text
+    from hipe_tpu.io_ import jpeg
+
+    assert jpeg.decode_bytes(open(out, "rb").read()).shape == (320, 240, 3)
+    # Missing input: one clean Error line, exit 1.
+    rc = cli.main(["transform", "/nonexistent.jpg", "rot90", "-o", out])
+    assert rc == 1
+    assert capsys.readouterr().out.startswith("Error:")
+    # Imperfect geometry (320x240 not an iMCU multiple after... width 320
+    # IS a multiple; craft a 33-wide file to refuse flip_h).
+    import numpy as np
+
+    bad = str(tmp_path / "bad.jpg")
+    rng = np.random.default_rng(0)
+    jpeg.encode_file(rng.integers(0, 256, (32, 33, 3), dtype=np.uint8), bad)
+    rc = cli.main(["transform", bad, "flip_h", "-o", out])
+    assert rc == 1
+    assert "not lossless" in capsys.readouterr().out
