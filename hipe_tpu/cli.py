@@ -124,7 +124,11 @@ def _build_parser() -> argparse.ArgumentParser:
         help="lossless DCT-domain transform (jpegtran analog on device)")
     tr.add_argument("input", help="input JPEG path")
     tr.add_argument("op", choices=("flip_h", "flip_v", "rot90", "rot180",
-                                   "rot270", "transpose", "transverse"))
+                                   "rot270", "transpose", "transverse",
+                                   "crop"))
+    tr.add_argument("--crop", type=int, nargs=4, default=None,
+                    metavar=("X", "Y", "W", "H"),
+                    help="region for op=crop (X,Y iMCU-aligned)")
     tr.add_argument("-o", "--output", required=True, help="output JPEG path")
     tr.add_argument("--progressive", action="store_true")
     tr.add_argument("--arithmetic", action="store_true")
@@ -232,9 +236,16 @@ def _main_transform(args) -> int:
     try:
         with open(args.input, "rb") as f:
             data = f.read()
-        out = transform_bytes(data, args.op, progressive=args.progressive,
-                              arithmetic=args.arithmetic,
-                              optimize=args.optimize)
+        opts = dict(progressive=args.progressive,
+                    arithmetic=args.arithmetic, optimize=args.optimize)
+        if args.op == "crop":
+            if args.crop is None:
+                raise ValueError("op=crop requires --crop X Y W H")
+            from hipe_tpu.ops.jpeg_transform import crop_bytes
+
+            out = crop_bytes(data, *args.crop, **opts)
+        else:
+            out = transform_bytes(data, args.op, **opts)
     except (OSError, ValueError) as e:
         print(f"Error: {e}")
         return 1

@@ -299,3 +299,65 @@ def transform_batch(payloads: list[bytes], op: str,
         for j, i in enumerate(idxs):
             out[i] = files[j]
     return out
+
+
+def crop_coefficients(co, x: int, y: int, w: int, h: int):
+    """Lossless crop: slice the block grids (jpegtran -crop semantics).
+
+    (x, y) must be iMCU-aligned (multiples of 8*max_h / 8*max_v) — the
+    entropy stream cannot start mid-iMCU; w/h are arbitrary positive
+    sizes clipped at the image bounds. Returns the same writer pieces as
+    transform_coefficients (no sampling/table changes). Like jpegtran,
+    pixels inside the crop decode from the identical coefficient blocks
+    — EXACT at the per-component sample level everywhere. Full-pixel
+    equality with the uncropped decode holds everywhere for 4:4:4 /
+    grayscale; for subsampled streams the chroma upsampler replicates at
+    each NEW crop edge where the original had real neighbors, so the
+    one-pixel edge ring can differ (interior identical) — the same
+    behavior jpegtran -crop has.
+    """
+    imcu_w, imcu_h = 8 * co.max_h, 8 * co.max_v
+    if x % imcu_w or y % imcu_h:
+        raise ValueError(
+            f"crop origin ({x}, {y}) must be iMCU-aligned "
+            f"(multiples of {imcu_w}x{imcu_h} for this stream)"
+        )
+    if not (0 <= x < co.width and 0 <= y < co.height):
+        raise ValueError(f"crop origin ({x}, {y}) outside "
+                         f"{co.width}x{co.height}")
+    if w <= 0 or h <= 0:
+        raise ValueError("crop size must be positive")
+    w = min(w, co.width - x)
+    h = min(h, co.height - y)
+    out = []
+    samp = []
+    qtables = []
+    for comp in co.components:
+        bx0 = x * comp.h_samp // (8 * co.max_h)
+        by0 = y * comp.v_samp // (8 * co.max_v)
+        dw = -(-w * comp.h_samp // co.max_h)
+        dh = -(-h * comp.v_samp // co.max_v)
+        wb, hb = -(-dw // 8), -(-dh // 8)
+        out.append(np.ascontiguousarray(
+            comp.coefs[by0:by0 + hb, bx0:bx0 + wb]))
+        samp.append((comp.h_samp, comp.v_samp))
+        qtables.append(np.asarray(comp.qtable, dtype=np.uint16))
+    return out, w, h, samp, qtables
+
+
+def crop_bytes(data: bytes, x: int, y: int, w: int, h: int,
+               copy_markers: bool = True, **writer_opts) -> bytes:
+    """jpegtran -crop analog: extract a region without recompression."""
+    co = jio.read_coefficients(data)
+    if copy_markers:
+        writer_opts.setdefault("markers", jio.read_markers(data))
+    coefs, w, h, samp, qtables = crop_coefficients(co, x, y, w, h)
+    if len(co.components) == 1:
+        sub = "444"
+    else:
+        key = tuple(samp)
+        if key not in _SAMP_NAMES:
+            raise ValueError(f"no writer layout for sampling {samp}")
+        sub = _SAMP_NAMES[key]
+    return jio.write_coefficients(coefs, w, h, subsampling=sub,
+                                  qtables=qtables, **writer_opts)

@@ -305,3 +305,54 @@ def test_markers_copied_through_transforms():
     batch = jt.transform_batch([src, plain], "rot90")
     assert batch[0] == out
     assert batch[1] == jt.transform_bytes(plain, "rot90")
+
+
+def test_crop_lossless():
+    # Component samples inside the crop are the EXACT slices of the
+    # original's; full pixels equal the uncropped decode's region except
+    # where the crop creates a new chroma edge (crop to the image's own
+    # right/bottom edges -> fully pixel-exact).
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (48, 64, 3), np.uint8)
+    # 4:4:4 (no resampling): pixel-exact at ANY aligned origin/size.
+    d444 = jpeg.encode_bytes_opts(img, quality=85, subsampling="444")
+    out = jt.crop_bytes(d444, 16, 8, 33, 17)
+    np.testing.assert_array_equal(
+        jpeg.decode_bytes(out), jpeg.decode_bytes(d444)[8:25, 16:49])
+    # 4:2:0: new crop edges change the chroma upsampler's context
+    # (replication where the original had real neighbors), so pixel
+    # differences are confined to the one-pixel edge ring; the interior
+    # is exact.
+    data = jpeg.encode_bytes_opts(img, quality=85, subsampling="420")
+    out = jt.crop_bytes(data, 16, 16, 48, 32)
+    a = jpeg.decode_bytes(out).astype(int)
+    b = jpeg.decode_bytes(data)[16:48, 16:64].astype(int)
+    np.testing.assert_array_equal(a[2:-2, 2:-2], b[2:-2, 2:-2])
+    assert np.abs(a - b).max() <= 40  # edge-ring chroma context only
+    # Interior crop with odd size: per-component samples exact.
+    out = jt.crop_bytes(data, 16, 16, 33, 17)
+    ci = jpeg.read_coefficients(data)
+    co = jpeg.read_coefficients(out)
+    assert (co.width, co.height) == (33, 17)
+    for a, b in zip(ci.components, co.components):
+        sa = np.asarray(jd.idct8x8_islow(jnp.asarray(a.coefs), a.qtable))
+        sb = np.asarray(jd.idct8x8_islow(jnp.asarray(b.coefs), b.qtable))
+        fx = a.h_samp * 16 // ci.max_h
+        fy = a.v_samp * 16 // ci.max_v
+        dh, dw = _dims(co, b)
+        np.testing.assert_array_equal(
+            sb[:dh, :dw], sa[fy:fy + dh, fx:fx + dw])
+    # Misaligned origin refused; grayscale works; markers survive.
+    with pytest.raises(ValueError, match="iMCU-aligned"):
+        jt.crop_bytes(data, 8, 0, 16, 16)
+    gray = jpeg.encode_bytes_opts(
+        rng.integers(0, 256, (32, 32, 1), np.uint8), quality=85)
+    gout = jt.crop_bytes(gray, 8, 8, 16, 16)
+    np.testing.assert_array_equal(
+        jpeg.decode_bytes(gout), jpeg.decode_bytes(gray)[8:24, 8:24])
+    co0 = jpeg.read_coefficients(data)
+    marked = jpeg.write_coefficients(
+        [c.coefs for c in co0.components], 64, 48, quality=85,
+        subsampling="420", markers=[(0xFE, b"note")])
+    assert jpeg.read_markers(jt.crop_bytes(marked, 0, 0, 32, 32)) == \
+        [(0xFE, b"note")]
