@@ -140,3 +140,18 @@ def test_cmyk_decode_batch_sharded_matches_unsharded():
     assert len(out.sharding.device_set) == 8
     assert out.shape[-1] == 4
     np.testing.assert_array_equal(np.asarray(out), want)
+
+
+def test_lossless_transform_sharded_matches_unsharded():
+    # The DCT-domain transform tensor ops are elementwise over the batch
+    # axis too: a sharded rot90 must match the unsharded one bit-for-bit.
+    from hipe_tpu.ops import jpeg_transform as jt
+
+    geo, qt, comp_batches = _coef_batch(n=8)
+    mesh = meshlib.make_mesh(8)
+    sharding = NamedSharding(mesh, P(meshlib.DATA_AXIS))
+    fn = jax.jit(lambda c: jt.transform_component(c, "rot90"))
+    for cb in comp_batches:
+        want = np.asarray(fn(jnp.asarray(cb)))
+        got = np.asarray(fn(jax.device_put(cb, sharding)))
+        np.testing.assert_array_equal(got, want)
