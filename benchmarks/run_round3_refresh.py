@@ -1,0 +1,68 @@
+"""Serial on-silicon refresh for the round-3 additions (one command).
+
+Runs, in order (serially — concurrent TPU processes skew timings ~2x):
+  1. verify_hw.py        — bit-exactness matrix (now incl. median,
+                           narrow-chroma, transform round-trips)
+  2. bench.py            — flagship (persisted autotune re-verify)
+  3. run_device_decode.py — device codec rates
+  4. probe_transform.py  — lossless-transform stage split on device
+  5. render_tables.py    — regenerate FINDINGS autogen tables
+
+Probes the tunnel first with a hard timeout so a dead tunnel fails fast
+with a clear message instead of hanging in jax.devices().
+
+Usage: python benchmarks/run_round3_refresh.py [--skip-corpus]
+"""
+
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def tunnel_alive(timeout_s: int = 90) -> bool:
+    probe = ("import jax, numpy as np, jax.numpy as jnp; "
+             "print('OK', np.asarray(jnp.arange(4)).sum())")
+    try:
+        r = subprocess.run([sys.executable, "-c", probe],
+                           capture_output=True, timeout=timeout_s)
+        return b"OK 6" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def run(cmd: list[str], timeout_s: int) -> int:
+    print(f"\n=== {' '.join(cmd)} ===", flush=True)
+    try:
+        return subprocess.run(cmd, cwd=ROOT, timeout=timeout_s).returncode
+    except subprocess.TimeoutExpired:
+        print(f"TIMEOUT after {timeout_s}s: {' '.join(cmd)}")
+        return 124
+
+
+def main() -> int:
+    if not tunnel_alive():
+        print("TPU tunnel unreachable (probe timed out); aborting — "
+              "re-run when `jax.devices()` responds.")
+        return 2
+    py = sys.executable
+    steps = [
+        ([py, "benchmarks/verify_hw.py"], 3600),
+        ([py, "bench.py"], 3600),
+        ([py, "benchmarks/run_device_decode.py"], 5400),
+        ([py, "benchmarks/probe_transform.py"], 1800),
+        ([py, "benchmarks/render_tables.py"], 300),
+    ]
+    failures = 0
+    for cmd, t in steps:
+        rc = run(cmd, t)
+        if rc != 0:
+            print(f"step failed rc={rc}: {' '.join(cmd)}")
+            failures += 1
+    print(f"\nrefresh complete, {failures} failed step(s)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
