@@ -122,14 +122,17 @@ def _build_parser() -> argparse.ArgumentParser:
     tr = sub.add_parser(
         "transform",
         help="lossless DCT-domain transform (jpegtran analog on device)")
-    tr.add_argument("input", help="input JPEG path")
+    tr.add_argument("input", nargs="+",
+                    help="input JPEG path(s); multiple inputs use the "
+                         "batched path and -o names a directory")
     tr.add_argument("op", choices=("flip_h", "flip_v", "rot90", "rot180",
                                    "rot270", "transpose", "transverse",
                                    "crop"))
     tr.add_argument("--crop", type=int, nargs=4, default=None,
                     metavar=("X", "Y", "W", "H"),
                     help="region for op=crop (X,Y iMCU-aligned)")
-    tr.add_argument("-o", "--output", required=True, help="output JPEG path")
+    tr.add_argument("-o", "--output", required=True,
+                    help="output JPEG path (or directory for multi-input)")
     tr.add_argument("--progressive", action="store_true")
     tr.add_argument("--arithmetic", action="store_true")
     tr.add_argument("--optimize", action="store_true")
@@ -230,29 +233,45 @@ def _main_stream(args) -> int:
 
 
 def _main_transform(args) -> int:
-    """Lossless DCT-domain transform of one JPEG (jpegtran analog)."""
-    from hipe_tpu.ops.jpeg_transform import transform_bytes
+    """Lossless DCT-domain transform of JPEG file(s) (jpegtran analog)."""
+    import os as _os
 
+    from hipe_tpu.ops.jpeg_transform import (crop_bytes, transform_batch,
+                                             transform_bytes)
+
+    opts = dict(progressive=args.progressive,
+                arithmetic=args.arithmetic, optimize=args.optimize)
     try:
-        with open(args.input, "rb") as f:
-            data = f.read()
-        opts = dict(progressive=args.progressive,
-                    arithmetic=args.arithmetic, optimize=args.optimize)
+        datas = []
+        for path in args.input:
+            with open(path, "rb") as f:
+                datas.append(f.read())
         if args.op == "crop":
             if args.crop is None:
                 raise ValueError("op=crop requires --crop X Y W H")
-            from hipe_tpu.ops.jpeg_transform import crop_bytes
-
-            out = crop_bytes(data, *args.crop, **opts)
+            outs = [crop_bytes(d, *args.crop, **opts) for d in datas]
+        elif len(datas) > 1:
+            outs = transform_batch(datas, args.op, **opts)
         else:
-            out = transform_bytes(data, args.op, **opts)
+            outs = [transform_bytes(datas[0], args.op, **opts)]
     except (OSError, ValueError) as e:
         print(f"Error: {e}")
         return 1
-    with open(args.output, "wb") as f:
-        f.write(out)
-    print(f"{args.op}: {args.input} -> {args.output} "
-          f"({len(data)} -> {len(out)} bytes, lossless)")
+    if len(args.input) > 1:
+        _os.makedirs(args.output, exist_ok=True)
+        for path, out in zip(args.input, outs):
+            dst = _os.path.join(args.output, _os.path.basename(path))
+            with open(dst, "wb") as f:
+                f.write(out)
+        total_in = sum(len(d) for d in datas)
+        total_out = sum(len(o) for o in outs)
+        print(f"{args.op}: {len(datas)} files -> {args.output}/ "
+              f"({total_in} -> {total_out} bytes, lossless)")
+    else:
+        with open(args.output, "wb") as f:
+            f.write(outs[0])
+        print(f"{args.op}: {args.input[0]} -> {args.output} "
+              f"({len(datas[0])} -> {len(outs[0])} bytes, lossless)")
     return 0
 
 
