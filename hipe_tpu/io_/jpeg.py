@@ -310,6 +310,8 @@ def decode_batch(datas: list[bytes], num_threads: int | None = None,
         raise ValueError("empty batch")
     lib = _load()
     if lib is None:
+        if force_gray:
+            raise RuntimeError("force_gray needs the native codec")
         return np.stack([_pil_decode(d) for d in datas])
     first = decode_bytes(datas[0], force_gray=force_gray)
     h, w, c = first.shape
@@ -556,6 +558,29 @@ def encode_bytes_opts(
     )
 
 
+def _qt_override_buf(qtables: list) -> np.ndarray:
+    """(2, 64) uint16 override for the writer's luma/chroma table slots.
+
+    The writer (jpeg_set_defaults) has exactly two table slots — comp 0
+    -> luma, comps 1+2 -> chroma — so a stream whose Cb and Cr use
+    DIFFERENT tables cannot be rewritten without requantizing one of
+    them; refuse loudly rather than corrupt Cr silently.
+    """
+    qt_buf = np.zeros((2, 64), dtype=np.uint16)
+    qt_buf[0] = np.asarray(qtables[0], dtype=np.uint16)
+    if len(qtables) > 1:
+        qt_buf[1] = np.asarray(qtables[1], dtype=np.uint16)
+        for extra in qtables[2:]:
+            if not np.array_equal(qt_buf[1],
+                                  np.asarray(extra, dtype=np.uint16)):
+                raise ValueError(
+                    "stream's chroma components use different quant "
+                    "tables; the two-slot writer cannot represent that "
+                    "losslessly"
+                )
+    return qt_buf
+
+
 def read_markers(data: bytes) -> list[tuple[int, bytes]]:
     """COM and APP1..APP13 markers of a JPEG stream, in file order.
 
@@ -702,10 +727,7 @@ def write_coefficients(
     ptrs = (i16p * ncomps)(*[a.ctypes.data_as(i16p) for a in arrays])
     qt_ptr = None
     if qtables is not None:
-        qt_buf = np.zeros((2, 64), dtype=np.uint16)
-        qt_buf[0] = np.asarray(qtables[0], dtype=np.uint16)
-        qt_buf[1] = np.asarray(qtables[min(1, len(qtables) - 1)],
-                               dtype=np.uint16)
+        qt_buf = _qt_override_buf(qtables)
         qt_ptr = qt_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
     mk_ptr, mk_len = None, 0
     if markers:
@@ -887,10 +909,7 @@ def write_coefficients_batch(
     nt = num_threads or (os.cpu_count() or 1)
     qt_ptr = None
     if qtables is not None:
-        qt_buf = np.zeros((2, 64), dtype=np.uint16)
-        qt_buf[0] = np.asarray(qtables[0], dtype=np.uint16)
-        qt_buf[1] = np.asarray(qtables[min(1, len(qtables) - 1)],
-                               dtype=np.uint16)
+        qt_buf = _qt_override_buf(qtables)
         qt_ptr = qt_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
     lib.hipe_jpeg_write_coefs_batch(
         width, height, ncomps, quality, sub_code, int(progressive),

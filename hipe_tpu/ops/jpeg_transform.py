@@ -117,6 +117,29 @@ def _check_perfect(co, op: str) -> None:
         )
 
 
+def _subsampling_name(samp: list, ncomps: int) -> str:
+    """Writer layout name for a per-component sampling list."""
+    if ncomps == 1:
+        return "444"
+    key = tuple(samp)
+    if key not in _SAMP_NAMES:
+        raise ValueError(f"no writer layout for sampling {samp}")
+    return _SAMP_NAMES[key]
+
+
+def _swapped_pieces(components, width: int, height: int, op: str):
+    """(w, h, samp, qtables) after `op`'s optional axis swap."""
+    qtables = [np.asarray(c.qtable, dtype=np.uint16) for c in components]
+    if _swaps_axes(op):
+        w, h = height, width
+        samp = [(c.v_samp, c.h_samp) for c in components]
+        qtables = [q.reshape(8, 8).T.reshape(64).copy() for q in qtables]
+    else:
+        w, h = width, height
+        samp = [(c.h_samp, c.v_samp) for c in components]
+    return w, h, samp, qtables
+
+
 def transform_coefficients(co, op: str):
     """Losslessly transform an io_.jpeg.JpegCoefficients -> writer pieces.
 
@@ -133,20 +156,9 @@ def transform_coefficients(co, op: str):
     for comp in co.components:
         t = np.asarray(_jitted(op)(jnp.asarray(comp.coefs)))
         out.append(t.astype(np.int16))
-    qtables = [np.asarray(c.qtable, dtype=np.uint16) for c in co.components]
-    if _swaps_axes(op):
-        w, h = co.height, co.width
-        samp = [(c.v_samp, c.h_samp) for c in co.components]
-        qtables = [q.reshape(8, 8).T.reshape(64).copy() for q in qtables]
-    else:
-        w, h = co.width, co.height
-        samp = [(c.h_samp, c.v_samp) for c in co.components]
+    w, h, samp, qtables = _swapped_pieces(co.components, co.width,
+                                          co.height, op)
     return out, w, h, samp, qtables
-
-
-@jax.jit
-def _noop(c):
-    return c
 
 
 _JITTED: dict = {}
@@ -190,13 +202,7 @@ def transform_bytes(data: bytes, op: str, copy_markers: bool = True,
     if copy_markers:
         writer_opts.setdefault("markers", jio.read_markers(data))
     coefs, w, h, samp, qtables = transform_coefficients(co, op)
-    if len(co.components) == 1:
-        sub = "444"
-    else:
-        key = tuple(samp)
-        if key not in _SAMP_NAMES:
-            raise ValueError(f"no writer layout for sampling {samp}")
-        sub = _SAMP_NAMES[key]
+    sub = _subsampling_name(samp, len(co.components))
     return jio.write_coefficients(coefs, w, h, subsampling=sub,
                                   qtables=qtables, **writer_opts)
 
@@ -213,6 +219,11 @@ def _has_metadata(data: bytes) -> bool:
     while p + 4 <= n:
         if data[p] != 0xFF:
             return False  # not a well-formed segment stream; be safe
+        # Spec-legal 0xFF fill bytes may pad before the marker code.
+        while p + 4 <= n and data[p + 1] == 0xFF:
+            p += 1
+        if p + 4 > n:
+            return False
         code = data[p + 1]
         if code == 0xDA:  # SOS: entropy data follows
             return False
@@ -258,22 +269,9 @@ def transform_batch(payloads: list[bytes], op: str,
             np.asarray(_jitted(op)(jnp.asarray(s))).astype(np.int16)
             for s in stacked
         ]
-        qtables = [np.asarray(c.qtable, dtype=np.uint16)
-                   for c in rep.components]
-        if _swaps_axes(op):
-            w, h = rep.height, rep.width
-            samp = [(c.v_samp, c.h_samp) for c in rep.components]
-            qtables = [q.reshape(8, 8).T.reshape(64).copy() for q in qtables]
-        else:
-            w, h = rep.width, rep.height
-            samp = [(c.h_samp, c.v_samp) for c in rep.components]
-        if ncomps == 1:
-            sub = "444"
-        else:
-            key = tuple(samp)
-            if key not in _SAMP_NAMES:
-                raise ValueError(f"no writer layout for sampling {samp}")
-            sub = _SAMP_NAMES[key]
+        w, h, samp, qtables = _swapped_pieces(rep.components, rep.width,
+                                              rep.height, op)
+        sub = _subsampling_name(samp, ncomps)
         group_markers = (
             [jio.read_markers(payloads[i])
              if _has_metadata(payloads[i]) else []
@@ -352,12 +350,6 @@ def crop_bytes(data: bytes, x: int, y: int, w: int, h: int,
     if copy_markers:
         writer_opts.setdefault("markers", jio.read_markers(data))
     coefs, w, h, samp, qtables = crop_coefficients(co, x, y, w, h)
-    if len(co.components) == 1:
-        sub = "444"
-    else:
-        key = tuple(samp)
-        if key not in _SAMP_NAMES:
-            raise ValueError(f"no writer layout for sampling {samp}")
-        sub = _SAMP_NAMES[key]
+    sub = _subsampling_name(samp, len(co.components))
     return jio.write_coefficients(coefs, w, h, subsampling=sub,
                                   qtables=qtables, **writer_opts)

@@ -174,6 +174,17 @@ class ServingPipeline:
         )
         self.stats = ServeStats()
 
+    def close(self) -> None:
+        """Release the host-stage worker threads (idempotent)."""
+        self._pool.shutdown(wait=False)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
     def _out_dims(self, h: int, w: int) -> tuple[int, int]:
         """Output pixel dims after the optional downscale/resize."""
         if self.resize_to is not None:
@@ -481,7 +492,6 @@ class ServingPipeline:
             keys.append((geo, qkey))
             groups.setdefault((geo, qkey), []).append(i)
 
-        t0 = now_ms()
         out: list[np.ndarray | None] = [None] * len(cos)
         for (geo, qkey), idxs in groups.items():
             if geo.ncomps == 4 or not jd.supported_scaled(
@@ -490,9 +500,12 @@ class ServingPipeline:
                 # native codec applies the same DCT-domain scale there).
                 # 4-component (CMYK) streams take this route too so the
                 # host decode raises the clear not-servable error.
+                # (_decode and _filter_device keep their own stage books,
+                # so no outer timer here — it would double-count.)
                 batch = self._decode([payloads[i] for i in idxs])
                 res = self._filter_device(batch)
             else:
+                t0 = now_ms()
                 comp_batches = [
                     jax.device_put(
                         np.stack([cos[i].components[ci].coefs for i in idxs]),
@@ -502,9 +515,9 @@ class ServingPipeline:
                 ]
                 fn = self._fused_decode_filter_fn(geo, qkey)
                 res = np.asarray(fn(*comp_batches))
+                self.stats.device_ms += now_ms() - t0
             for j, i in enumerate(idxs):
                 out[i] = res[j]
-        self.stats.device_ms += now_ms() - t0
         if len({o.shape for o in out}) > 1:
             raise ValueError(
                 "mixed-resolution batch cannot return one pixel array; "

@@ -356,3 +356,33 @@ def test_crop_lossless():
         subsampling="420", markers=[(0xFE, b"note")])
     assert jpeg.read_markers(jt.crop_bytes(marked, 0, 0, 32, 32)) == \
         [(0xFE, b"note")]
+
+
+def test_fill_bytes_before_marker_detected():
+    # Spec-legal 0xFF fill padding before a marker code must not hide
+    # metadata from the batch path's cheap scan.
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, (16, 16, 3), np.uint8)
+    co = jpeg.read_coefficients(jpeg.encode_bytes_opts(img, quality=85))
+    src = jpeg.write_coefficients([c.coefs for c in co.components], 16, 16,
+                                  quality=85, markers=[(0xFE, b"m")])
+    # Inject a fill byte before the COM marker (FF FE -> FF FF FE).
+    i = src.index(b"\xff\xfe")
+    padded = src[:i] + b"\xff" + src[i:]
+    assert jpeg.read_markers(padded) == [(0xFE, b"m")]
+    out = jt.transform_batch([padded], "rot180")[0]
+    assert jpeg.read_markers(out) == [(0xFE, b"m")]
+
+
+def test_distinct_chroma_tables_refused():
+    # A stream whose Cb and Cr use different quant tables cannot be
+    # rewritten by the two-slot writer; must refuse, never corrupt Cr.
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (16, 16, 3), np.uint8)
+    co = jpeg.read_coefficients(jpeg.encode_bytes_opts(img, quality=85))
+    qt = [np.asarray(c.qtable, np.uint16) for c in co.components]
+    qt[2] = qt[2].copy()
+    qt[2][0] += 1
+    with pytest.raises(ValueError, match="different quant tables"):
+        jpeg.write_coefficients([c.coefs for c in co.components], 16, 16,
+                                quality=85, qtables=qt)
