@@ -85,10 +85,10 @@ def _build_parser() -> argparse.ArgumentParser:
                              "411", "410", "311"),
                     help="chroma subsampling of the emitted JPEGs")
     sv.add_argument("--encode-arithmetic", action="store_true",
-                    help="arithmetic-coded output streams (SOF9; ~5-10% "
+                    help="arithmetic-coded output streams (SOF9; ~5-10%% "
                          "smaller than Huffman at identical pixels)")
     sv.add_argument("--encode-optimize", action="store_true",
-                    help="per-image optimal Huffman tables (~2-5% smaller "
+                    help="per-image optimal Huffman tables (~2-5%% smaller "
                          "files, identical pixels)")
     sv.add_argument("--encode-restart-interval", type=int, default=0,
                     metavar="MCUS",
@@ -229,7 +229,9 @@ def _main_stream(args) -> int:
             "max_abs_err": err,
             "config": (runner.tuning or {}).get("chosen", "default"),
         }))
-    return 0 if err <= 1 else 1
+    # Exact equality is the repo-wide contract (CLAUDE.md): any nonzero
+    # device-vs-oracle error is a kernel regression, never tolerance.
+    return 0 if err == 0 else 1
 
 
 def _main_transform(args) -> int:
@@ -258,10 +260,14 @@ def _main_transform(args) -> int:
         print(f"Error: {e}")
         return 1
     if len(args.input) > 1:
+        names = [_os.path.basename(p) for p in args.input]
+        if len(set(names)) != len(names):
+            print("Error: input basenames collide; outputs would "
+                  "overwrite each other in the output directory")
+            return 1
         _os.makedirs(args.output, exist_ok=True)
-        for path, out in zip(args.input, outs):
-            dst = _os.path.join(args.output, _os.path.basename(path))
-            with open(dst, "wb") as f:
+        for name, out in zip(names, outs):
+            with open(_os.path.join(args.output, name), "wb") as f:
                 f.write(out)
         total_in = sum(len(d) for d in datas)
         total_out = sum(len(o) for o in outs)

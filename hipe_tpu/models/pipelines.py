@@ -212,5 +212,14 @@ flagship = PIPELINES["blur3"]
 
 def get(name_or_filters: str | Sequence[str]) -> Pipeline:
     if isinstance(name_or_filters, str):
-        return PIPELINES[name_or_filters]
+        if name_or_filters in PIPELINES:
+            return PIPELINES[name_or_filters]
+        if name_or_filters in xblur.FILTERS:
+            # Bare filter names are valid pipelines of one stage (the CLI
+            # advertises them as choices).
+            return Pipeline(name_or_filters, (name_or_filters,))
+        raise KeyError(
+            f"unknown pipeline {name_or_filters!r} "
+            f"(choose from {sorted(set(PIPELINES) | set(xblur.FILTERS))})"
+        )
     return Pipeline("+".join(name_or_filters), tuple(name_or_filters))
