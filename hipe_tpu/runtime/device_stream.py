@@ -244,7 +244,12 @@ class DeviceStreamRunner:
                             "cached_per_pass_s": cached_t,
                             "skipped": {},
                         }
-                        self._store_cached_config(label, cfg, t)
+                        # Keep the FASTEST observation as the stored
+                        # baseline: re-storing each fresh timing would
+                        # ratchet the 1.6x acceptance threshold upward
+                        # and let gradual regressions pass forever.
+                        self._store_cached_config(label, cfg,
+                                                  min(t, cached_t))
                         return {label: t}
                     print(
                         f"autotune: cached config {label} regressed "
@@ -358,7 +363,12 @@ class DeviceStreamRunner:
             self._sync(self._chained(self.stream, 1 + passes))
             t2 = time.perf_counter() - t0
             samples.append((t2 - t1) / passes)
-        best = sorted(samples)[len(samples) // 2]
+        ordered = sorted(samples)
+        mid = len(ordered) // 2
+        # True median: even rep counts average the middle pair (taking
+        # the upper-middle alone systematically overstates the time).
+        best = (ordered[mid] if len(ordered) % 2
+                else (ordered[mid - 1] + ordered[mid]) / 2.0)
         if best <= 0.0:
             # Timing noise swamped the differencing (short runs on a loaded
             # host); fall back to the raw chained-run estimate.
@@ -366,7 +376,7 @@ class DeviceStreamRunner:
         return best
 
     def measure_throughput(self, passes: int = 10, reps: int = 3) -> dict:
-        """Steady-state img/s via pass-count differencing, best of `reps`."""
+        """Steady-state img/s via pass-count differencing, median of `reps`."""
         best = self._measure_per_pass(passes=passes, reps=reps)
         h, w, c = self.shape
         return {

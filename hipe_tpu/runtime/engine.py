@@ -157,6 +157,14 @@ class _Lane:
         rows = jax.device_put(np.zeros((b, h, w * c), np.uint8), self.device)
         np.asarray(self.fn(rows, c))
 
+    # NOTE on stage attribution over the axon tunnel: block_until_ready
+    # does not hard-sync there (CLAUDE.md), so on the tunneled TPU the
+    # 'in'/'kernel' boundaries under-report and the residual drains into
+    # 'out' (whose host read is a true sync). total_ms is always
+    # correct; the per-stage split is faithful on locally-attached
+    # backends (CPU lanes, real TPU runtimes) only. Forcing per-stage
+    # host reads would push megabytes through the ~13 MB/s tunnel and
+    # destroy the measurement it was meant to take.
     def process(self, host_batch: np.ndarray) -> np.ndarray:
         b, h, w, c = host_batch.shape
         rows = np.asarray(host_batch).reshape(b, h, w * c)
@@ -208,7 +216,8 @@ def run_greedy_lanes(
     # Prefetch so batch production (e.g. JPEG decode) runs in its own
     # thread; the lock below then only guards a fast queue pop instead
     # of serializing decode with the lanes' work acquisition.
-    it = iter(enumerate(streamlib.Prefetcher(stream, depth=2)))
+    pf_iter = iter(streamlib.Prefetcher(stream, depth=2))
+    it = iter(enumerate(pf_iter))
     lock = threading.Lock()
     errors: list[BaseException] = []
     retry: list[tuple] = []  # batches orphaned by a failed lane
@@ -268,10 +277,18 @@ def run_greedy_lanes(
         threading.Thread(target=worker, args=(name, lane), daemon=True)
         for name, lane in lanes.items()
     ]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        # On an error exit the producer thread would otherwise stay
+        # blocked in q.put holding staged batches for the process
+        # lifetime; closing the generator releases it.
+        close = getattr(pf_iter, "close", None)
+        if close is not None:
+            close()
     if not errors and retry:
         # Every healthy lane exited before draining the requeue (e.g.
         # the failure happened as the stream ran dry): finish inline.
@@ -453,6 +470,11 @@ class Engine:
             stream = streamlib.ReplicatedStream(
                 image, cfg.num_images, cfg.batch_size
             )
+        if not hasattr(stream, "batch_shapes"):
+            # One-shot iterables (generators) would be exhausted by the
+            # geometry scan + warmup below; materialize once so those
+            # passes and the timed loop all see the same batches.
+            stream = list(stream)
         # Record geometry from the first batch shape.
         _, h, w, c = self._stream_shapes(stream)[0]
         self.stats.height, self.stats.width, self.stats.channels = h, w, c

@@ -66,9 +66,19 @@ class FleetStats:
         return (max(totals) - min(totals)) / max(totals) * 100.0
 
     def recommended_weights(self) -> list[float]:
-        return pt.recommend_weights(
-            [c.per_unit_ms() for c in self.lanes]
-        )
+        """Inverse-per-unit-time weights over the lanes that measured.
+
+        Lanes that processed nothing (weight 0, or starved by the greedy
+        scheduler on a short stream) have no measurement; they get 0.0
+        rather than letting the old t<=0 guard collapse EVERY lane to
+        uniform and discard the real measurements.
+        """
+        times = [c.per_unit_ms() for c in self.lanes]
+        measured = [t for t in times if t > 0]
+        if not measured:
+            return pt.recommend_weights(times)
+        rec = iter(pt.recommend_weights(measured))
+        return [next(rec) if t > 0 else 0.0 for t in times]
 
 
 class FleetEngine:
