@@ -168,6 +168,10 @@ class FleetEngine:
             )
         from hipe_tpu.runtime.engine import Engine
 
+        if not hasattr(stream, "batch_shapes"):
+            # One-shot iterables would be exhausted by the geometry scan
+            # + warmup; materialize once (same contract as Engine.run).
+            stream = list(stream)
         _, h, w, c = Engine._stream_shapes(stream)[0]
         self.stats.height, self.stats.width, self.stats.channels = h, w, c
         self._warmup(stream)

@@ -187,3 +187,14 @@ def test_fleet_greedy_approach2_warns_and_defaults():
     eng = FleetEngine(_lanes(2), approach=2, scheduler="greedy",
                       elastic=True)
     assert eng.scheduler == "static" and eng.elastic is False
+
+
+def test_generator_stream_is_materialized_once():
+    # A one-shot iterable must survive the geometry scan + warmup and
+    # actually be processed (it used to be silently exhausted).
+    from hipe_tpu.runtime.engine import Engine, EngineConfig
+
+    batches = (np.stack([IMG] * 4) for _ in range(3))
+    eng = FleetEngine(_lanes(2), approach=1, batch_size=4, num_images=12)
+    stats = eng.run(stream=batches)
+    assert sum(c.images for c in stats.lanes) == 12
