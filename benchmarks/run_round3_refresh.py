@@ -11,9 +11,15 @@ Runs, in order (serially — concurrent TPU processes skew timings ~2x):
 Probes the tunnel first with a hard timeout so a dead tunnel fails fast
 with a clear message instead of hanging in jax.devices().
 
-Usage: python benchmarks/run_round3_refresh.py [--skip-corpus]
+Usage: python benchmarks/run_round3_refresh.py [--with-corpus]
+
+--with-corpus appends the ~2 h heterogeneous corpus regeneration
+(run_corpus.py full grid) so the committed per_run.csv files carry the
+execution-config wg_w/wg_h columns (recorded since round 3; the round-2
+capture predates them and has the columns empty).
 """
 
+import argparse
 import os
 import subprocess
 import sys
@@ -42,6 +48,11 @@ def run(cmd: list[str], timeout_s: int) -> int:
 
 
 def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--with-corpus", action="store_true",
+                    help="also regenerate the full heterogeneous corpus "
+                         "grid (~2 h through the tunnel)")
+    args = ap.parse_args()
     if not tunnel_alive():
         print("TPU tunnel unreachable (probe timed out); aborting — "
               "re-run when `jax.devices()` responds.")
@@ -52,8 +63,16 @@ def main() -> int:
         ([py, "bench.py"], 3600),
         ([py, "benchmarks/run_device_decode.py"], 5400),
         ([py, "benchmarks/probe_transform.py"], 1800),
-        ([py, "benchmarks/render_tables.py"], 300),
     ]
+    if args.with_corpus:
+        steps.append(([py, "benchmarks/run_corpus.py", "--num-images",
+                       "5000", "--runs", "3", "--batch-sizes", "35", "50",
+                       "100", "200", "500", "800", "1200",
+                       "--single-lane-batches", "35", "50", "100", "200",
+                       "500", "800", "1200",
+                       "--out", "benchmarks/corpus_v5e_full"], 14400))
+    # Tables render last so every regenerated JSON feeds them.
+    steps.append(([py, "benchmarks/render_tables.py"], 300))
     failures = 0
     for cmd, t in steps:
         rc = run(cmd, t)

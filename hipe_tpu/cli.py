@@ -84,6 +84,9 @@ def _build_parser() -> argparse.ArgumentParser:
                     choices=("420", "444", "422", "440",
                              "411", "410", "311"),
                     help="chroma subsampling of the emitted JPEGs")
+    sv.add_argument("--encode-progressive", action="store_true",
+                    help="progressive output streams (cjpeg -progressive "
+                         "scan script; identical pixels)")
     sv.add_argument("--encode-arithmetic", action="store_true",
                     help="arithmetic-coded output streams (SOF9; ~5-10%% "
                          "smaller than Huffman at identical pixels)")
@@ -340,6 +343,7 @@ def _main_serve(args) -> int:
         decode_on_device=args.decode_on_device,
         encode_on_device=args.encode_on_device,
         encode_subsampling=args.encode_subsampling,
+        encode_progressive=args.encode_progressive,
         encode_arithmetic=args.encode_arithmetic,
         encode_restart_interval=args.encode_restart_interval,
         encode_optimize=args.encode_optimize,

@@ -53,6 +53,7 @@ class ServingPipeline:
         decode_on_device: bool = False,
         encode_on_device: bool = False,
         encode_subsampling: str = "420",
+        encode_progressive: bool = False,
         encode_arithmetic: bool = False,
         encode_restart_interval: int = 0,
         encode_optimize: bool = False,
@@ -100,6 +101,10 @@ class ServingPipeline:
         # streams error-resilient / parallel-decodable. Neither changes
         # the quantized coefficients, so device-encode output stays
         # byte-identical to a direct libjpeg encode with the same options.
+        # encode_progressive: emit progressive scans (libjpeg
+        # jpeg_simple_progression — the cjpeg -progressive scan script).
+        # Composes with arithmetic (SOF10) and restart markers.
+        self.encode_progressive = encode_progressive
         self.encode_arithmetic = encode_arithmetic
         self.encode_restart_interval = encode_restart_interval
         # encode_optimize: per-image optimal Huffman tables (libjpeg
@@ -305,7 +310,8 @@ class ServingPipeline:
         from hipe_tpu.io_.jpeg import encode_bytes, encode_bytes_opts
 
         t0 = now_ms()
-        if (self.encode_subsampling != "420" or self.encode_arithmetic
+        if (self.encode_subsampling != "420" or self.encode_progressive
+                or self.encode_arithmetic
                 or self.encode_restart_interval or self.encode_optimize
                 or (self.gray_output and batch.shape[-1] == 3)):
             # Honor non-default subsampling / entropy options on the host
@@ -316,6 +322,7 @@ class ServingPipeline:
             def enc(im):
                 return encode_bytes_opts(
                     im, self.quality, subsampling=self.encode_subsampling,
+                    progressive=self.encode_progressive,
                     arithmetic=self.encode_arithmetic,
                     restart_interval=self.encode_restart_interval,
                     gray_from_rgb=gray, optimize=self.encode_optimize,
@@ -383,6 +390,7 @@ class ServingPipeline:
         sub = self.encode_subsampling if channels == 3 else "444"
         out = jio.write_coefficients_batch(
             coefs, w, h, quality=self.quality, subsampling=sub,
+            progressive=self.encode_progressive,
             arithmetic=self.encode_arithmetic,
             restart_interval=self.encode_restart_interval,
             optimize=self.encode_optimize,

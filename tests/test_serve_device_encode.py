@@ -231,6 +231,35 @@ def test_encode_arithmetic_and_restart_all_placements():
                                       jpeg.decode_bytes(hf))
 
 
+def test_encode_progressive_all_placements():
+    # Progressive emission (jpeg_simple_progression, cjpeg -progressive)
+    # is a host entropy-layer option: every encode placement emits
+    # byte-identical progressive streams with the same pixels as the
+    # sequential output.
+    payloads = _payloads(n=2, seed=11)
+    ref = ServingPipeline("blur3", use_pallas=False,
+                          encode_progressive=True).process_batch(payloads)
+    assert all(jpeg.read_coefficients(f).progressive for f in ref)
+    for kwargs in ({"encode_on_device": True},
+                   {"decode_on_device": True, "encode_on_device": True}):
+        sp = ServingPipeline("blur3", use_pallas=False,
+                             encode_progressive=True, **kwargs)
+        assert sp.process_batch(payloads) == ref, kwargs
+    seq = ServingPipeline("blur3", use_pallas=False).process_batch(payloads)
+    for p, s in zip(ref, seq):
+        np.testing.assert_array_equal(jpeg.decode_bytes(p),
+                                      jpeg.decode_bytes(s))
+    # Composes with arithmetic coding: progressive arithmetic frames (SOFA).
+    pa = ServingPipeline(
+        "blur3", use_pallas=False, encode_progressive=True,
+        encode_arithmetic=True, encode_on_device=True,
+    ).process_batch(payloads)
+    assert all(b"\xff\xca" in f for f in pa)
+    for f, s in zip(pa, seq):
+        np.testing.assert_array_equal(jpeg.decode_bytes(f),
+                                      jpeg.decode_bytes(s))
+
+
 @pytest.mark.parametrize("dims,target", [((48, 64), (20, 31)),
                                          ((41, 53), (64, 80))])
 def test_resize_to_all_placements(dims, target):
