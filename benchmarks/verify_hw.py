@@ -222,6 +222,18 @@ def main() -> int:
         want = np.stack([ofn(b) for b in batch])
         total_err += check(f"pipeline/{name} 64x128", got, want)
 
+    # Global-statistics pipeline on silicon: both LUT-apply formulations
+    # (take-gather and the MXU comparison-matmul) vs the PIL-exact oracle.
+    from hipe_tpu.ops import equalize as eqops
+
+    eq_pipe = plib.PIPELINES["equalize"]
+    want_eq = np.stack([eqops.equalize_oracle(b) for b in batch])
+    for label, mxu in (("mxu", True), ("gather", False)):
+        got = np.asarray(
+            eq_pipe.apply_rows(rows, 3, use_pallas=mxu)
+        ).reshape(batch.shape)
+        total_err += check(f"pipeline/equalize_{label} 64x128", got, want_eq)
+
     # Device JPEG codec on silicon: decode bit-exact vs libjpeg, encode
     # byte-identical files, full transcode == host codec loop.
     from hipe_tpu.io_ import jpeg as jio

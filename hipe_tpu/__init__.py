@@ -53,7 +53,12 @@ def __getattr__(name):
         from hipe_tpu.models import pipelines
 
         return getattr(pipelines, name)
-    if name in ("make_row_split_fn", "make_weighted_row_split_fn"):
+    if name in ("equalize_nhwc", "equalize_rows", "equalize_planar"):
+        from hipe_tpu.ops import equalize
+
+        return getattr(equalize, name)
+    if name in ("make_row_split_fn", "make_weighted_row_split_fn",
+                "make_equalize_row_split_fn"):
         from hipe_tpu.parallel import row_split
 
         return getattr(row_split, name)

@@ -428,6 +428,16 @@ def main(argv: list[str] | None = None) -> int:
             file=sys.stderr,
         )
         return 1
+    if approach == 2:
+        from hipe_tpu.models import pipelines as plib
+
+        try:
+            plib.get(pipeline).radius
+        except ValueError as e:
+            # Global-statistics pipelines have no halo radius; approach2's
+            # row split cannot run them (the error says what can).
+            print(f"Error: {e}", file=sys.stderr)
+            return 1
 
     cfg = EngineConfig(
         approach=approach,

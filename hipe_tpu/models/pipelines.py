@@ -31,6 +31,11 @@ class Pipeline:
     name: str
     filters: tuple
 
+    # Stencil pipelines expose Pallas block/alias knobs; global-statistics
+    # pipelines don't (DeviceStreamRunner.autotune skips the block sweep
+    # when this is False — it would time identical programs).
+    has_pallas_blocks = True
+
     @staticmethod
     def routes_tiled(h: int, w: int) -> bool:
         """Whether apply_planar sends (h, w) planes to the tiled kernels
@@ -195,6 +200,80 @@ class Pipeline:
         return fn
 
 
+@dataclasses.dataclass(frozen=True)
+class GlobalStatsPipeline:
+    """A per-image global-statistics point pipeline (no stencil).
+
+    Histogram equalization (``ops/equalize.py``): a per-channel 256-bin
+    histogram builds a monotone LUT applied pointwise — PIL
+    ``ImageOps.equalize`` semantics, bit-exact, integer-only. There is no
+    stencil radius: the op needs *whole-image* statistics, so halo-based
+    row-split cannot run it (accessing :attr:`radius` raises with the
+    pointer to the psum shard helper,
+    :func:`hipe_tpu.parallel.row_split.make_equalize_row_split_fn`).
+
+    ``use_pallas=True`` on the apply methods selects the MXU
+    comparison-matmul LUT apply (bit-identical to the gather; see
+    ``ops/equalize.py``) — there are no Pallas block/alias knobs, which
+    the methods accept and ignore so the runtime's call sites
+    (engine lanes, serving, DeviceStreamRunner) work unchanged.
+    """
+
+    name: str
+    filters: tuple = ("equalize",)
+
+    has_pallas_blocks = False
+
+    @property
+    def radius(self) -> int:
+        raise ValueError(
+            f"pipeline {self.name!r} uses whole-image statistics and has "
+            "no stencil radius: halo-based row-split (approach2) cannot "
+            "run it. Use an image-level mode (approach1/stream/serve) or "
+            "the psum shard helper "
+            "hipe_tpu.parallel.row_split.make_equalize_row_split_fn."
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """XLA path on (..., H, W, C) uint8 batches."""
+        from hipe_tpu.ops import equalize as eq
+
+        return eq.equalize_nhwc(x)
+
+    def apply_planar(self, planes: jax.Array, *, use_pallas: bool = True,
+                     h_pad: bool = True, interpret: bool = False,
+                     alias: bool = False,
+                     block_planes: int | None = None,
+                     vmem_limit_mb: int | None = None) -> jax.Array:
+        from hipe_tpu.ops import equalize as eq
+
+        if not h_pad:
+            raise ValueError(
+                f"pipeline {self.name!r}: halo (h_pad=False) mode is "
+                "meaningless for a global-statistics op"
+            )
+        return eq.equalize_planar(planes, use_mxu=use_pallas)
+
+    def apply_rows(self, rows: jax.Array, channels: int, *,
+                   use_pallas: bool = True, interpret: bool = False,
+                   alias: bool = False) -> jax.Array:
+        from hipe_tpu.ops import equalize as eq
+
+        return eq.equalize_rows(rows, channels, use_mxu=use_pallas)
+
+    def apply_nhwc(self, x: jax.Array, *, use_pallas: bool = True,
+                   interpret: bool = False) -> jax.Array:
+        from hipe_tpu.ops import equalize as eq
+
+        return eq.equalize_nhwc(x, use_mxu=use_pallas)
+
+    def nhwc_halo_fn(self, **kw):
+        self.radius  # raises with the explanation
+
+    def nhwc_clamp_fn(self, **kw):
+        self.radius  # raises with the explanation
+
+
 PIPELINES = {
     "blur3": Pipeline("blur3", ("gaussian3",)),
     "blur5": Pipeline("blur5", ("gaussian5",)),
@@ -204,6 +283,7 @@ PIPELINES = {
     "chain": Pipeline("chain", ("gaussian3", "sharpen", "edge")),
     "median": Pipeline("median", ("median",)),
     "denoise": Pipeline("denoise", ("median", "gaussian3")),
+    "equalize": GlobalStatsPipeline("equalize"),
 }
 
 # The flagship model: the reference workload (3x3 Gaussian on image streams).
@@ -221,5 +301,13 @@ def get(name_or_filters: str | Sequence[str]) -> Pipeline:
         raise KeyError(
             f"unknown pipeline {name_or_filters!r} "
             f"(choose from {sorted(set(PIPELINES) | set(xblur.FILTERS))})"
+        )
+    unknown = [n for n in name_or_filters if n not in xblur.FILTERS]
+    if unknown:
+        # "equalize" is not chainable with stencil stages — it is a
+        # whole-image statistics op with its own pipeline class.
+        raise KeyError(
+            f"unknown filter stage(s) {unknown!r} "
+            f"(chainable stages: {sorted(xblur.FILTERS)})"
         )
     return Pipeline("+".join(name_or_filters), tuple(name_or_filters))

@@ -1,0 +1,164 @@
+"""Histogram equalization — the engine's first global-statistics op.
+
+Every other pipeline stage is a local stencil (blur/sharpen/edge/median)
+or a codec transform; equalization is driven by *whole-image* statistics:
+a per-channel 256-bin histogram builds a monotone LUT that is then applied
+pointwise. That changes both halves of the TPU story:
+
+- **Compute**: the LUT build is integer-only and reproduces PIL's
+  ``ImageOps.equalize`` bit-for-bit (the external oracle — PIL is the same
+  library the multi-format IO path already trusts for BMP/PNG):
+  per channel, ``step = (npix - hist[last_nonzero]) // 255`` and
+  ``lut[i] = clip((step//2 + cumsum_excl(hist)[i]) // step, 0, 255)``,
+  with the identity LUT when fewer than two distinct values exist or
+  ``step == 0``. All arithmetic is int32 floor division, so there is no
+  float tolerance anywhere — tests assert exact equality against PIL.
+- **Apply**: TPU has no vector table-lookup, so the LUT gather has two
+  exact formulations: ``jnp.take_along_axis`` (the host/XLA path) and an
+  MXU comparison-matmul (``use_mxu=True``): since the LUT is monotone
+  non-decreasing, ``lut[x] = lut[0] + sum_v (x >= v) * (lut[v]-lut[v-1])``
+  — a (P, 255) bf16 one-sided-comparison matrix against the (255,) LUT
+  difference vector with fp32 accumulation. Every term is an integer
+  <= 255 (exact in bf16) and partial sums stay <= 65025 (exact in fp32),
+  so the matmul path is bit-identical to the gather, on the systolic
+  array instead of a serialized gather.
+- **Sharding**: there is no halo — a row-sharded image needs a *global*
+  histogram, so the SPMD pattern is ``lax.psum`` of per-shard partial
+  histograms, not ``ppermute`` halo exchange (see
+  :func:`hipe_tpu.parallel.row_split.make_equalize_row_split_fn`).
+
+The reference engine has no counterpart (its one kernel is the 3x3 blur,
+`/root/reference/gaussian_kernel.cl:19-72`); this is a beyond-parity
+extension exercising the op class the stencil family cannot express.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def histogram_planes(planes: jax.Array) -> jax.Array:
+    """Per-plane 256-bin histograms: (N, H, W) uint8 -> (N, 256) int32.
+
+    A broadcast-compare-reduce (XLA fuses it into a streaming reduction;
+    a scatter-add would serialize on TPU).
+    """
+    n = planes.shape[0]
+    x = planes.reshape(n, -1)
+    bins = jnp.arange(256, dtype=jnp.uint8)
+    return (x[:, :, None] == bins).astype(jnp.int32).sum(axis=1)
+
+
+def equalize_lut(hist: jax.Array, npix: int) -> jax.Array:
+    """PIL ``ImageOps.equalize`` LUTs from histograms, bit-exact.
+
+    hist: (..., 256) int32 counts summing to ``npix`` (a static int).
+    Returns (..., 256) uint8 monotone LUTs. Integer-only arithmetic.
+    """
+    idx = jnp.arange(256, dtype=jnp.int32)
+    csum_excl = jnp.cumsum(hist, axis=-1) - hist
+    nonzero = hist > 0
+    last_idx = jnp.max(jnp.where(nonzero, idx, -1), axis=-1)
+    last_count = jnp.take_along_axis(
+        hist, last_idx[..., None].astype(jnp.int32), axis=-1
+    )[..., 0]
+    num_nonzero = nonzero.sum(axis=-1)
+    step = (npix - last_count) // 255
+    safe = jnp.maximum(step, 1)
+    # PIL clamps LUT entries at 255 in its C point() (values past the last
+    # populated bin can mathematically exceed it — verified empirically).
+    lut_eq = jnp.clip((safe[..., None] // 2 + csum_excl) // safe[..., None],
+                      0, 255)
+    use_ident = (num_nonzero <= 1) | (step <= 0)
+    return jnp.where(
+        use_ident[..., None], jnp.broadcast_to(idx, lut_eq.shape), lut_eq
+    ).astype(jnp.uint8)
+
+
+def apply_lut(planes: jax.Array, lut: jax.Array) -> jax.Array:
+    """Gather formulation: out[n, p] = lut[n, planes[n, p]]."""
+    n = planes.shape[0]
+    flat = planes.reshape(n, -1).astype(jnp.int32)
+    return jnp.take_along_axis(lut, flat, axis=1).reshape(planes.shape)
+
+
+def apply_lut_mxu(planes: jax.Array, lut: jax.Array) -> jax.Array:
+    """MXU formulation: lut[x] = lut[0] + (x >= v) @ diff(lut).
+
+    Exact because the LUT is monotone (diffs are integers in [0, 255],
+    representable in bf16) and accumulation is fp32 (partial sums
+    <= 65025 < 2^24). Bit-identical to :func:`apply_lut`.
+    """
+    n = planes.shape[0]
+    x = planes.reshape(n, -1)
+    d = (lut[:, 1:].astype(jnp.int32)
+         - lut[:, :-1].astype(jnp.int32)).astype(jnp.bfloat16)
+    thresh = jnp.arange(1, 256, dtype=jnp.uint8)
+    ge = (x[:, :, None] >= thresh).astype(jnp.bfloat16)
+    acc = jnp.einsum(
+        "npv,nv->np", ge, d, preferred_element_type=jnp.float32
+    )
+    out = lut[:, :1].astype(jnp.float32) + acc
+    # float32 -> uint8 via int32 (Mosaic has no direct f32->u8; XLA does,
+    # but the int32 hop keeps the graph portable to a Pallas lowering).
+    return out.astype(jnp.int32).astype(jnp.uint8).reshape(planes.shape)
+
+
+def equalize_planar(planes: jax.Array, *, use_mxu: bool = False) -> jax.Array:
+    """(N, H, W) uint8 -> (N, H, W) uint8, each plane equalized alone."""
+    hist = histogram_planes(planes)
+    lut = equalize_lut(hist, planes.shape[1] * planes.shape[2])
+    return (apply_lut_mxu if use_mxu else apply_lut)(planes, lut)
+
+
+def equalize_rows(rows: jax.Array, channels: int, *,
+                  use_mxu: bool = False) -> jax.Array:
+    """Interleaved rows (B, H, W*C) uint8, per-channel equalization."""
+    b, h, lane = rows.shape
+    assert lane % channels == 0
+    w = lane // channels
+    planes = rows.reshape(b, h, w, channels)
+    planes = planes.transpose(0, 3, 1, 2).reshape(b * channels, h, w)
+    out = equalize_planar(planes, use_mxu=use_mxu)
+    out = out.reshape(b, channels, h, w).transpose(0, 2, 3, 1)
+    return out.reshape(b, h, lane)
+
+
+def equalize_nhwc(x: jax.Array, *, use_mxu: bool = False) -> jax.Array:
+    """(..., H, W, C) uint8 -> same shape, per-channel equalization."""
+    lead = x.shape[:-3]
+    h, w, c = x.shape[-3:]
+    b = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    out = equalize_rows(
+        x.reshape(b, h, w * c), c, use_mxu=use_mxu
+    )
+    return out.reshape(*lead, h, w, c)
+
+
+def equalize_oracle(img: np.ndarray) -> np.ndarray:
+    """NumPy reference implementing PIL ImageOps.equalize per channel.
+
+    (H, W) or (H, W, C) uint8. Tests cross-check this against PIL itself
+    AND the JAX paths against it, so the three-way agreement pins the
+    semantics.
+    """
+    if img.ndim == 2:
+        img = img[..., None]
+        squeeze = True
+    else:
+        squeeze = False
+    out = np.empty_like(img)
+    npix = img.shape[0] * img.shape[1]
+    for ci in range(img.shape[2]):
+        chan = img[..., ci]
+        h = np.bincount(chan.ravel(), minlength=256).astype(np.int64)
+        nz = np.nonzero(h)[0]
+        step = 0 if len(nz) == 0 else (npix - h[nz[-1]]) // 255
+        if len(nz) <= 1 or step == 0:
+            lut = np.arange(256, dtype=np.int64)
+        else:
+            lut = (step // 2 + (np.cumsum(h) - h)) // step
+        out[..., ci] = np.clip(lut, 0, 255).astype(np.uint8)[chan]
+    return out[..., 0] if squeeze else out

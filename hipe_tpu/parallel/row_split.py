@@ -336,3 +336,61 @@ def make_weighted_row_split_fn(
         return lax.with_sharding_constraint(out, NamedSharding(mesh, pspec))
 
     return step
+
+
+def make_equalize_row_split_fn(
+    mesh: Mesh,
+    *,
+    axis_name: str = ROW_AXIS,
+    batch_axis: str | None = None,
+    channels: int | None = None,
+    use_mxu: bool = False,
+) -> Callable[[jax.Array], jax.Array]:
+    """Histogram equalization over H-sharded images: psum, not halo.
+
+    The stencil pipelines shard rows with `lax.ppermute` halo exchange;
+    equalization (``ops/equalize.py``) is driven by *whole-image*
+    statistics, so the SPMD pattern inverts: each shard computes the
+    256-bin histograms of its own rows, one ``lax.psum`` over the row
+    axis produces the global per-(image, channel) histograms on every
+    shard, each shard builds the identical LUT and applies it to its
+    local rows. One tiny collective ((B*C, 256) int32 over ICI) per
+    batch — bit-identical to the single-device
+    :func:`hipe_tpu.ops.equalize.equalize_nhwc` for every shard count.
+
+    Input/output: (B, H, W, C) uint8 — or rows (B, H, W*C) with
+    ``channels=C`` — H sharded over ``axis_name`` (and B over
+    ``batch_axis`` if given: DP x SP). ``use_mxu=True`` selects the MXU
+    comparison-matmul LUT apply (exact; see ``ops/equalize.py``).
+    """
+    from hipe_tpu.ops import equalize as eq
+
+    n_shards = mesh.shape[axis_name]
+
+    def local(block: jax.Array) -> jax.Array:
+        if channels is not None:
+            b, hh, lane = block.shape
+            w = lane // channels
+            x = block.reshape(b, hh, w, channels)
+        else:
+            x = block
+            b, hh, w = x.shape[0], x.shape[1], x.shape[2]
+        c = x.shape[-1]
+        planes = x.transpose(0, 3, 1, 2).reshape(b * c, hh, w)
+        hist = lax.psum(eq.histogram_planes(planes), axis_name)
+        lut = eq.equalize_lut(hist, hh * n_shards * w)
+        out = (eq.apply_lut_mxu if use_mxu else eq.apply_lut)(planes, lut)
+        out = out.reshape(b, c, hh, w).transpose(0, 2, 3, 1)
+        return out.reshape(block.shape)
+
+    pspec = P(batch_axis, axis_name)
+    shard_fn = jax.shard_map(
+        local, mesh=mesh, in_specs=pspec, out_specs=pspec, check_vma=False
+    )
+
+    @jax.jit
+    def step(x: jax.Array) -> jax.Array:
+        x = lax.with_sharding_constraint(x, NamedSharding(mesh, pspec))
+        return shard_fn(x)
+
+    return step

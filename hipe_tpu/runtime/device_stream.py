@@ -264,10 +264,12 @@ class DeviceStreamRunner:
                         "vmem_mb": None}),
         ]
         h, w, _ = self.shape
-        if self.use_pallas and not plib.Pipeline.routes_tiled(h, w):
-            # Oversized planes route to the tiled kernels, which take no
-            # alias/block knobs — sweeping them would time identical
-            # programs and report a fictitious chosen config.
+        if (self.use_pallas and not plib.Pipeline.routes_tiled(h, w)
+                and self.pipeline.has_pallas_blocks):
+            # Oversized planes route to the tiled kernels, and
+            # global-statistics pipelines have no Pallas kernels at all —
+            # neither takes alias/block knobs, so sweeping them would time
+            # identical programs and report a fictitious chosen config.
             for k in candidates or self.block_candidates():
                 configs.append(
                     (f"pallas_k{k}_alias",
@@ -332,11 +334,10 @@ class DeviceStreamRunner:
             "blur9": lambda im: oracle.gaussian_blur_int_oracle(im, 4),
         }.get(self.pipeline.name)
         if ref_fn is None:
-            from hipe_tpu.ops import blur as xblur
-
-            want_img = np.asarray(
-                xblur.filter_chain(jnp.asarray(self.image), self.pipeline.filters)
-            )
+            # The pipeline's own XLA path (filter chains and the
+            # global-statistics pipelines alike) is the oracle; its
+            # CPU-exactness is pinned by the test suite.
+            want_img = np.asarray(self.pipeline(jnp.asarray(self.image)))
         else:
             want_img = ref_fn(self.image)
         want = hwc_to_planar(want_img[None])

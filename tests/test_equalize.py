@@ -1,0 +1,210 @@
+"""Histogram equalization: PIL-exact LUT build, MXU apply, psum sharding.
+
+Three-way exactness: PIL ``ImageOps.equalize`` (the external oracle) ==
+the NumPy oracle (``equalize_oracle``) == both JAX formulations (gather
+and MXU comparison-matmul), plus the psum row-split on a virtual mesh ==
+single-device, plus the serving/pipeline integrations.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hipe_tpu.ops import equalize as eq
+from hipe_tpu.models import pipelines as plib
+
+
+def _pil_equalize(img: np.ndarray) -> np.ndarray:
+    from PIL import Image, ImageOps
+
+    mode = "L" if img.ndim == 2 else "RGB"
+    return np.asarray(ImageOps.equalize(Image.fromarray(img, mode)))
+
+
+def _cases():
+    rng = np.random.default_rng(42)
+    cases = {
+        "uniform": rng.integers(0, 256, (64, 80, 3), np.uint8),
+        "lowrange": rng.integers(90, 110, (64, 64, 3), np.uint8),
+        "skewed": np.clip(
+            (rng.normal(40, 12, (128, 96, 3))), 0, 255
+        ).astype(np.uint8),
+        "constant": np.full((48, 48, 3), 77, np.uint8),
+        "twovals": np.where(
+            rng.random((64, 64, 3)) < 0.7, 10, 200
+        ).astype(np.uint8),
+        # step == 0: tiny image whose non-last mass is < 255 pixels
+        "tiny": rng.integers(0, 256, (8, 8, 3), np.uint8),
+    }
+    # LUT-overflow case: most pixels in the last populated bin -> raw LUT
+    # values exceed 255; PIL clamps (verified) and so must we.
+    a = np.full((256, 256, 3), 200, np.uint8)
+    flat = a.reshape(-1, 3)
+    idx = rng.choice(len(flat), 5536, replace=False)
+    flat[idx] = rng.integers(0, 21, (5536, 3)).astype(np.uint8)
+    cases["overflow"] = a
+    return cases
+
+
+@pytest.mark.parametrize("name,img", _cases().items(),
+                         ids=list(_cases().keys()))
+def test_oracle_matches_pil(name, img):
+    np.testing.assert_array_equal(eq.equalize_oracle(img), _pil_equalize(img))
+
+
+@pytest.mark.parametrize("use_mxu", [False, True], ids=["gather", "mxu"])
+def test_jax_paths_match_oracle(use_mxu):
+    for name, img in _cases().items():
+        got = np.asarray(eq.equalize_nhwc(jnp.asarray(img), use_mxu=use_mxu))
+        np.testing.assert_array_equal(got, eq.equalize_oracle(img),
+                                      err_msg=f"case {name} use_mxu={use_mxu}")
+
+
+def test_grayscale_plane():
+    img = np.random.default_rng(7).integers(0, 256, (64, 64), np.uint8)
+    got = np.asarray(eq.equalize_planar(jnp.asarray(img)[None]))[0]
+    np.testing.assert_array_equal(got, _pil_equalize(img))
+
+
+def test_layout_consistency():
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 256, (2, 32, 48, 3), np.uint8)
+    nhwc = np.asarray(eq.equalize_nhwc(jnp.asarray(x)))
+    rows = np.asarray(
+        eq.equalize_rows(jnp.asarray(x.reshape(2, 32, 48 * 3)), 3)
+    ).reshape(2, 32, 48, 3)
+    np.testing.assert_array_equal(nhwc, rows)
+    for b in range(2):
+        np.testing.assert_array_equal(nhwc[b], eq.equalize_oracle(x[b]))
+
+
+def test_pipeline_registry_and_methods():
+    pipe = plib.get("equalize")
+    assert pipe.has_pallas_blocks is False
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 256, (40, 56, 3), np.uint8)
+    want = eq.equalize_oracle(x)
+    np.testing.assert_array_equal(np.asarray(pipe(jnp.asarray(x))), want)
+    np.testing.assert_array_equal(
+        np.asarray(pipe.apply_nhwc(jnp.asarray(x)[None], use_pallas=True))[0],
+        want,
+    )
+    rows = jnp.asarray(x.reshape(1, 40, 56 * 3))
+    np.testing.assert_array_equal(
+        np.asarray(pipe.apply_rows(rows, 3, use_pallas=False)).reshape(
+            40, 56, 3
+        ),
+        want,
+    )
+    # Pallas-path knobs are accepted and ignored; halo mode is refused.
+    planes = jnp.asarray(x.transpose(2, 0, 1))
+    np.testing.assert_array_equal(
+        np.asarray(
+            pipe.apply_planar(planes, use_pallas=True, alias=True,
+                              block_planes=8)
+        ),
+        want.transpose(2, 0, 1),
+    )
+    with pytest.raises(ValueError, match="h_pad"):
+        pipe.apply_planar(planes, h_pad=False)
+
+
+def test_no_radius_and_no_halo_fns():
+    pipe = plib.get("equalize")
+    with pytest.raises(ValueError, match="psum"):
+        pipe.radius
+    with pytest.raises(ValueError, match="psum"):
+        pipe.nhwc_halo_fn()
+    with pytest.raises(ValueError, match="psum"):
+        pipe.nhwc_clamp_fn()
+    with pytest.raises(KeyError):
+        plib.get(["gaussian3", "equalize"])
+
+
+@pytest.mark.parametrize("use_mxu", [False, True], ids=["gather", "mxu"])
+def test_row_split_psum_exact(use_mxu):
+    """8-way H sharding == single device, for every formulation."""
+    from hipe_tpu.parallel.mesh import ROW_AXIS
+    from hipe_tpu.parallel.row_split import make_equalize_row_split_fn
+    from jax.sharding import Mesh
+
+    devs = jax.devices("cpu")[:8]
+    mesh = Mesh(np.array(devs), (ROW_AXIS,))
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 256, (2, 64, 48, 3), np.uint8)
+    fn = make_equalize_row_split_fn(mesh, use_mxu=use_mxu)
+    got = np.asarray(fn(jnp.asarray(x)))
+    for b in range(2):
+        np.testing.assert_array_equal(got[b], eq.equalize_oracle(x[b]))
+
+
+def test_row_split_psum_rows_layout_dp_sp():
+    """DP x SP 2-D mesh on interleaved rows layout."""
+    from hipe_tpu.parallel.mesh import ROW_AXIS
+    from hipe_tpu.parallel.row_split import make_equalize_row_split_fn
+    from jax.sharding import Mesh
+
+    devs = jax.devices("cpu")[:8]
+    mesh = Mesh(np.array(devs).reshape(2, 4), ("batch", ROW_AXIS))
+    rng = np.random.default_rng(13)
+    x = rng.integers(0, 256, (4, 32, 40, 3), np.uint8)
+    fn = make_equalize_row_split_fn(mesh, batch_axis="batch", channels=3)
+    rows = jnp.asarray(x.reshape(4, 32, 40 * 3))
+    got = np.asarray(fn(rows)).reshape(4, 32, 40, 3)
+    for b in range(4):
+        np.testing.assert_array_equal(got[b], eq.equalize_oracle(x[b]))
+
+
+def test_serving_pipeline_equalize():
+    """decode -> equalize -> encode == PIL equalize of the decoded pixels."""
+    from hipe_tpu.io_ import jpeg
+    from hipe_tpu.runtime.serve import ServingPipeline
+
+    rng = np.random.default_rng(17)
+    imgs = [rng.integers(0, 256, (48, 64, 3), np.uint8) for _ in range(2)]
+    payloads = [jpeg.encode_bytes(im, 90) for im in imgs]
+    px = ServingPipeline("equalize", use_pallas=False).process_batch(
+        payloads, encode=False
+    )
+    for got, payload in zip(px, payloads):
+        np.testing.assert_array_equal(
+            got, eq.equalize_oracle(jpeg.decode_bytes(payload))
+        )
+    # Fused with the device decode (IDCT/upsample/color + equalize in one
+    # jitted program) — same pixels.
+    fused = ServingPipeline(
+        "equalize", use_pallas=False, decode_on_device=True
+    ).process_batch(payloads, encode=False)
+    np.testing.assert_array_equal(np.stack(fused), np.stack(px))
+
+
+def test_cli_approach2_rejects_equalize(capsys):
+    """approach2 + equalize: one clean Error line, exit 1 (no traceback)."""
+    import sys
+
+    from hipe_tpu import cli
+
+    argv, sys.argv = sys.argv, ["hipe_tpu", "approach2", "0.8", "25",
+                                "--num-images", "50",
+                                "--pipeline", "equalize"]
+    try:
+        rc = cli.main()
+    finally:
+        sys.argv = argv
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "Error:" in err and "psum" in err
+
+
+def test_device_stream_runner_equalize():
+    """DeviceStreamRunner routes equalize; autotune skips block sweep."""
+    from hipe_tpu.runtime.device_stream import DeviceStreamRunner
+
+    img = np.random.default_rng(19).integers(0, 256, (32, 32, 3), np.uint8)
+    r = DeviceStreamRunner("equalize", num_images=4, image=img,
+                          use_pallas=True, tune_cache_path="/dev/null")
+    assert r.verify_max_abs_err() == 0
+    timings = r.autotune(passes=1, reps=1, cache=False)
+    assert set(timings) <= {"xla", "pallas"}  # no fictitious block configs
