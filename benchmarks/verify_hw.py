@@ -226,13 +226,15 @@ def main() -> int:
     # (take-gather and the MXU comparison-matmul) vs the PIL-exact oracle.
     from hipe_tpu.ops import equalize as eqops
 
-    eq_pipe = plib.PIPELINES["equalize"]
-    want_eq = np.stack([eqops.equalize_oracle(b) for b in batch])
-    for label, mxu in (("mxu", True), ("gather", False)):
-        got = np.asarray(
-            eq_pipe.apply_rows(rows, 3, use_pallas=mxu)
-        ).reshape(batch.shape)
-        total_err += check(f"pipeline/equalize_{label} 64x128", got, want_eq)
+    for op, ofn in (("equalize", eqops.equalize_oracle),
+                    ("autocontrast", eqops.autocontrast_oracle)):
+        gpipe = plib.PIPELINES[op]
+        want_g = np.stack([ofn(b) for b in batch])
+        for label, mxu in (("mxu", True), ("gather", False)):
+            got = np.asarray(
+                gpipe.apply_rows(rows, 3, use_pallas=mxu)
+            ).reshape(batch.shape)
+            total_err += check(f"pipeline/{op}_{label} 64x128", got, want_g)
 
     # Device JPEG codec on silicon: decode bit-exact vs libjpeg, encode
     # byte-identical files, full transcode == host codec loop.

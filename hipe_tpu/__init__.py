@@ -53,12 +53,15 @@ def __getattr__(name):
         from hipe_tpu.models import pipelines
 
         return getattr(pipelines, name)
-    if name in ("equalize_nhwc", "equalize_rows", "equalize_planar"):
+    if name in ("equalize_nhwc", "equalize_rows", "equalize_planar",
+                "autocontrast_nhwc", "autocontrast_rows",
+                "autocontrast_planar"):
         from hipe_tpu.ops import equalize
 
         return getattr(equalize, name)
     if name in ("make_row_split_fn", "make_weighted_row_split_fn",
-                "make_equalize_row_split_fn"):
+                "make_equalize_row_split_fn",
+                "make_autocontrast_row_split_fn"):
         from hipe_tpu.parallel import row_split
 
         return getattr(row_split, name)

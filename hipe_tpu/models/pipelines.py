@@ -204,13 +204,20 @@ class Pipeline:
 class GlobalStatsPipeline:
     """A per-image global-statistics point pipeline (no stencil).
 
-    Histogram equalization (``ops/equalize.py``): a per-channel 256-bin
-    histogram builds a monotone LUT applied pointwise — PIL
-    ``ImageOps.equalize`` semantics, bit-exact, integer-only. There is no
-    stencil radius: the op needs *whole-image* statistics, so halo-based
-    row-split cannot run it (accessing :attr:`radius` raises with the
-    pointer to the psum shard helper,
-    :func:`hipe_tpu.parallel.row_split.make_equalize_row_split_fn`).
+    ``name`` selects the op family in ``ops/equalize.py`` (functions
+    ``<name>_planar/_rows/_nhwc``):
+
+    - ``equalize``: per-channel 256-bin histogram -> monotone LUT — PIL
+      ``ImageOps.equalize`` semantics, bit-exact, integer-only.
+    - ``autocontrast``: per-channel min/max -> PIL float64 LUT (cutoff=0),
+      bit-exact via the precomputed (lo, hi) LUT cube.
+
+    There is no stencil radius: these ops need *whole-image* statistics,
+    so halo-based row-split cannot run them (accessing :attr:`radius`
+    raises with the pointer to the collective shard helpers,
+    :func:`hipe_tpu.parallel.row_split.make_equalize_row_split_fn` /
+    ``make_autocontrast_row_split_fn`` — psum of partial histograms and
+    pmin/pmax of extrema respectively).
 
     ``use_pallas=True`` on the apply methods selects the MXU
     comparison-matmul LUT apply (bit-identical to the gather; see
@@ -220,9 +227,18 @@ class GlobalStatsPipeline:
     """
 
     name: str
-    filters: tuple = ("equalize",)
+    filters: tuple = ()
 
     has_pallas_blocks = False
+
+    def __post_init__(self):
+        if not self.filters:
+            object.__setattr__(self, "filters", (self.name,))
+
+    def _op(self, layout: str):
+        from hipe_tpu.ops import equalize as eq
+
+        return getattr(eq, f"{self.name}_{layout}")
 
     @property
     def radius(self) -> int:
@@ -230,42 +246,34 @@ class GlobalStatsPipeline:
             f"pipeline {self.name!r} uses whole-image statistics and has "
             "no stencil radius: halo-based row-split (approach2) cannot "
             "run it. Use an image-level mode (approach1/stream/serve) or "
-            "the psum shard helper "
-            "hipe_tpu.parallel.row_split.make_equalize_row_split_fn."
+            "the collective (psum/pmin/pmax) shard helper "
+            f"hipe_tpu.parallel.row_split.make_{self.name}_row_split_fn."
         )
 
     def __call__(self, x: jax.Array) -> jax.Array:
         """XLA path on (..., H, W, C) uint8 batches."""
-        from hipe_tpu.ops import equalize as eq
-
-        return eq.equalize_nhwc(x)
+        return self._op("nhwc")(x)
 
     def apply_planar(self, planes: jax.Array, *, use_pallas: bool = True,
                      h_pad: bool = True, interpret: bool = False,
                      alias: bool = False,
                      block_planes: int | None = None,
                      vmem_limit_mb: int | None = None) -> jax.Array:
-        from hipe_tpu.ops import equalize as eq
-
         if not h_pad:
             raise ValueError(
                 f"pipeline {self.name!r}: halo (h_pad=False) mode is "
                 "meaningless for a global-statistics op"
             )
-        return eq.equalize_planar(planes, use_mxu=use_pallas)
+        return self._op("planar")(planes, use_mxu=use_pallas)
 
     def apply_rows(self, rows: jax.Array, channels: int, *,
                    use_pallas: bool = True, interpret: bool = False,
                    alias: bool = False) -> jax.Array:
-        from hipe_tpu.ops import equalize as eq
-
-        return eq.equalize_rows(rows, channels, use_mxu=use_pallas)
+        return self._op("rows")(rows, channels, use_mxu=use_pallas)
 
     def apply_nhwc(self, x: jax.Array, *, use_pallas: bool = True,
                    interpret: bool = False) -> jax.Array:
-        from hipe_tpu.ops import equalize as eq
-
-        return eq.equalize_nhwc(x, use_mxu=use_pallas)
+        return self._op("nhwc")(x, use_mxu=use_pallas)
 
     def nhwc_halo_fn(self, **kw):
         self.radius  # raises with the explanation
@@ -284,6 +292,7 @@ PIPELINES = {
     "median": Pipeline("median", ("median",)),
     "denoise": Pipeline("denoise", ("median", "gaussian3")),
     "equalize": GlobalStatsPipeline("equalize"),
+    "autocontrast": GlobalStatsPipeline("autocontrast"),
 }
 
 # The flagship model: the reference workload (3x3 Gaussian on image streams).

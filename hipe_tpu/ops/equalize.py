@@ -34,6 +34,8 @@ extension exercising the op class the stencil family cannot express.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -135,6 +137,102 @@ def equalize_nhwc(x: jax.Array, *, use_mxu: bool = False) -> jax.Array:
         x.reshape(b, h, w * c), c, use_mxu=use_mxu
     )
     return out.reshape(*lead, h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# Autocontrast — the second global-statistics op. PIL ImageOps.autocontrast
+# (cutoff=0, ignore=None) semantics: per channel, lo = min pixel value,
+# hi = max; identity when hi <= lo; else lut[i] = clip(int(i*scale + offset))
+# with scale = 255.0/(hi-lo) computed in FLOAT64. The float LUT genuinely
+# diverges from the exact rational floor ((i-lo)*255)//(hi-lo) — e.g.
+# lo=26, hi=33: pixel 33 maps to 254, not 255, because fl(255/7) < 255/7 —
+# so bit-exactness with PIL requires reproducing the float64 arithmetic.
+# TPUs have no fp64; instead the full LUT cube over every (lo, hi) pair is
+# precomputed host-side in float64 (256*256 rows x 256 entries, 16 MB
+# uint8, cached) and the in-graph op just gathers row (lo, hi) after a
+# min/max reduction. Sharded execution needs lax.pmin/pmax of the local
+# extrema — a third collective flavor after ppermute halos and psum.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=1)
+def _autocontrast_table() -> np.ndarray:
+    """(256, 256, 256) uint8: table[lo, hi] is PIL's float64 LUT."""
+    ix = np.arange(256, dtype=np.float64)
+    tab = np.empty((256, 256, 256), np.uint8)
+    ident = np.arange(256, dtype=np.uint8)
+    for lo in range(256):
+        tab[lo] = ident  # hi <= lo rows: identity ("don't bother")
+        his = np.arange(lo + 1, 256)
+        if his.size == 0:
+            continue
+        scale = 255.0 / (his - lo)
+        offset = -lo * scale
+        # int() truncates toward zero (negatives clip to 0 anyway).
+        vals = np.trunc(ix[None, :] * scale[:, None] + offset[:, None])
+        tab[lo, his] = np.clip(vals, 0, 255).astype(np.uint8)
+    return tab
+
+
+def autocontrast_lut(lo: jax.Array, hi: jax.Array) -> jax.Array:
+    """(N,) uint8 extrema -> (N, 256) uint8 PIL-exact LUTs."""
+    tab = jnp.asarray(_autocontrast_table())
+    return tab[lo.astype(jnp.int32), hi.astype(jnp.int32)]
+
+
+def autocontrast_planar(planes: jax.Array, *,
+                        use_mxu: bool = False) -> jax.Array:
+    """(N, H, W) uint8 -> same, each plane contrast-stretched alone."""
+    n = planes.shape[0]
+    flat = planes.reshape(n, -1)
+    lut = autocontrast_lut(flat.min(axis=1), flat.max(axis=1))
+    return (apply_lut_mxu if use_mxu else apply_lut)(planes, lut)
+
+
+def autocontrast_rows(rows: jax.Array, channels: int, *,
+                      use_mxu: bool = False) -> jax.Array:
+    """Interleaved rows (B, H, W*C) uint8, per-channel autocontrast."""
+    b, h, lane = rows.shape
+    assert lane % channels == 0
+    w = lane // channels
+    planes = rows.reshape(b, h, w, channels)
+    planes = planes.transpose(0, 3, 1, 2).reshape(b * channels, h, w)
+    out = autocontrast_planar(planes, use_mxu=use_mxu)
+    out = out.reshape(b, channels, h, w).transpose(0, 2, 3, 1)
+    return out.reshape(b, h, lane)
+
+
+def autocontrast_nhwc(x: jax.Array, *, use_mxu: bool = False) -> jax.Array:
+    """(..., H, W, C) uint8 -> same shape, per-channel autocontrast."""
+    lead = x.shape[:-3]
+    h, w, c = x.shape[-3:]
+    b = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    out = autocontrast_rows(x.reshape(b, h, w * c), c, use_mxu=use_mxu)
+    return out.reshape(*lead, h, w, c)
+
+
+def autocontrast_oracle(img: np.ndarray) -> np.ndarray:
+    """NumPy reference replicating PIL autocontrast(cutoff=0) per channel."""
+    if img.ndim == 2:
+        img = img[..., None]
+        squeeze = True
+    else:
+        squeeze = False
+    out = np.empty_like(img)
+    for ci in range(img.shape[2]):
+        chan = img[..., ci]
+        lo, hi = int(chan.min()), int(chan.max())
+        if hi <= lo:
+            lut = np.arange(256, dtype=np.uint8)
+        else:
+            scale = 255.0 / (hi - lo)
+            offset = -lo * scale
+            lut = np.clip(
+                np.trunc(np.arange(256, dtype=np.float64) * scale + offset),
+                0, 255,
+            ).astype(np.uint8)
+        out[..., ci] = lut[chan]
+    return out[..., 0] if squeeze else out
 
 
 def equalize_oracle(img: np.ndarray) -> np.ndarray:

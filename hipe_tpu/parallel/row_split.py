@@ -394,3 +394,55 @@ def make_equalize_row_split_fn(
         return shard_fn(x)
 
     return step
+
+
+def make_autocontrast_row_split_fn(
+    mesh: Mesh,
+    *,
+    axis_name: str = ROW_AXIS,
+    batch_axis: str | None = None,
+    channels: int | None = None,
+    use_mxu: bool = False,
+) -> Callable[[jax.Array], jax.Array]:
+    """Autocontrast over H-sharded images: pmin/pmax of local extrema.
+
+    The companion of :func:`make_equalize_row_split_fn` for the second
+    global-statistics op (``ops/equalize.py`` autocontrast, PIL float64
+    LUT bit-exact): each shard reduces its rows to per-(image, channel)
+    min/max, one ``lax.pmin`` + ``lax.pmax`` over the row axis yields the
+    global extrema on every shard, the (lo, hi)-indexed LUT row is
+    gathered from the precomputed cube and applied locally. Two scalar
+    collectives per (image, channel) — bit-identical to the single-device
+    :func:`hipe_tpu.ops.equalize.autocontrast_nhwc`.
+    """
+    from hipe_tpu.ops import equalize as eq
+
+    def local(block: jax.Array) -> jax.Array:
+        if channels is not None:
+            b, hh, lane = block.shape
+            w = lane // channels
+            x = block.reshape(b, hh, w, channels)
+        else:
+            x = block
+            b, hh, w = x.shape[0], x.shape[1], x.shape[2]
+        c = x.shape[-1]
+        planes = x.transpose(0, 3, 1, 2).reshape(b * c, hh, w)
+        flat = planes.reshape(b * c, -1)
+        lo = lax.pmin(flat.min(axis=1), axis_name)
+        hi = lax.pmax(flat.max(axis=1), axis_name)
+        lut = eq.autocontrast_lut(lo, hi)
+        out = (eq.apply_lut_mxu if use_mxu else eq.apply_lut)(planes, lut)
+        out = out.reshape(b, c, hh, w).transpose(0, 2, 3, 1)
+        return out.reshape(block.shape)
+
+    pspec = P(batch_axis, axis_name)
+    shard_fn = jax.shard_map(
+        local, mesh=mesh, in_specs=pspec, out_specs=pspec, check_vma=False
+    )
+
+    @jax.jit
+    def step(x: jax.Array) -> jax.Array:
+        x = lax.with_sharding_constraint(x, NamedSharding(mesh, pspec))
+        return shard_fn(x)
+
+    return step

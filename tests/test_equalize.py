@@ -180,6 +180,91 @@ def test_serving_pipeline_equalize():
     np.testing.assert_array_equal(np.stack(fused), np.stack(px))
 
 
+def _pil_autocontrast(img: np.ndarray) -> np.ndarray:
+    from PIL import Image, ImageOps
+
+    mode = "L" if img.ndim == 2 else "RGB"
+    return np.asarray(ImageOps.autocontrast(Image.fromarray(img, mode)))
+
+
+def _ac_cases():
+    rng = np.random.default_rng(23)
+    cases = {
+        "uniform": rng.integers(0, 256, (64, 80, 3), np.uint8),
+        "narrow": rng.integers(100, 140, (64, 64, 3), np.uint8),
+        "constant": np.full((32, 32, 3), 7, np.uint8),
+        "fullrange": np.clip(
+            rng.integers(-4, 260, (48, 48, 3)), 0, 255
+        ).astype(np.uint8),
+    }
+    # The float64 quirk: lo=26, hi=33 -> scale=fl(255/7) < 255/7, so the
+    # max pixel maps to 254, NOT 255. Bit-exactness with PIL means
+    # reproducing exactly that.
+    q = rng.integers(26, 34, (40, 40, 3)).astype(np.uint8)
+    q[0, 0] = 26
+    q[0, 1] = 33
+    cases["float_quirk"] = q
+    return cases
+
+
+@pytest.mark.parametrize("name,img", _ac_cases().items(),
+                         ids=list(_ac_cases().keys()))
+def test_autocontrast_oracle_matches_pil(name, img):
+    got = eq.autocontrast_oracle(img)
+    np.testing.assert_array_equal(got, _pil_autocontrast(img))
+    if name == "float_quirk":
+        assert got[img == 33].max() == 254  # the fp64 rounding, reproduced
+
+
+@pytest.mark.parametrize("use_mxu", [False, True], ids=["gather", "mxu"])
+def test_autocontrast_jax_matches_pil(use_mxu):
+    for name, img in _ac_cases().items():
+        got = np.asarray(
+            eq.autocontrast_nhwc(jnp.asarray(img), use_mxu=use_mxu)
+        )
+        np.testing.assert_array_equal(
+            got, _pil_autocontrast(img),
+            err_msg=f"case {name} use_mxu={use_mxu}",
+        )
+
+
+def test_autocontrast_pipeline_and_registry():
+    pipe = plib.get("autocontrast")
+    assert pipe.has_pallas_blocks is False
+    rng = np.random.default_rng(29)
+    x = rng.integers(40, 200, (36, 44, 3), np.uint8)
+    want = eq.autocontrast_oracle(x)
+    rows = jnp.asarray(x.reshape(1, 36, 44 * 3))
+    np.testing.assert_array_equal(
+        np.asarray(pipe.apply_rows(rows, 3, use_pallas=True)).reshape(
+            36, 44, 3
+        ),
+        want,
+    )
+    with pytest.raises(ValueError, match="make_autocontrast_row_split_fn"):
+        pipe.radius
+
+
+def test_autocontrast_row_split_pmin_pmax():
+    """8-way H sharding (pmin/pmax collective) == single device."""
+    from hipe_tpu.parallel.mesh import ROW_AXIS
+    from hipe_tpu.parallel.row_split import make_autocontrast_row_split_fn
+    from jax.sharding import Mesh
+
+    devs = jax.devices("cpu")[:8]
+    mesh = Mesh(np.array(devs), (ROW_AXIS,))
+    rng = np.random.default_rng(31)
+    # Place each channel's extrema inside DIFFERENT shards so local
+    # extrema genuinely differ and the collective is load-bearing.
+    x = rng.integers(60, 190, (2, 64, 48, 3), np.uint8)
+    x[0, 3, 5, 0], x[0, 60, 7, 0] = 12, 240
+    x[1, 35, 2, 2] = 255
+    fn = make_autocontrast_row_split_fn(mesh)
+    got = np.asarray(fn(jnp.asarray(x)))
+    for b in range(2):
+        np.testing.assert_array_equal(got[b], eq.autocontrast_oracle(x[b]))
+
+
 def test_cli_approach2_rejects_equalize(capsys):
     """approach2 + equalize: one clean Error line, exit 1 (no traceback)."""
     import sys
