@@ -260,7 +260,10 @@ class FleetEngine:
         from hipe_tpu.runtime.engine import Engine
 
         shapes = set(Engine._stream_shapes(stream))
-        halo = self.pipeline.radius
+        # Only the row-split fleet needs a halo; image-level fleets must
+        # work for radius-less pipelines too (the global-statistics ops
+        # raise on .radius by design).
+        halo = self.pipeline.radius if self.approach == 2 else 0
         seen: set[tuple[int, tuple]] = set()
         for shape in shapes:
             bc, h, w, c = shape

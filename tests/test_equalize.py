@@ -283,6 +283,25 @@ def test_cli_approach2_rejects_equalize(capsys):
     assert "Error:" in err and "psum" in err
 
 
+def test_fleet_image_level_runs_global_stats_pipelines():
+    """Approach-1 fleets warm up and run radius-less pipelines (the halo
+    computation is row-split-only; it used to be evaluated eagerly)."""
+    from hipe_tpu.runtime.fleet import FleetEngine, LaneSpec
+    from hipe_tpu.utils.images import checker_image
+
+    img = checker_image(40, 32, 3, seed=2)
+    devs = jax.devices("cpu")[:3]
+    lanes = [LaneSpec(device=d, weight=1.0, name=f"cpu{i}")
+             for i, d in enumerate(devs)]
+    eng = FleetEngine(lanes, approach=1, batch_size=6, num_images=12,
+                      pipeline="equalize")
+    stats = eng.run(image=img)
+    assert sum(c.images for c in stats.lanes) == 12
+    np.testing.assert_array_equal(
+        eng.first_output[0], eq.equalize_oracle(img)
+    )
+
+
 def test_device_stream_runner_equalize():
     """DeviceStreamRunner routes equalize; autotune skips block sweep."""
     from hipe_tpu.runtime.device_stream import DeviceStreamRunner
