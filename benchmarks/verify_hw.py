@@ -223,16 +223,16 @@ def main() -> int:
         total_err += check(f"pipeline/{name} 64x128", got, want)
 
     # Global-statistics pipeline on silicon: both LUT-apply formulations
-    # (take-gather and the MXU comparison-matmul) vs the PIL-exact oracle.
+    # (take-gather and the fused comparison-sum) vs the PIL-exact oracle.
     from hipe_tpu.ops import equalize as eqops
 
     for op, ofn in (("equalize", eqops.equalize_oracle),
                     ("autocontrast", eqops.autocontrast_oracle)):
         gpipe = plib.PIPELINES[op]
         want_g = np.stack([ofn(b) for b in batch])
-        for label, mxu in (("mxu", True), ("gather", False)):
+        for label, cmp_ in (("cmp", True), ("gather", False)):
             got = np.asarray(
-                gpipe.apply_rows(rows, 3, use_pallas=mxu)
+                gpipe.apply_rows(rows, 3, use_pallas=cmp_)
             ).reshape(batch.shape)
             total_err += check(f"pipeline/{op}_{label} 64x128", got, want_g)
 

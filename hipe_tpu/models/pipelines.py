@@ -219,8 +219,8 @@ class GlobalStatsPipeline:
     ``make_autocontrast_row_split_fn`` — psum of partial histograms and
     pmin/pmax of extrema respectively).
 
-    ``use_pallas=True`` on the apply methods selects the MXU
-    comparison-matmul LUT apply (bit-identical to the gather; see
+    ``use_pallas=True`` on the apply methods selects the fused
+    comparison-sum LUT apply (bit-identical to the gather; see
     ``ops/equalize.py``) — there are no Pallas block/alias knobs, which
     the methods accept and ignore so the runtime's call sites
     (engine lanes, serving, DeviceStreamRunner) work unchanged.
@@ -264,16 +264,16 @@ class GlobalStatsPipeline:
                 f"pipeline {self.name!r}: halo (h_pad=False) mode is "
                 "meaningless for a global-statistics op"
             )
-        return self._op("planar")(planes, use_mxu=use_pallas)
+        return self._op("planar")(planes, use_cmp=use_pallas)
 
     def apply_rows(self, rows: jax.Array, channels: int, *,
                    use_pallas: bool = True, interpret: bool = False,
                    alias: bool = False) -> jax.Array:
-        return self._op("rows")(rows, channels, use_mxu=use_pallas)
+        return self._op("rows")(rows, channels, use_cmp=use_pallas)
 
     def apply_nhwc(self, x: jax.Array, *, use_pallas: bool = True,
                    interpret: bool = False) -> jax.Array:
-        return self._op("nhwc")(x, use_mxu=use_pallas)
+        return self._op("nhwc")(x, use_cmp=use_pallas)
 
     def nhwc_halo_fn(self, **kw):
         self.radius  # raises with the explanation

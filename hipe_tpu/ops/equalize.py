@@ -14,14 +14,14 @@ pointwise. That changes both halves of the TPU story:
   ``step == 0``. All arithmetic is int32 floor division, so there is no
   float tolerance anywhere — tests assert exact equality against PIL.
 - **Apply**: TPU has no vector table-lookup, so the LUT gather has two
-  exact formulations: ``jnp.take_along_axis`` (the host/XLA path) and an
-  MXU comparison-matmul (``use_mxu=True``): since the LUT is monotone
+  exact formulations: ``jnp.take_along_axis`` (the host/XLA path) and a
+  comparison-sum (``use_cmp=True``): since the LUT is monotone
   non-decreasing, ``lut[x] = lut[0] + sum_v (x >= v) * (lut[v]-lut[v-1])``
-  — a (P, 255) bf16 one-sided-comparison matrix against the (255,) LUT
-  difference vector with fp32 accumulation. Every term is an integer
-  <= 255 (exact in bf16) and partial sums stay <= 65025 (exact in fp32),
-  so the matmul path is bit-identical to the gather, on the systolic
-  array instead of a serialized gather.
+  — int32 compare-multiply-reduce over the 255 thresholds, fused by XLA
+  into one HBM pass (VPU work in registers, like the histogram),
+  bit-identical to the gather. A dot/einsum spelling of the same sum
+  was rejected: MXU operands materialize, a 255x HBM blowup for a
+  bandwidth-bound matvec.
 - **Sharding**: there is no halo — a row-sharded image needs a *global*
   histogram, so the SPMD pattern is ``lax.psum`` of per-shard partial
   histograms, not ``ppermute`` halo exchange (see
@@ -86,55 +86,58 @@ def apply_lut(planes: jax.Array, lut: jax.Array) -> jax.Array:
     return jnp.take_along_axis(lut, flat, axis=1).reshape(planes.shape)
 
 
-def apply_lut_mxu(planes: jax.Array, lut: jax.Array) -> jax.Array:
-    """MXU formulation: lut[x] = lut[0] + (x >= v) @ diff(lut).
+def apply_lut_cmp(planes: jax.Array, lut: jax.Array) -> jax.Array:
+    """Comparison-sum formulation: lut[x] = lut[0] + sum_v (x >= v)*d_v.
 
-    Exact because the LUT is monotone (diffs are integers in [0, 255],
-    representable in bf16) and accumulation is fp32 (partial sums
-    <= 65025 < 2^24). Bit-identical to :func:`apply_lut`.
+    Because the LUT is monotone non-decreasing, the gather rewrites as a
+    reduction over the 255 thresholds with the LUT's difference vector —
+    int32 throughout, trivially exact, bit-identical to
+    :func:`apply_lut`. Expressed as elementwise-compare * diff -> reduce
+    (NOT a dot): XLA fuses the broadcast compare into the reduction the
+    same way :func:`histogram_planes` fuses, so the (N, P, 255)
+    intermediate never materializes — one HBM pass, ~255 VPU ops/pixel
+    in registers. (A dot/einsum spelling of the same sum would
+    materialize the comparison matrix as an MXU operand: a 255x HBM
+    blowup that OOMs at streaming scale — matvec rides bandwidth, not
+    the systolic array, so the MXU buys nothing here.)
     """
     n = planes.shape[0]
     x = planes.reshape(n, -1)
-    d = (lut[:, 1:].astype(jnp.int32)
-         - lut[:, :-1].astype(jnp.int32)).astype(jnp.bfloat16)
+    d = (lut[:, 1:].astype(jnp.int32) - lut[:, :-1].astype(jnp.int32))
     thresh = jnp.arange(1, 256, dtype=jnp.uint8)
-    ge = (x[:, :, None] >= thresh).astype(jnp.bfloat16)
-    acc = jnp.einsum(
-        "npv,nv->np", ge, d, preferred_element_type=jnp.float32
-    )
-    out = lut[:, :1].astype(jnp.float32) + acc
-    # float32 -> uint8 via int32 (Mosaic has no direct f32->u8; XLA does,
-    # but the int32 hop keeps the graph portable to a Pallas lowering).
-    return out.astype(jnp.int32).astype(jnp.uint8).reshape(planes.shape)
+    ge = x[:, :, None] >= thresh  # fused into the reduce, never in HBM
+    acc = jnp.sum(jnp.where(ge, d[:, None, :], 0), axis=-1)
+    out = lut[:, :1].astype(jnp.int32) + acc
+    return out.astype(jnp.uint8).reshape(planes.shape)
 
 
-def equalize_planar(planes: jax.Array, *, use_mxu: bool = False) -> jax.Array:
+def equalize_planar(planes: jax.Array, *, use_cmp: bool = False) -> jax.Array:
     """(N, H, W) uint8 -> (N, H, W) uint8, each plane equalized alone."""
     hist = histogram_planes(planes)
     lut = equalize_lut(hist, planes.shape[1] * planes.shape[2])
-    return (apply_lut_mxu if use_mxu else apply_lut)(planes, lut)
+    return (apply_lut_cmp if use_cmp else apply_lut)(planes, lut)
 
 
 def equalize_rows(rows: jax.Array, channels: int, *,
-                  use_mxu: bool = False) -> jax.Array:
+                  use_cmp: bool = False) -> jax.Array:
     """Interleaved rows (B, H, W*C) uint8, per-channel equalization."""
     b, h, lane = rows.shape
     assert lane % channels == 0
     w = lane // channels
     planes = rows.reshape(b, h, w, channels)
     planes = planes.transpose(0, 3, 1, 2).reshape(b * channels, h, w)
-    out = equalize_planar(planes, use_mxu=use_mxu)
+    out = equalize_planar(planes, use_cmp=use_cmp)
     out = out.reshape(b, channels, h, w).transpose(0, 2, 3, 1)
     return out.reshape(b, h, lane)
 
 
-def equalize_nhwc(x: jax.Array, *, use_mxu: bool = False) -> jax.Array:
+def equalize_nhwc(x: jax.Array, *, use_cmp: bool = False) -> jax.Array:
     """(..., H, W, C) uint8 -> same shape, per-channel equalization."""
     lead = x.shape[:-3]
     h, w, c = x.shape[-3:]
     b = int(np.prod(lead, dtype=np.int64)) if lead else 1
     out = equalize_rows(
-        x.reshape(b, h, w * c), c, use_mxu=use_mxu
+        x.reshape(b, h, w * c), c, use_cmp=use_cmp
     )
     return out.reshape(*lead, h, w, c)
 
@@ -181,33 +184,33 @@ def autocontrast_lut(lo: jax.Array, hi: jax.Array) -> jax.Array:
 
 
 def autocontrast_planar(planes: jax.Array, *,
-                        use_mxu: bool = False) -> jax.Array:
+                        use_cmp: bool = False) -> jax.Array:
     """(N, H, W) uint8 -> same, each plane contrast-stretched alone."""
     n = planes.shape[0]
     flat = planes.reshape(n, -1)
     lut = autocontrast_lut(flat.min(axis=1), flat.max(axis=1))
-    return (apply_lut_mxu if use_mxu else apply_lut)(planes, lut)
+    return (apply_lut_cmp if use_cmp else apply_lut)(planes, lut)
 
 
 def autocontrast_rows(rows: jax.Array, channels: int, *,
-                      use_mxu: bool = False) -> jax.Array:
+                      use_cmp: bool = False) -> jax.Array:
     """Interleaved rows (B, H, W*C) uint8, per-channel autocontrast."""
     b, h, lane = rows.shape
     assert lane % channels == 0
     w = lane // channels
     planes = rows.reshape(b, h, w, channels)
     planes = planes.transpose(0, 3, 1, 2).reshape(b * channels, h, w)
-    out = autocontrast_planar(planes, use_mxu=use_mxu)
+    out = autocontrast_planar(planes, use_cmp=use_cmp)
     out = out.reshape(b, channels, h, w).transpose(0, 2, 3, 1)
     return out.reshape(b, h, lane)
 
 
-def autocontrast_nhwc(x: jax.Array, *, use_mxu: bool = False) -> jax.Array:
+def autocontrast_nhwc(x: jax.Array, *, use_cmp: bool = False) -> jax.Array:
     """(..., H, W, C) uint8 -> same shape, per-channel autocontrast."""
     lead = x.shape[:-3]
     h, w, c = x.shape[-3:]
     b = int(np.prod(lead, dtype=np.int64)) if lead else 1
-    out = autocontrast_rows(x.reshape(b, h, w * c), c, use_mxu=use_mxu)
+    out = autocontrast_rows(x.reshape(b, h, w * c), c, use_cmp=use_cmp)
     return out.reshape(*lead, h, w, c)
 
 

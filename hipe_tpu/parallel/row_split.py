@@ -344,7 +344,7 @@ def make_equalize_row_split_fn(
     axis_name: str = ROW_AXIS,
     batch_axis: str | None = None,
     channels: int | None = None,
-    use_mxu: bool = False,
+    use_cmp: bool = False,
 ) -> Callable[[jax.Array], jax.Array]:
     """Histogram equalization over H-sharded images: psum, not halo.
 
@@ -360,7 +360,7 @@ def make_equalize_row_split_fn(
 
     Input/output: (B, H, W, C) uint8 — or rows (B, H, W*C) with
     ``channels=C`` — H sharded over ``axis_name`` (and B over
-    ``batch_axis`` if given: DP x SP). ``use_mxu=True`` selects the MXU
+    ``batch_axis`` if given: DP x SP). ``use_cmp=True`` selects the MXU
     comparison-matmul LUT apply (exact; see ``ops/equalize.py``).
     """
     from hipe_tpu.ops import equalize as eq
@@ -379,7 +379,7 @@ def make_equalize_row_split_fn(
         planes = x.transpose(0, 3, 1, 2).reshape(b * c, hh, w)
         hist = lax.psum(eq.histogram_planes(planes), axis_name)
         lut = eq.equalize_lut(hist, hh * n_shards * w)
-        out = (eq.apply_lut_mxu if use_mxu else eq.apply_lut)(planes, lut)
+        out = (eq.apply_lut_cmp if use_cmp else eq.apply_lut)(planes, lut)
         out = out.reshape(b, c, hh, w).transpose(0, 2, 3, 1)
         return out.reshape(block.shape)
 
@@ -402,7 +402,7 @@ def make_autocontrast_row_split_fn(
     axis_name: str = ROW_AXIS,
     batch_axis: str | None = None,
     channels: int | None = None,
-    use_mxu: bool = False,
+    use_cmp: bool = False,
 ) -> Callable[[jax.Array], jax.Array]:
     """Autocontrast over H-sharded images: pmin/pmax of local extrema.
 
@@ -431,7 +431,7 @@ def make_autocontrast_row_split_fn(
         lo = lax.pmin(flat.min(axis=1), axis_name)
         hi = lax.pmax(flat.max(axis=1), axis_name)
         lut = eq.autocontrast_lut(lo, hi)
-        out = (eq.apply_lut_mxu if use_mxu else eq.apply_lut)(planes, lut)
+        out = (eq.apply_lut_cmp if use_cmp else eq.apply_lut)(planes, lut)
         out = out.reshape(b, c, hh, w).transpose(0, 2, 3, 1)
         return out.reshape(block.shape)
 

@@ -1,8 +1,8 @@
-"""Histogram equalization: PIL-exact LUT build, MXU apply, psum sharding.
+"""Histogram equalization: PIL-exact LUT build, comparison-sum apply, psum sharding.
 
 Three-way exactness: PIL ``ImageOps.equalize`` (the external oracle) ==
 the NumPy oracle (``equalize_oracle``) == both JAX formulations (gather
-and MXU comparison-matmul), plus the psum row-split on a virtual mesh ==
+and fused comparison-sum), plus the psum row-split on a virtual mesh ==
 single-device, plus the serving/pipeline integrations.
 """
 
@@ -54,12 +54,12 @@ def test_oracle_matches_pil(name, img):
     np.testing.assert_array_equal(eq.equalize_oracle(img), _pil_equalize(img))
 
 
-@pytest.mark.parametrize("use_mxu", [False, True], ids=["gather", "mxu"])
-def test_jax_paths_match_oracle(use_mxu):
+@pytest.mark.parametrize("use_cmp", [False, True], ids=["gather", "cmp"])
+def test_jax_paths_match_oracle(use_cmp):
     for name, img in _cases().items():
-        got = np.asarray(eq.equalize_nhwc(jnp.asarray(img), use_mxu=use_mxu))
+        got = np.asarray(eq.equalize_nhwc(jnp.asarray(img), use_cmp=use_cmp))
         np.testing.assert_array_equal(got, eq.equalize_oracle(img),
-                                      err_msg=f"case {name} use_mxu={use_mxu}")
+                                      err_msg=f"case {name} use_cmp={use_cmp}")
 
 
 def test_grayscale_plane():
@@ -123,8 +123,8 @@ def test_no_radius_and_no_halo_fns():
         plib.get(["gaussian3", "equalize"])
 
 
-@pytest.mark.parametrize("use_mxu", [False, True], ids=["gather", "mxu"])
-def test_row_split_psum_exact(use_mxu):
+@pytest.mark.parametrize("use_cmp", [False, True], ids=["gather", "cmp"])
+def test_row_split_psum_exact(use_cmp):
     """8-way H sharding == single device, for every formulation."""
     from hipe_tpu.parallel.mesh import ROW_AXIS
     from hipe_tpu.parallel.row_split import make_equalize_row_split_fn
@@ -134,7 +134,7 @@ def test_row_split_psum_exact(use_mxu):
     mesh = Mesh(np.array(devs), (ROW_AXIS,))
     rng = np.random.default_rng(11)
     x = rng.integers(0, 256, (2, 64, 48, 3), np.uint8)
-    fn = make_equalize_row_split_fn(mesh, use_mxu=use_mxu)
+    fn = make_equalize_row_split_fn(mesh, use_cmp=use_cmp)
     got = np.asarray(fn(jnp.asarray(x)))
     for b in range(2):
         np.testing.assert_array_equal(got[b], eq.equalize_oracle(x[b]))
@@ -216,15 +216,15 @@ def test_autocontrast_oracle_matches_pil(name, img):
         assert got[img == 33].max() == 254  # the fp64 rounding, reproduced
 
 
-@pytest.mark.parametrize("use_mxu", [False, True], ids=["gather", "mxu"])
-def test_autocontrast_jax_matches_pil(use_mxu):
+@pytest.mark.parametrize("use_cmp", [False, True], ids=["gather", "cmp"])
+def test_autocontrast_jax_matches_pil(use_cmp):
     for name, img in _ac_cases().items():
         got = np.asarray(
-            eq.autocontrast_nhwc(jnp.asarray(img), use_mxu=use_mxu)
+            eq.autocontrast_nhwc(jnp.asarray(img), use_cmp=use_cmp)
         )
         np.testing.assert_array_equal(
             got, _pil_autocontrast(img),
-            err_msg=f"case {name} use_mxu={use_mxu}",
+            err_msg=f"case {name} use_cmp={use_cmp}",
         )
 
 
