@@ -180,6 +180,30 @@ def test_serving_pipeline_equalize():
     np.testing.assert_array_equal(np.stack(fused), np.stack(px))
 
 
+def test_serving_equalize_encode_placements():
+    """Host-encode, device-encode, and full transcode emit identical
+    bytes for the global-statistics pipeline too."""
+    from hipe_tpu.io_ import jpeg
+    from hipe_tpu.runtime.serve import ServingPipeline
+
+    rng = np.random.default_rng(37)
+    payloads = [
+        jpeg.encode_bytes(
+            rng.integers(0, 256, (32, 48, 3), np.uint8), 90
+        )
+        for _ in range(2)
+    ]
+    ref = ServingPipeline("equalize", use_pallas=False).process_batch(
+        payloads
+    )
+    for kwargs in ({"encode_on_device": True},
+                   {"decode_on_device": True, "encode_on_device": True}):
+        got = ServingPipeline(
+            "equalize", use_pallas=False, **kwargs
+        ).process_batch(payloads)
+        assert got == ref, kwargs
+
+
 def _pil_autocontrast(img: np.ndarray) -> np.ndarray:
     from PIL import Image, ImageOps
 
