@@ -68,9 +68,13 @@ def main() -> int:
         steps.append(([py, "benchmarks/run_corpus.py", "--num-images",
                        "5000", "--runs", "3", "--batch-sizes", "35", "50",
                        "100", "200", "500", "800", "1200",
+                       # Match the COMMITTED corpus shape: the single-lane
+                       # grid was widened to the full {35..1200} set when
+                       # round 2's verdict item closed; regenerating a
+                       # narrower set would leave a mixed-capture corpus.
                        "--single-lane-batches", "35", "50", "100", "200",
                        "500", "800", "1200",
-                       "--out", "benchmarks/corpus_v5e_full"], 14400))
+                       "--out", "benchmarks/corpus_v5e_full"], 21600))
     # Tables render last so every regenerated JSON feeds them.
     steps.append(([py, "benchmarks/render_tables.py"], 300))
     failures = 0

@@ -111,6 +111,32 @@ def apply_lut_cmp(planes: jax.Array, lut: jax.Array) -> jax.Array:
     return out.astype(jnp.uint8).reshape(planes.shape)
 
 
+def _rows_via_planar(planar_fn, rows: jax.Array, channels: int,
+                     **kw) -> jax.Array:
+    """(B, H, W*C) rows -> per-channel planes -> planar_fn -> rows.
+
+    The one copy of the rows<->planar layout dance for every
+    global-statistics op (sharded shard bodies included).
+    """
+    b, h, lane = rows.shape
+    assert lane % channels == 0
+    w = lane // channels
+    planes = rows.reshape(b, h, w, channels)
+    planes = planes.transpose(0, 3, 1, 2).reshape(b * channels, h, w)
+    out = planar_fn(planes, **kw)
+    out = out.reshape(b, channels, h, w).transpose(0, 2, 3, 1)
+    return out.reshape(b, h, lane)
+
+
+def _nhwc_via_rows(rows_fn, x: jax.Array, **kw) -> jax.Array:
+    """(..., H, W, C) -> rows_fn on (B, H, W*C) -> original shape."""
+    lead = x.shape[:-3]
+    h, w, c = x.shape[-3:]
+    b = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    out = rows_fn(x.reshape(b, h, w * c), c, **kw)
+    return out.reshape(*lead, h, w, c)
+
+
 def equalize_planar(planes: jax.Array, *, use_cmp: bool = False) -> jax.Array:
     """(N, H, W) uint8 -> (N, H, W) uint8, each plane equalized alone."""
     hist = histogram_planes(planes)
@@ -121,25 +147,12 @@ def equalize_planar(planes: jax.Array, *, use_cmp: bool = False) -> jax.Array:
 def equalize_rows(rows: jax.Array, channels: int, *,
                   use_cmp: bool = False) -> jax.Array:
     """Interleaved rows (B, H, W*C) uint8, per-channel equalization."""
-    b, h, lane = rows.shape
-    assert lane % channels == 0
-    w = lane // channels
-    planes = rows.reshape(b, h, w, channels)
-    planes = planes.transpose(0, 3, 1, 2).reshape(b * channels, h, w)
-    out = equalize_planar(planes, use_cmp=use_cmp)
-    out = out.reshape(b, channels, h, w).transpose(0, 2, 3, 1)
-    return out.reshape(b, h, lane)
+    return _rows_via_planar(equalize_planar, rows, channels, use_cmp=use_cmp)
 
 
 def equalize_nhwc(x: jax.Array, *, use_cmp: bool = False) -> jax.Array:
     """(..., H, W, C) uint8 -> same shape, per-channel equalization."""
-    lead = x.shape[:-3]
-    h, w, c = x.shape[-3:]
-    b = int(np.prod(lead, dtype=np.int64)) if lead else 1
-    out = equalize_rows(
-        x.reshape(b, h, w * c), c, use_cmp=use_cmp
-    )
-    return out.reshape(*lead, h, w, c)
+    return _nhwc_via_rows(equalize_rows, x, use_cmp=use_cmp)
 
 
 # ---------------------------------------------------------------------------
@@ -178,9 +191,23 @@ def _autocontrast_table() -> np.ndarray:
 
 
 def autocontrast_lut(lo: jax.Array, hi: jax.Array) -> jax.Array:
-    """(N,) uint8 extrema -> (N, 256) uint8 PIL-exact LUTs."""
-    tab = jnp.asarray(_autocontrast_table())
-    return tab[lo.astype(jnp.int32), hi.astype(jnp.int32)]
+    """(N,) uint8 extrema -> (N, 256) uint8 PIL-exact LUTs.
+
+    Traced inputs gather in-graph from the cube, which is embedded as a
+    program constant — 16 MB per compiled executable that uses
+    autocontrast (a handful of serving shapes in practice; the
+    persistent compile cache amortizes recompiles). Concrete inputs
+    never touch a device cube: the (N, 256) rows are gathered in NumPy
+    and returned as a host constant, so eager callers ship 256*N bytes,
+    not 16 MB, and stay off the default backend (hermeticity — the
+    consumer op places the rows with its own operands).
+    """
+    if isinstance(lo, jax.core.Tracer) or isinstance(hi, jax.core.Tracer):
+        tab = jnp.asarray(_autocontrast_table())
+        return tab[lo.astype(jnp.int32), hi.astype(jnp.int32)]
+    tab = _autocontrast_table()
+    return tab[np.asarray(lo).astype(np.int32),
+               np.asarray(hi).astype(np.int32)]
 
 
 def autocontrast_planar(planes: jax.Array, *,
@@ -195,23 +222,14 @@ def autocontrast_planar(planes: jax.Array, *,
 def autocontrast_rows(rows: jax.Array, channels: int, *,
                       use_cmp: bool = False) -> jax.Array:
     """Interleaved rows (B, H, W*C) uint8, per-channel autocontrast."""
-    b, h, lane = rows.shape
-    assert lane % channels == 0
-    w = lane // channels
-    planes = rows.reshape(b, h, w, channels)
-    planes = planes.transpose(0, 3, 1, 2).reshape(b * channels, h, w)
-    out = autocontrast_planar(planes, use_cmp=use_cmp)
-    out = out.reshape(b, channels, h, w).transpose(0, 2, 3, 1)
-    return out.reshape(b, h, lane)
+    return _rows_via_planar(
+        autocontrast_planar, rows, channels, use_cmp=use_cmp
+    )
 
 
 def autocontrast_nhwc(x: jax.Array, *, use_cmp: bool = False) -> jax.Array:
     """(..., H, W, C) uint8 -> same shape, per-channel autocontrast."""
-    lead = x.shape[:-3]
-    h, w, c = x.shape[-3:]
-    b = int(np.prod(lead, dtype=np.int64)) if lead else 1
-    out = autocontrast_rows(x.reshape(b, h, w * c), c, use_cmp=use_cmp)
-    return out.reshape(*lead, h, w, c)
+    return _nhwc_via_rows(autocontrast_rows, x, use_cmp=use_cmp)
 
 
 def autocontrast_oracle(img: np.ndarray) -> np.ndarray:

@@ -338,6 +338,53 @@ def make_weighted_row_split_fn(
     return step
 
 
+def _make_stats_row_split_fn(
+    mesh: Mesh,
+    plane_lut_fn,
+    *,
+    axis_name: str,
+    batch_axis: str | None,
+    channels: int | None,
+    use_cmp: bool,
+) -> Callable[[jax.Array], jax.Array]:
+    """Shared shard scaffolding for the global-statistics pipelines.
+
+    ``plane_lut_fn(planes) -> (N, 256) LUTs`` runs inside the shard body
+    and performs whatever collective its statistic needs (psum of
+    histograms, pmin/pmax of extrema); everything else — the rows/NHWC
+    layout handling, the LUT apply, the shard_map plumbing — is
+    identical between the ops and lives here once.
+    """
+    from hipe_tpu.ops import equalize as eq
+
+    def local(block: jax.Array) -> jax.Array:
+        if channels is not None:
+            b, hh, lane = block.shape
+            w = lane // channels
+            x = block.reshape(b, hh, w, channels)
+        else:
+            x = block
+            b, hh, w = x.shape[0], x.shape[1], x.shape[2]
+        c = x.shape[-1]
+        planes = x.transpose(0, 3, 1, 2).reshape(b * c, hh, w)
+        lut = plane_lut_fn(planes)
+        out = (eq.apply_lut_cmp if use_cmp else eq.apply_lut)(planes, lut)
+        out = out.reshape(b, c, hh, w).transpose(0, 2, 3, 1)
+        return out.reshape(block.shape)
+
+    pspec = P(batch_axis, axis_name)
+    shard_fn = jax.shard_map(
+        local, mesh=mesh, in_specs=pspec, out_specs=pspec, check_vma=False
+    )
+
+    @jax.jit
+    def step(x: jax.Array) -> jax.Array:
+        x = lax.with_sharding_constraint(x, NamedSharding(mesh, pspec))
+        return shard_fn(x)
+
+    return step
+
+
 def make_equalize_row_split_fn(
     mesh: Mesh,
     *,
@@ -360,40 +407,22 @@ def make_equalize_row_split_fn(
 
     Input/output: (B, H, W, C) uint8 — or rows (B, H, W*C) with
     ``channels=C`` — H sharded over ``axis_name`` (and B over
-    ``batch_axis`` if given: DP x SP). ``use_cmp=True`` selects the MXU
-    comparison-matmul LUT apply (exact; see ``ops/equalize.py``).
+    ``batch_axis`` if given: DP x SP). ``use_cmp=True`` selects the
+    fused comparison-sum LUT apply (exact; see ``ops/equalize.py``).
     """
     from hipe_tpu.ops import equalize as eq
 
     n_shards = mesh.shape[axis_name]
 
-    def local(block: jax.Array) -> jax.Array:
-        if channels is not None:
-            b, hh, lane = block.shape
-            w = lane // channels
-            x = block.reshape(b, hh, w, channels)
-        else:
-            x = block
-            b, hh, w = x.shape[0], x.shape[1], x.shape[2]
-        c = x.shape[-1]
-        planes = x.transpose(0, 3, 1, 2).reshape(b * c, hh, w)
+    def plane_luts(planes: jax.Array) -> jax.Array:
         hist = lax.psum(eq.histogram_planes(planes), axis_name)
-        lut = eq.equalize_lut(hist, hh * n_shards * w)
-        out = (eq.apply_lut_cmp if use_cmp else eq.apply_lut)(planes, lut)
-        out = out.reshape(b, c, hh, w).transpose(0, 2, 3, 1)
-        return out.reshape(block.shape)
+        npix = planes.shape[1] * n_shards * planes.shape[2]
+        return eq.equalize_lut(hist, npix)
 
-    pspec = P(batch_axis, axis_name)
-    shard_fn = jax.shard_map(
-        local, mesh=mesh, in_specs=pspec, out_specs=pspec, check_vma=False
+    return _make_stats_row_split_fn(
+        mesh, plane_luts, axis_name=axis_name, batch_axis=batch_axis,
+        channels=channels, use_cmp=use_cmp,
     )
-
-    @jax.jit
-    def step(x: jax.Array) -> jax.Array:
-        x = lax.with_sharding_constraint(x, NamedSharding(mesh, pspec))
-        return shard_fn(x)
-
-    return step
 
 
 def make_autocontrast_row_split_fn(
@@ -417,32 +446,13 @@ def make_autocontrast_row_split_fn(
     """
     from hipe_tpu.ops import equalize as eq
 
-    def local(block: jax.Array) -> jax.Array:
-        if channels is not None:
-            b, hh, lane = block.shape
-            w = lane // channels
-            x = block.reshape(b, hh, w, channels)
-        else:
-            x = block
-            b, hh, w = x.shape[0], x.shape[1], x.shape[2]
-        c = x.shape[-1]
-        planes = x.transpose(0, 3, 1, 2).reshape(b * c, hh, w)
-        flat = planes.reshape(b * c, -1)
+    def plane_luts(planes: jax.Array) -> jax.Array:
+        flat = planes.reshape(planes.shape[0], -1)
         lo = lax.pmin(flat.min(axis=1), axis_name)
         hi = lax.pmax(flat.max(axis=1), axis_name)
-        lut = eq.autocontrast_lut(lo, hi)
-        out = (eq.apply_lut_cmp if use_cmp else eq.apply_lut)(planes, lut)
-        out = out.reshape(b, c, hh, w).transpose(0, 2, 3, 1)
-        return out.reshape(block.shape)
+        return eq.autocontrast_lut(lo, hi)
 
-    pspec = P(batch_axis, axis_name)
-    shard_fn = jax.shard_map(
-        local, mesh=mesh, in_specs=pspec, out_specs=pspec, check_vma=False
+    return _make_stats_row_split_fn(
+        mesh, plane_luts, axis_name=axis_name, batch_axis=batch_axis,
+        channels=channels, use_cmp=use_cmp,
     )
-
-    @jax.jit
-    def step(x: jax.Array) -> jax.Array:
-        x = lax.with_sharding_constraint(x, NamedSharding(mesh, pspec))
-        return shard_fn(x)
-
-    return step
