@@ -39,7 +39,51 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def tunnel_alive(timeout_s: int = 120) -> bool:
+    """Probe the default backend in a subprocess with a hard timeout.
+
+    The axon tunnel can go down for hours (CLAUDE.md), in which case
+    jax.devices() hangs indefinitely — a driver calling bench.py would
+    hang with it. The probe subprocess is killable; the parent is not
+    once the backend starts initializing.
+    """
+    import subprocess
+
+    probe = ("import jax, numpy as np, jax.numpy as jnp; "
+             "print('OK', int(np.asarray(jnp.arange(4)).sum()))")
+    try:
+        r = subprocess.run([sys.executable, "-c", probe],
+                           capture_output=True, timeout=timeout_s)
+        return b"OK 6" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> int:
+    # Fail fast (with bounded retries) on a dead tunnel instead of hanging
+    # in backend init; emit the one-line JSON contract either way so the
+    # driver records a diagnosable failure, not a timeout.
+    import time
+
+    attempts = 5
+    for attempt in range(attempts):
+        if tunnel_alive():
+            break
+        log(f"TPU tunnel probe {attempt + 1}/{attempts} failed"
+            + ("; retrying in 120 s" if attempt + 1 < attempts else ""))
+        if attempt + 1 < attempts:
+            time.sleep(120)
+    else:
+        print(json.dumps({
+            "metric": "img_per_s_per_chip",
+            "value": None,
+            "unit": "img/s",
+            "vs_baseline": None,
+            "error": "tpu tunnel unreachable (backend probe timed out "
+                     f"{attempts}x); rerun when jax.devices() responds",
+        }))
+        return 2
+
     import jax
     from hipe_tpu.utils.cache import enable_compilation_cache
 
