@@ -43,6 +43,10 @@ def render_device_stream() -> str:
         "sharpen": "sharpen",
         "edge": "edge (Sobel)",
         "chain": "chain (blur->sharpen->edge, fused)",
+        "median": "median (3x3 nonlinear, VPU sort network)",
+        "denoise": "denoise (median->blur3, fused)",
+        "equalize": "equalize (global-stats, PIL-exact)",
+        "autocontrast": "autocontrast (global-stats, PIL-exact)",
     }
     out = ["| pipeline | ms/pass (5000 imgs) | img/s per chip | GB/s | chosen config |",
            "|---|---|---|---|---|"]
