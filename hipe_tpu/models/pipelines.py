@@ -209,8 +209,13 @@ class GlobalStatsPipeline:
 
     - ``equalize``: per-channel 256-bin histogram -> monotone LUT — PIL
       ``ImageOps.equalize`` semantics, bit-exact, integer-only.
-    - ``autocontrast``: per-channel min/max -> PIL float64 LUT (cutoff=0),
-      bit-exact via the precomputed (lo, hi) LUT cube.
+    - ``autocontrast``: per-channel min/max -> PIL float64 LUT,
+      bit-exact via the precomputed (lo, hi) LUT cube. The ``cutoff``
+      field (integer percent or (low, high) pair, PIL semantics) trims
+      that much histogram mass from each end before picking the range —
+      e.g. ``GlobalStatsPipeline("autocontrast", cutoff=2)`` is
+      ``ImageOps.autocontrast(im, cutoff=2)``; the registry entry keeps
+      cutoff=0.
 
     There is no stencil radius: these ops need *whole-image* statistics,
     so halo-based row-split cannot run them (accessing :attr:`radius`
@@ -228,17 +233,27 @@ class GlobalStatsPipeline:
 
     name: str
     filters: tuple = ()
+    cutoff: object = 0  # autocontrast only: int percent or (low, high)
 
     has_pallas_blocks = False
 
     def __post_init__(self):
         if not self.filters:
             object.__setattr__(self, "filters", (self.name,))
+        if self.cutoff != 0 and self.name != "autocontrast":
+            raise ValueError(
+                f"cutoff applies to 'autocontrast' only, not {self.name!r}"
+            )
 
     def _op(self, layout: str):
         from hipe_tpu.ops import equalize as eq
 
-        return getattr(eq, f"{self.name}_{layout}")
+        fn = getattr(eq, f"{self.name}_{layout}")
+        if self.name == "autocontrast":
+            import functools
+
+            fn = functools.partial(fn, cutoff=self.cutoff)
+        return fn
 
     @property
     def radius(self) -> int:

@@ -210,30 +210,88 @@ def autocontrast_lut(lo: jax.Array, hi: jax.Array) -> jax.Array:
                np.asarray(hi).astype(np.int32)]
 
 
-def autocontrast_planar(planes: jax.Array, *,
+def _normalize_cutoff(cutoff) -> tuple[int, int]:
+    c = cutoff if isinstance(cutoff, tuple) else (cutoff, cutoff)
+    if (len(c) != 2 or not all(isinstance(v, int) for v in c)
+            or c[0] < 0 or c[1] < 0 or c[0] + c[1] >= 100):
+        raise ValueError(
+            f"cutoff must be non-negative integer percent(s) summing "
+            f"below 100, got {cutoff!r} (integer-only keeps the trim "
+            "arithmetic exact — PIL's int(n*cutoff//100))"
+        )
+    return c[0], c[1]
+
+
+def autocontrast_extrema(hist: jax.Array,
+                         cutoff: tuple[int, int]) -> tuple:
+    """PIL's histogram trim: (lo, hi) bins after cutting cutoff% per end.
+
+    Replicates ImageOps.autocontrast's destructive walk exactly in closed
+    form: after removing ``cut0 = n*c0//100`` pixels from the low end,
+    ``h_lo[i] = clip(min(h[i], cumsum(h)[i] - cut0), 0)``; the high cut
+    applies the same formula to the suffix sums of the trimmed histogram.
+    lo/hi are the first/last nonzero bins of the result (lo=255, hi=0
+    when the cuts consume everything -> identity row of the LUT cube).
+    """
+    c0, c1 = cutoff
+    h = hist.astype(jnp.int32)
+    n = h.sum(axis=-1, keepdims=True)
+    cut0 = n * c0 // 100
+    csum = jnp.cumsum(h, axis=-1)
+    h_lo = jnp.clip(jnp.minimum(h, csum - cut0), 0, None)
+    cut1 = n * c1 // 100
+    suffix = jnp.cumsum(h_lo[..., ::-1], axis=-1)[..., ::-1]
+    h_fin = jnp.clip(jnp.minimum(h_lo, suffix - cut1), 0, None)
+    idx = jnp.arange(256, dtype=jnp.int32)
+    nz = h_fin > 0
+    lo = jnp.min(jnp.where(nz, idx, 255), axis=-1)
+    hi = jnp.max(jnp.where(nz, idx, 0), axis=-1)
+    return lo, hi
+
+
+def autocontrast_planar(planes: jax.Array, *, cutoff=0,
                         use_cmp: bool = False) -> jax.Array:
-    """(N, H, W) uint8 -> same, each plane contrast-stretched alone."""
+    """(N, H, W) uint8 -> same, each plane contrast-stretched alone.
+
+    ``cutoff``: percent (or (low, high) percents) of pixels trimmed from
+    each histogram end before picking the stretch range — PIL's
+    ``autocontrast(cutoff=...)``, integer percents only (exact).
+    cutoff=0 skips the histogram entirely (min/max reduce).
+    """
+    c0, c1 = _normalize_cutoff(cutoff)
     n = planes.shape[0]
     flat = planes.reshape(n, -1)
-    lut = autocontrast_lut(flat.min(axis=1), flat.max(axis=1))
+    if c0 == 0 and c1 == 0:
+        lo, hi = flat.min(axis=1), flat.max(axis=1)
+    else:
+        lo, hi = autocontrast_extrema(histogram_planes(planes), (c0, c1))
+    lut = autocontrast_lut(lo, hi)
     return (apply_lut_cmp if use_cmp else apply_lut)(planes, lut)
 
 
-def autocontrast_rows(rows: jax.Array, channels: int, *,
+def autocontrast_rows(rows: jax.Array, channels: int, *, cutoff=0,
                       use_cmp: bool = False) -> jax.Array:
     """Interleaved rows (B, H, W*C) uint8, per-channel autocontrast."""
     return _rows_via_planar(
-        autocontrast_planar, rows, channels, use_cmp=use_cmp
+        autocontrast_planar, rows, channels, cutoff=cutoff, use_cmp=use_cmp
     )
 
 
-def autocontrast_nhwc(x: jax.Array, *, use_cmp: bool = False) -> jax.Array:
+def autocontrast_nhwc(x: jax.Array, *, cutoff=0,
+                      use_cmp: bool = False) -> jax.Array:
     """(..., H, W, C) uint8 -> same shape, per-channel autocontrast."""
-    return _nhwc_via_rows(autocontrast_rows, x, use_cmp=use_cmp)
+    return _nhwc_via_rows(autocontrast_rows, x, cutoff=cutoff,
+                          use_cmp=use_cmp)
 
 
-def autocontrast_oracle(img: np.ndarray) -> np.ndarray:
-    """NumPy reference replicating PIL autocontrast(cutoff=0) per channel."""
+def autocontrast_oracle(img: np.ndarray, cutoff=0) -> np.ndarray:
+    """NumPy reference replicating PIL autocontrast per channel.
+
+    Deliberately implements PIL's *literal destructive histogram walk*
+    (not the closed form the JAX path uses) so the test suite
+    cross-checks two independent derivations against PIL itself.
+    """
+    c0, c1 = _normalize_cutoff(cutoff)
     if img.ndim == 2:
         img = img[..., None]
         squeeze = True
@@ -242,7 +300,32 @@ def autocontrast_oracle(img: np.ndarray) -> np.ndarray:
     out = np.empty_like(img)
     for ci in range(img.shape[2]):
         chan = img[..., ci]
-        lo, hi = int(chan.min()), int(chan.max())
+        h = np.bincount(chan.ravel(), minlength=256).astype(np.int64)
+        if c0 or c1:
+            n = int(h.sum())
+            cut = n * c0 // 100
+            for lo_i in range(256):
+                if cut > h[lo_i]:
+                    cut -= h[lo_i]
+                    h[lo_i] = 0
+                else:
+                    h[lo_i] -= cut
+                    cut = 0
+                if cut <= 0:
+                    break
+            cut = n * c1 // 100
+            for hi_i in range(255, -1, -1):
+                if cut > h[hi_i]:
+                    cut -= h[hi_i]
+                    h[hi_i] = 0
+                else:
+                    h[hi_i] -= cut
+                    cut = 0
+                if cut <= 0:
+                    break
+        nz = np.nonzero(h)[0]
+        lo = int(nz[0]) if nz.size else 255
+        hi = int(nz[-1]) if nz.size else 0
         if hi <= lo:
             lut = np.arange(256, dtype=np.uint8)
         else:

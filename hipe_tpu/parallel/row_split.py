@@ -431,6 +431,7 @@ def make_autocontrast_row_split_fn(
     axis_name: str = ROW_AXIS,
     batch_axis: str | None = None,
     channels: int | None = None,
+    cutoff=0,
     use_cmp: bool = False,
 ) -> Callable[[jax.Array], jax.Array]:
     """Autocontrast over H-sharded images: pmin/pmax of local extrema.
@@ -443,13 +444,23 @@ def make_autocontrast_row_split_fn(
     gathered from the precomputed cube and applied locally. Two scalar
     collectives per (image, channel) — bit-identical to the single-device
     :func:`hipe_tpu.ops.equalize.autocontrast_nhwc`.
+
+    ``cutoff`` (PIL percent trim) needs the full histogram rather than
+    bare extrema, so it switches the collective to the equalize-style
+    ``lax.psum`` of per-shard histograms before the exact trim walk.
     """
     from hipe_tpu.ops import equalize as eq
 
+    c0, c1 = eq._normalize_cutoff(cutoff)
+
     def plane_luts(planes: jax.Array) -> jax.Array:
-        flat = planes.reshape(planes.shape[0], -1)
-        lo = lax.pmin(flat.min(axis=1), axis_name)
-        hi = lax.pmax(flat.max(axis=1), axis_name)
+        if c0 or c1:
+            hist = lax.psum(eq.histogram_planes(planes), axis_name)
+            lo, hi = eq.autocontrast_extrema(hist, (c0, c1))
+        else:
+            flat = planes.reshape(planes.shape[0], -1)
+            lo = lax.pmin(flat.min(axis=1), axis_name)
+            hi = lax.pmax(flat.max(axis=1), axis_name)
         return eq.autocontrast_lut(lo, hi)
 
     return _make_stats_row_split_fn(

@@ -252,6 +252,81 @@ def test_autocontrast_jax_matches_pil(use_cmp):
         )
 
 
+@pytest.mark.parametrize("cutoff", [1, 2, 10, (1, 5), (0, 20)],
+                         ids=["1", "2", "10", "1-5", "0-20"])
+def test_autocontrast_cutoff_matches_pil(cutoff):
+    from PIL import Image, ImageOps
+
+    pil_cut = cutoff if isinstance(cutoff, tuple) else cutoff
+    for name, img in _ac_cases().items():
+        want = np.asarray(
+            ImageOps.autocontrast(Image.fromarray(img, "RGB"),
+                                  cutoff=pil_cut)
+        )
+        got_oracle = eq.autocontrast_oracle(img, cutoff=cutoff)
+        np.testing.assert_array_equal(got_oracle, want,
+                                      err_msg=f"oracle {name} {cutoff}")
+        got = np.asarray(
+            eq.autocontrast_nhwc(jnp.asarray(img), cutoff=cutoff)
+        )
+        np.testing.assert_array_equal(got, want,
+                                      err_msg=f"jax {name} {cutoff}")
+
+
+def test_autocontrast_cutoff_validation_and_extreme():
+    with pytest.raises(ValueError, match="cutoff"):
+        eq.autocontrast_oracle(np.zeros((8, 8, 3), np.uint8), cutoff=2.5)
+    with pytest.raises(ValueError, match="cutoff"):
+        eq.autocontrast_nhwc(jnp.zeros((8, 8, 3), jnp.uint8),
+                             cutoff=(60, 60))
+    # Cuts consuming (nearly) the whole histogram still match PIL.
+    from PIL import Image, ImageOps
+
+    img = np.random.default_rng(41).integers(
+        0, 256, (16, 16, 3), np.uint8
+    )
+    want = np.asarray(
+        ImageOps.autocontrast(Image.fromarray(img, "RGB"), cutoff=49)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(eq.autocontrast_nhwc(jnp.asarray(img), cutoff=49)), want
+    )
+
+
+def test_autocontrast_cutoff_row_split_psum():
+    """cutoff switches the sharded collective to psum; still exact."""
+    from hipe_tpu.parallel.mesh import ROW_AXIS
+    from hipe_tpu.parallel.row_split import make_autocontrast_row_split_fn
+    from jax.sharding import Mesh
+
+    devs = jax.devices("cpu")[:8]
+    mesh = Mesh(np.array(devs), (ROW_AXIS,))
+    rng = np.random.default_rng(43)
+    x = rng.integers(20, 230, (2, 64, 48, 3), np.uint8)
+    x[0, 2, 1, 0], x[1, 62, 3, 2] = 0, 255  # outliers the cutoff trims
+    fn = make_autocontrast_row_split_fn(mesh, cutoff=2)
+    got = np.asarray(fn(jnp.asarray(x)))
+    for b in range(2):
+        np.testing.assert_array_equal(
+            got[b], eq.autocontrast_oracle(x[b], cutoff=2)
+        )
+
+
+def test_autocontrast_cutoff_pipeline_field():
+    pipe = plib.GlobalStatsPipeline("autocontrast", cutoff=2)
+    rng = np.random.default_rng(47)
+    x = rng.integers(0, 256, (32, 40, 3), np.uint8)
+    rows = jnp.asarray(x.reshape(1, 32, 40 * 3))
+    np.testing.assert_array_equal(
+        np.asarray(pipe.apply_rows(rows, 3, use_pallas=True)).reshape(
+            32, 40, 3
+        ),
+        eq.autocontrast_oracle(x, cutoff=2),
+    )
+    with pytest.raises(ValueError, match="autocontrast"):
+        plib.GlobalStatsPipeline("equalize", cutoff=2)
+
+
 def test_autocontrast_pipeline_and_registry():
     pipe = plib.get("autocontrast")
     assert pipe.has_pallas_blocks is False
