@@ -112,6 +112,12 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="arbitrary output size: filter, then the "
                          "integer-exact bilinear resize (MXU banded "
                          "matmuls), then encode")
+    sv.add_argument("--cutoff", type=int, nargs="+", default=None,
+                    metavar="PCT",
+                    help="autocontrast only: trim PCT percent (or two "
+                         "values: low high) of histogram mass from each "
+                         "end before stretching (PIL cutoff semantics, "
+                         "bit-exact)")
     sv.add_argument("--decode-scale", type=int, default=1,
                     choices=(1, 2, 4, 8),
                     help="DCT-domain scaled decode 1/N (libjpeg "
@@ -338,8 +344,25 @@ def _main_serve(args) -> int:
     if args.decode_scale > 1:
         print(f"Decode scale: 1/{args.decode_scale} (DCT-domain, "
               f"bit-exact vs libjpeg scaled decode)")
+    pipeline_arg = args.pipeline_name
+    if args.cutoff is not None:
+        from hipe_tpu.models.pipelines import GlobalStatsPipeline
+
+        if args.pipeline_name != "autocontrast" or len(args.cutoff) > 2:
+            print("Error: --cutoff takes one or two integer percents and "
+                  "applies to the 'autocontrast' pipeline only",
+                  file=sys.stderr)
+            return 1
+        cut = (args.cutoff[0] if len(args.cutoff) == 1
+               else tuple(args.cutoff))
+        try:
+            pipeline_arg = GlobalStatsPipeline("autocontrast", cutoff=cut)
+        except ValueError as e:
+            print(f"Error: {e}", file=sys.stderr)
+            return 1
+        print(f"Autocontrast cutoff: {cut}%")
     serve = ServingPipeline(
-        args.pipeline_name, quality=args.quality,
+        pipeline_arg, quality=args.quality,
         decode_on_device=args.decode_on_device,
         encode_on_device=args.encode_on_device,
         encode_subsampling=args.encode_subsampling,

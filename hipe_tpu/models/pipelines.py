@@ -244,6 +244,10 @@ class GlobalStatsPipeline:
             raise ValueError(
                 f"cutoff applies to 'autocontrast' only, not {self.name!r}"
             )
+        if self.name == "autocontrast":
+            from hipe_tpu.ops.equalize import _normalize_cutoff
+
+            _normalize_cutoff(self.cutoff)  # fail at construction
 
     def _op(self, layout: str):
         from hipe_tpu.ops import equalize as eq
