@@ -310,6 +310,11 @@ PIPELINES = {
     "chain": Pipeline("chain", ("gaussian3", "sharpen", "edge")),
     "median": Pipeline("median", ("median",)),
     "denoise": Pipeline("denoise", ("median", "gaussian3")),
+    # Radius-0 PIL point stages (ImageOps closed forms); chainable with
+    # any stencil stage on every path.
+    "invert": Pipeline("invert", ("invert",)),
+    "solarize": Pipeline("solarize", ("solarize",)),
+    "posterize": Pipeline("posterize", ("posterize4",)),
     "equalize": GlobalStatsPipeline("equalize"),
     "autocontrast": GlobalStatsPipeline("autocontrast"),
 }

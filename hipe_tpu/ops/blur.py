@@ -178,6 +178,43 @@ def median3x3(
     return _median_of_9(vals).astype(jnp.uint8)
 
 
+# ---- Radius-0 point stages (the PIL ImageOps pointwise family) ----
+#
+# Pure per-pixel arithmetic, no stencil: radius 0, so chains mixing them
+# with stencils need no extra halo, row-split shards skip the exchange,
+# and every execution path (XLA, fused Pallas VPU/MXU chains, tiled) runs
+# the identical integer expression. Semantics are PIL's LUTs in closed
+# form (ImageOps.invert/solarize/posterize), trivially exact:
+#   invert:     255 - x
+#   solarize:   x if x < 128 else 255 - x   (PIL default threshold)
+#   posterize4: (x // 16) * 16             (PIL posterize(bits=4), i & 0xF0)
+
+POINT_STAGES = {
+    "invert": lambda x: 255 - x,
+    "solarize": lambda x: jnp.where(x >= 128, 255 - x, x),
+    # Integer div/mul rather than bitwise & — identical for x in [0, 255]
+    # and safe in every Mosaic lowering the chain kernels use.
+    "posterize4": lambda x: (x // 16) * 16,
+}
+
+
+def _make_point_filter(fn):
+    def op(x: jax.Array, *, h_axis: int = -3, w_axis: int = -2,
+           h_pad: bool = True) -> jax.Array:
+        assert x.dtype == jnp.uint8
+        return fn(x.astype(jnp.int32)).astype(jnp.uint8)
+
+    return op
+
+
+def _make_point_filter_rows(fn):
+    def op(x: jax.Array, channels: int, *, h_pad: bool = True) -> jax.Array:
+        assert x.dtype == jnp.uint8
+        return fn(x.astype(jnp.int32)).astype(jnp.uint8)
+
+    return op
+
+
 # Registry of named filter ops. Each op maps uint8 -> uint8 and accepts
 # (h_axis, w_axis, h_pad) kwargs; chains quantize to uint8 between stages.
 FILTERS = {
@@ -187,6 +224,7 @@ FILTERS = {
     "sharpen": sharpen3x3,
     "edge": sobel_edge,
     "median": median3x3,
+    **{nm: _make_point_filter(fn) for nm, fn in POINT_STAGES.items()},
 }
 
 # Halo rows each filter needs on each side of its H slice (== stencil radius).
@@ -197,6 +235,7 @@ FILTER_RADIUS = {
     "sharpen": 1,
     "edge": 1,
     "median": 1,
+    **{nm: 0 for nm in POINT_STAGES},
 }
 
 
@@ -322,6 +361,7 @@ ROWS_FILTERS = {
     "sharpen": sharpen3x3_rows,
     "edge": sobel_edge_rows,
     "median": median3x3_rows,
+    **{nm: _make_point_filter_rows(fn) for nm, fn in POINT_STAGES.items()},
 }
 
 

@@ -315,9 +315,15 @@ def _tiled_point_kernel(top_ref, x_ref, bot_ref, o_ref, *, name: str):
     Same tiling scheme as `_tiled_blur_kernel`; the stage math matches
     :mod:`hipe_tpu.ops.blur` (`sharpen3x3`/`sobel_edge`) bit-for-bit.
     """
+    from hipe_tpu.ops.blur import POINT_STAGES
+
     i = pl.program_id(1)
     n_i = pl.num_programs(1)
     main = x_ref[0].astype(jnp.int32)  # (tile_h, W)
+    if name in POINT_STAGES:
+        # Radius-0 stage: per-pixel arithmetic, halo rows unused.
+        o_ref[0] = POINT_STAGES[name](main).astype(jnp.uint8)
+        return
     top = top_ref[0].astype(jnp.int32)[-1:]
     bot = bot_ref[0].astype(jnp.int32)[:1]
     tpart = jnp.where(i == 0, main[:1], top)
@@ -572,6 +578,8 @@ def _band_from_taps_np(w: int, taps, scale: float = 1.0, c: int = 1):
 def _chain_band_specs(names: tuple, w: int, c: int = 1):
     """Ordered unique band matrices a fused MXU chain needs."""
     keys: list[tuple] = []
+    from hipe_tpu.ops.blur import POINT_STAGES
+
     for name in names:
         if name.startswith("gaussian"):
             from hipe_tpu.ops.blur import FILTER_RADIUS
@@ -582,6 +590,8 @@ def _chain_band_specs(names: tuple, w: int, c: int = 1):
         elif name == "edge":
             keys.append(("smooth",))
             keys.append(("diff",))
+        elif name in POINT_STAGES:
+            pass  # radius-0 point stage: pure arithmetic, no band matrix
         else:
             raise KeyError(name)
     uniq = list(dict.fromkeys(keys))
@@ -617,6 +627,12 @@ def _hpass_rolls(t: jax.Array, taps) -> jax.Array:
 
 def _mxu_stage(name: str, x_i32: jax.Array, bands: dict) -> jax.Array:
     """One clamp-mode chain stage: int32 [0,255] in, int32 [0,255] out."""
+    from hipe_tpu.ops.blur import POINT_STAGES
+
+    if name in POINT_STAGES:
+        # Radius-0 point stage: same integer expression as the XLA path
+        # (VPU arithmetic between the MXU band stages, stays in VMEM).
+        return POINT_STAGES[name](x_i32)
     xb = x_i32.astype(jnp.bfloat16)
     if name.startswith("gaussian"):
         from hipe_tpu.ops.blur import FILTER_RADIUS
@@ -771,8 +787,12 @@ def filter_chain_planar_pallas(
     assert x.dtype == jnp.uint8 and x.ndim == 3
     n, h, w = x.shape
     out_h = h - 2 * chain_radius(names) if not h_pad else h
+    from hipe_tpu.ops.blur import POINT_STAGES
+
     mxu_ok = h % 8 == 0 and all(
-        nm.startswith("gaussian") or nm in ("sharpen", "edge") for nm in names
+        nm.startswith("gaussian") or nm in ("sharpen", "edge")
+        or nm in POINT_STAGES
+        for nm in names
     )
     if mxu_ok:
         return _chain_mxu_call(

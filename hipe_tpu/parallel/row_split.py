@@ -164,7 +164,10 @@ def make_row_split_fn(
         def local(block: jax.Array) -> jax.Array:
             for name in names:
                 r_i = xblur.FILTER_RADIUS[name]
-                padded = exchange_halo(block, r_i, axis_name, h_axis=1)
+                # Radius-0 point stages need no halo (and exchange_halo's
+                # edge-replication path assumes radius >= 1).
+                padded = (exchange_halo(block, r_i, axis_name, h_axis=1)
+                          if r_i else block)
                 block = xblur.ROWS_FILTERS[name](
                     padded, channels, h_pad=False
                 )
@@ -202,7 +205,8 @@ def make_row_split_fn(
         def local(block: jax.Array) -> jax.Array:
             for name in names:
                 r_i = xblur.FILTER_RADIUS[name]
-                padded = exchange_halo(block, r_i, axis_name, h_axis=1)
+                padded = (exchange_halo(block, r_i, axis_name, h_axis=1)
+                          if r_i else block)
                 block = xblur.FILTERS[name](
                     padded, h_axis=1, w_axis=2, h_pad=False
                 )
