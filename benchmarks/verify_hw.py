@@ -222,6 +222,31 @@ def main() -> int:
         want = np.stack([ofn(b) for b in batch])
         total_err += check(f"pipeline/{name} 64x128", got, want)
 
+    # Point stages on silicon: standalone (registry pipelines) and mixed
+    # into an MXU chain (point branch of _mxu_stage is VPU arithmetic
+    # between band matmuls — exercise that exact composition).
+    import jax.numpy as jnp2
+    from hipe_tpu.ops import blur as xblur
+
+    for name, filt in (("invert", "invert"), ("solarize", "solarize"),
+                       ("posterize", "posterize4")):
+        pipe = plib.PIPELINES[name]
+        got = np.asarray(pipe.apply_rows(rows, 3)).reshape(batch.shape)
+        want = np.asarray(
+            xblur.FILTERS[filt](jnp2.asarray(batch))
+        )
+        total_err += check(f"pipeline/{name} 64x128", got, want)
+    mixed = ("gaussian3", "solarize", "posterize4")
+    got = np.asarray(
+        pallas_blur.filter_chain_planar_pallas(
+            jnp2.asarray(hwc_to_planar(batch)), mixed
+        )
+    )
+    want = hwc_to_planar(np.asarray(
+        xblur.filter_chain(jnp2.asarray(batch), mixed)
+    ))
+    total_err += check("chain/blur3+solarize+posterize4 64x128", got, want)
+
     # Global-statistics pipeline on silicon: both LUT-apply formulations
     # (take-gather and the fused comparison-sum) vs the PIL-exact oracle.
     from hipe_tpu.ops import equalize as eqops
