@@ -136,7 +136,7 @@ def _build_parser() -> argparse.ArgumentParser:
                          "batched path and -o names a directory")
     tr.add_argument("op", choices=("flip_h", "flip_v", "rot90", "rot180",
                                    "rot270", "transpose", "transverse",
-                                   "crop"))
+                                   "grayscale", "crop"))
     tr.add_argument("--crop", type=int, nargs=4, default=None,
                     metavar=("X", "Y", "W", "H"),
                     help="region for op=crop (X,Y iMCU-aligned)")

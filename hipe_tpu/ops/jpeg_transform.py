@@ -42,8 +42,12 @@ import jax.numpy as jnp
 
 from hipe_tpu.io_ import jpeg as jio
 
+# The DCT-domain tensor transforms (per-component coefficient ops).
 OPS = ("flip_h", "flip_v", "rot90", "rot180", "rot270", "transpose",
        "transverse")
+# Everything transform_bytes/transform_batch accept: the tensor ops plus
+# the component-drop op (jpegtran -grayscale keeps luma verbatim).
+ALL_OPS = OPS + ("grayscale",)
 
 _SIGN_V = np.array([(-1) ** v for v in range(8)], dtype=np.int16)
 
@@ -140,6 +144,26 @@ def _swapped_pieces(components, width: int, height: int, op: str):
     return w, h, samp, qtables
 
 
+def _grayscale_luma(co):
+    """The luma plane trimmed to single-component iMCU geometry.
+
+    jpegtran -grayscale: drop the chroma components, keep the luma
+    coefficients verbatim (lossless for Y by construction). The color
+    stream pads Y's block array to max_h x max_v iMCUs; a
+    single-component stream's iMCU is one block, so the extra dummy
+    padding blocks (if any) are trimmed — they carry no image data.
+    """
+    comp0 = co.components[0]
+    if (comp0.h_samp, comp0.v_samp) != (co.max_h, co.max_v):
+        raise ValueError(
+            "grayscale keep needs full-resolution luma (component 0 must "
+            f"carry max sampling; got {comp0.h_samp}x{comp0.v_samp} of "
+            f"{co.max_h}x{co.max_v})"
+        )
+    hb, wb = -(-co.height // 8), -(-co.width // 8)
+    return np.ascontiguousarray(comp0.coefs[:hb, :wb]).astype(np.int16)
+
+
 def transform_coefficients(co, op: str):
     """Losslessly transform an io_.jpeg.JpegCoefficients -> writer pieces.
 
@@ -150,7 +174,13 @@ def transform_coefficients(co, op: str):
     the transpose-family ops (the dequantized product C[u,v]*Q[u,v] is
     what the symmetry acts on, so Q transposes with C; transupp.c does
     the same). Runs the tensor ops under jit on the default device.
+
+    ``op="grayscale"`` (jpegtran -grayscale) is the one non-tensor op:
+    chroma components are dropped, luma passes through untouched.
     """
+    if op == "grayscale":
+        return ([_grayscale_luma(co)], co.width, co.height, [(1, 1)],
+                [co.components[0].qtable])
     _check_perfect(co, op)
     out = []
     for comp in co.components:
@@ -202,7 +232,7 @@ def transform_bytes(data: bytes, op: str, copy_markers: bool = True,
     if copy_markers:
         writer_opts.setdefault("markers", jio.read_markers(data))
     coefs, w, h, samp, qtables = transform_coefficients(co, op)
-    sub = _subsampling_name(samp, len(co.components))
+    sub = _subsampling_name(samp, len(coefs))
     return jio.write_coefficients(coefs, w, h, subsampling=sub,
                                   qtables=qtables, **writer_opts)
 
@@ -259,18 +289,28 @@ def transform_batch(payloads: list[bytes], op: str,
     out: list[bytes | None] = [None] * len(cos)
     for idxs in groups.values():
         rep = cos[idxs[0]]
-        _check_perfect(rep, op)
-        ncomps = len(rep.components)
-        stacked = [
-            np.stack([cos[i].components[ci].coefs for i in idxs])
-            for ci in range(ncomps)
-        ]
-        transformed = [
-            np.asarray(_jitted(op)(jnp.asarray(s))).astype(np.int16)
-            for s in stacked
-        ]
-        w, h, samp, qtables = _swapped_pieces(rep.components, rep.width,
-                                              rep.height, op)
+        if op == "grayscale":
+            # Non-tensor op: drop chroma, keep luma verbatim (trimmed to
+            # single-component iMCU geometry).
+            transformed = [np.stack([_grayscale_luma(cos[i])
+                                     for i in idxs])]
+            w, h = rep.width, rep.height
+            samp, qtables = [(1, 1)], [rep.components[0].qtable]
+            ncomps = 1
+        else:
+            _check_perfect(rep, op)
+            ncomps = len(rep.components)
+            stacked = [
+                np.stack([cos[i].components[ci].coefs for i in idxs])
+                for ci in range(ncomps)
+            ]
+            transformed = [
+                np.asarray(_jitted(op)(jnp.asarray(s))).astype(np.int16)
+                for s in stacked
+            ]
+            w, h, samp, qtables = _swapped_pieces(
+                rep.components, rep.width, rep.height, op
+            )
         sub = _subsampling_name(samp, ncomps)
         group_markers = (
             [jio.read_markers(payloads[i])

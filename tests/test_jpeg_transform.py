@@ -386,3 +386,54 @@ def test_distinct_chroma_tables_refused():
     with pytest.raises(ValueError, match="different quant tables"):
         jpeg.write_coefficients([c.coefs for c in co.components], 16, 16,
                                 quality=85, qtables=qt)
+
+
+@pytest.mark.parametrize("dims,sub", [((48, 64), "420"), ((41, 53), "422"),
+                                      ((23, 17), "444"), ((40, 56), "440")])
+def test_grayscale_drop_lossless(dims, sub):
+    """jpegtran -grayscale: chroma dropped, luma coefficients verbatim.
+
+    The exact oracle: decoding the grayscale output must equal libjpeg's
+    JCS_GRAYSCALE decode of the ORIGINAL color stream (both run the
+    identical Y-only path on identical coefficients). Odd dims exercise
+    the iMCU-padding trim (4:2:0 pads Y to 16-pixel iMCUs; a gray
+    stream's iMCU is one block).
+    """
+    h, w = dims
+    data = _stream(h, w, sub=sub, seed=31)
+    out = jt.transform_bytes(data, "grayscale")
+    got = jpeg.decode_bytes(out)
+    want = jpeg.decode_bytes(data, force_gray=True)
+    np.testing.assert_array_equal(got, want)
+    co = jpeg.read_coefficients(out)
+    assert co.num_components == 1
+    # Luma coefficients pass through untouched (trim only).
+    ci = jpeg.read_coefficients(data)
+    hb, wb = -(-h // 8), -(-w // 8)
+    np.testing.assert_array_equal(
+        co.components[0].coefs[:hb, :wb],
+        ci.components[0].coefs[:hb, :wb],
+    )
+    np.testing.assert_array_equal(co.components[0].qtable,
+                                  ci.components[0].qtable)
+
+
+def test_grayscale_batch_markers_and_progressive():
+    rng = np.random.default_rng(33)
+    img = rng.integers(0, 256, (24, 32, 3), np.uint8)
+    co = jpeg.read_coefficients(jpeg.encode_bytes_opts(img, quality=85))
+    mks = [(0xE1, b"Exif\x00\x00GRAY"), (0xFE, b"note")]
+    src = jpeg.write_coefficients([c.coefs for c in co.components], 32, 24,
+                                  quality=85, markers=mks)
+    out = jt.transform_bytes(src, "grayscale")
+    assert jpeg.read_markers(out) == mks
+    # Progressive source entropy-decodes the same coefficients.
+    prog = _stream(24, 32, seed=34, progressive=True)
+    np.testing.assert_array_equal(
+        jpeg.decode_bytes(jt.transform_bytes(prog, "grayscale")),
+        jpeg.decode_bytes(prog, force_gray=True),
+    )
+    # Batch path == singles.
+    plain = [_stream(24, 32, seed=s) for s in (35, 36)]
+    batch = jt.transform_batch(plain, "grayscale")
+    assert batch == [jt.transform_bytes(p, "grayscale") for p in plain]
