@@ -127,3 +127,20 @@ def test_point_pipelines_registry_and_serving():
     np.testing.assert_array_equal(
         got, _pil_point(jpeg.decode_bytes(payload), "invert")
     )
+
+
+def test_engine_approach2_point_pipelines_seam_exact():
+    """Two-lane row-split engine: halo 0 for point-only pipelines, halo 1
+    for a mixed chain, both reassembled bit-exact."""
+    from hipe_tpu.runtime.engine import Engine, EngineConfig
+
+    devs = jax.devices("cpu")
+    img = checker_image(64, 48, 3, seed=5)
+    for pipe, halo in ((("invert",), 0), (("gaussian3", "solarize"), 1)):
+        cfg = EngineConfig(approach=2, mode="both", gpu_ratio=0.5,
+                           batch_size=4, num_images=8, pipeline=pipe)
+        eng = Engine(cfg, cpu_device=devs[0], accel_device=devs[1])
+        stats = eng.run(image=img)
+        assert stats.halo == halo
+        want = np.asarray(xblur.filter_chain(jnp.asarray(img), pipe))
+        np.testing.assert_array_equal(eng.first_output[0], want)
