@@ -189,12 +189,18 @@ def median3x3(
 #   solarize:   x if x < 128 else 255 - x   (PIL default threshold)
 #   posterize4: (x // 16) * 16             (PIL posterize(bits=4), i & 0xF0)
 
+def _posterize(bits: int):
+    # Integer div/mul rather than bitwise & — identical for x in [0, 255]
+    # and safe in every Mosaic lowering the chain kernels use.
+    step = 1 << (8 - bits)
+    return lambda x: (x // step) * step
+
+
 POINT_STAGES = {
     "invert": lambda x: 255 - x,
     "solarize": lambda x: jnp.where(x >= 128, 255 - x, x),
-    # Integer div/mul rather than bitwise & — identical for x in [0, 255]
-    # and safe in every Mosaic lowering the chain kernels use.
-    "posterize4": lambda x: (x // 16) * 16,
+    # All PIL posterize depths; "posterize4" is the registry pipeline.
+    **{f"posterize{b}": _posterize(b) for b in range(1, 9)},
 }
 
 

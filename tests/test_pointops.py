@@ -22,11 +22,13 @@ def _pil_point(img: np.ndarray, name: str) -> np.ndarray:
     from PIL import Image, ImageOps
 
     im = Image.fromarray(img, "RGB")
-    out = {
-        "invert": lambda: ImageOps.invert(im),
-        "solarize": lambda: ImageOps.solarize(im),  # default threshold 128
-        "posterize4": lambda: ImageOps.posterize(im, 4),
-    }[name]()
+    if name.startswith("posterize"):
+        out = ImageOps.posterize(im, int(name[len("posterize"):]))
+    elif name == "invert":
+        out = ImageOps.invert(im)
+    else:
+        assert name == "solarize"
+        out = ImageOps.solarize(im)  # default threshold 128
     return np.asarray(out)
 
 
