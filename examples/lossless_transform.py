@@ -52,6 +52,18 @@ def main() -> int:
     print(f"batched rot90: {n} images in {dt * 1000:.0f} ms "
           f"({n / dt:.0f} img/s)")
     assert all(o == out[0] for o in out)
+
+    # jpegtran -grayscale: chroma dropped, luma coefficients verbatim —
+    # decoding the output equals libjpeg's JCS_GRAYSCALE decode of the
+    # original color stream.
+    import numpy as np
+
+    gray = jt.transform_bytes(data, "grayscale")
+    same = np.array_equal(
+        jpeg.decode_bytes(gray), jpeg.decode_bytes(data, force_gray=True)
+    )
+    print(f"grayscale drop == JCS_GRAYSCALE decode of original: {same} "
+          f"({len(data)} -> {len(gray)} bytes)")
     return 0
 
 
