@@ -24,6 +24,11 @@ def main() -> int:
     ap.add_argument("--cached-tune", action="store_true",
                     help="reuse persisted autotune winners (default: the "
                     "committed corpus always re-sweeps)")
+    ap.add_argument("--pipelines", nargs="+", default=None, metavar="NAME",
+                    help="measure only these pipelines and MERGE the rows "
+                    "into --out (others keep their committed numbers) — "
+                    "incremental refresh for newly added pipelines when "
+                    "tunnel time is scarce")
     args = ap.parse_args()
 
     from hipe_tpu.utils.cache import enable_compilation_cache
@@ -36,8 +41,16 @@ def main() -> int:
     from hipe_tpu.utils.images import DEFAULT_IMAGE_256
 
     img = decode_file(DEFAULT_IMAGE_256)
+    names = list(PIPELINES)
+    if args.pipelines:
+        unknown = [n for n in args.pipelines if n not in PIPELINES]
+        if unknown:
+            print(f"unknown pipelines: {unknown} "
+                  f"(choose from {sorted(PIPELINES)})", file=sys.stderr)
+            return 1
+        names = args.pipelines
     rows = []
-    for name in PIPELINES:
+    for name in names:
         r = DeviceStreamRunner(name, num_images=args.num_images, image=img)
         r.autotune(passes=4, reps=2, retune=not args.cached_tune)
         err = r.verify_max_abs_err()
@@ -52,6 +65,13 @@ def main() -> int:
         }
         rows.append(row)
         print(row, file=sys.stderr)
+    if args.pipelines and os.path.exists(args.out):
+        # Merge: measured rows replace same-name committed rows; ordering
+        # follows the registry so the rendered table stays stable.
+        with open(args.out) as f:
+            old = {r["pipeline"]: r for r in json.load(f)}
+        old.update({r["pipeline"]: r for r in rows})
+        rows = [old[n] for n in PIPELINES if n in old]
     with open(args.out, "w") as f:
         json.dump(rows, f, indent=1)
     print(f"wrote {args.out}", file=sys.stderr)
