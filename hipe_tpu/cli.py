@@ -299,13 +299,29 @@ def _main_serve(args) -> int:
     from hipe_tpu.runtime.serve import ServingPipeline
     from hipe_tpu.utils.images import DEFAULT_IMAGE_256
 
-    if args.pipeline_name not in PIPELINES:
+    if "," in args.pipeline_name:
+        # Comma-joined filter chains, same as approach1/approach2
+        # (e.g. "gaussian3,solarize").
+        from hipe_tpu.models import pipelines as plib
+        from hipe_tpu.ops.blur import FILTERS
+
+        names = tuple(args.pipeline_name.split(","))
+        bad = [nm for nm in names if nm not in FILTERS]
+        if bad:
+            print(f"Error: unknown filter stage(s) {bad} "
+                  f"(chainable stages: {sorted(FILTERS)})", file=sys.stderr)
+            return 1
+        serve_pipeline = plib.get(names)
+    elif args.pipeline_name not in PIPELINES:
         print(
             f"Error: unknown pipeline {args.pipeline_name!r} "
-            f"(choose from {sorted(PIPELINES)})",
+            f"(choose from {sorted(PIPELINES)}, or a comma-joined "
+            "filter chain)",
             file=sys.stderr,
         )
         return 1
+    else:
+        serve_pipeline = args.pipeline_name
     paths = (args.image or DEFAULT_IMAGE_256).split(",")
     try:
         payloads = [
@@ -344,7 +360,7 @@ def _main_serve(args) -> int:
     if args.decode_scale > 1:
         print(f"Decode scale: 1/{args.decode_scale} (DCT-domain, "
               f"bit-exact vs libjpeg scaled decode)")
-    pipeline_arg = args.pipeline_name
+    pipeline_arg = serve_pipeline
     if args.cutoff is not None:
         from hipe_tpu.models.pipelines import GlobalStatsPipeline
 
