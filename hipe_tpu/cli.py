@@ -194,13 +194,27 @@ def _main_stream(args) -> int:
     from hipe_tpu.runtime.device_stream import DeviceStreamRunner
     from hipe_tpu.utils.images import DEFAULT_IMAGE_256
 
-    if args.pipeline_name not in PIPELINES:
+    if "," in args.pipeline_name:
+        from hipe_tpu.models import pipelines as plib
+        from hipe_tpu.ops.blur import FILTERS
+
+        names = tuple(args.pipeline_name.split(","))
+        bad = [nm for nm in names if nm not in FILTERS]
+        if bad:
+            print(f"Error: unknown filter stage(s) {bad} "
+                  f"(chainable stages: {sorted(FILTERS)})", file=sys.stderr)
+            return 1
+        stream_pipeline = plib.get(names)
+    elif args.pipeline_name not in PIPELINES:
         print(
             f"Error: unknown pipeline {args.pipeline_name!r} "
-            f"(choose from {sorted(PIPELINES)})",
+            f"(choose from {sorted(PIPELINES)}, or a comma-joined "
+            "filter chain)",
             file=sys.stderr,
         )
         return 1
+    else:
+        stream_pipeline = args.pipeline_name
     try:
         image = decode_file(args.image or DEFAULT_IMAGE_256)
     except (FileNotFoundError, ValueError) as e:
@@ -211,7 +225,7 @@ def _main_stream(args) -> int:
     print(f"Pipeline: {args.pipeline_name}")
     print(f"Stream: {args.num_images} images of {w}x{h}x{c} (HBM-resident)")
     runner = DeviceStreamRunner(
-        args.pipeline_name, num_images=args.num_images, image=image
+        stream_pipeline, num_images=args.num_images, image=image
     )
     if not args.no_autotune:
         timings = runner.autotune(retune=args.retune)
