@@ -45,6 +45,10 @@ def render_device_stream() -> str:
         "chain": "chain (blur->sharpen->edge, fused)",
         "median": "median (3x3 nonlinear, VPU sort network)",
         "denoise": "denoise (median->blur3, fused)",
+        "erode": "erode (3x3 min, PIL MinFilter-exact)",
+        "dilate": "dilate (3x3 max, PIL MaxFilter-exact)",
+        "open": "open (erode->dilate, fused)",
+        "close": "close (dilate->erode, fused)",
         "equalize": "equalize (global-stats, PIL-exact)",
         "autocontrast": "autocontrast (global-stats, PIL-exact)",
     }

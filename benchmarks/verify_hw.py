@@ -106,6 +106,23 @@ def main() -> int:
         )
         total_err += check(f"planar/denoise {h}x{w}", got, want_den)
 
+        # Morphology (erode -> dilate): the second nonlinear family on the
+        # same generic fused VPU kernel path.
+        want_open = np.stack(
+            [
+                oracle.dilate3x3_oracle(oracle.erode3x3_oracle(b))
+                for b in batch
+            ]
+        )
+        got = planar_to_hwc(
+            np.asarray(
+                pallas_blur.filter_chain_planar_pallas(
+                    planes, ("erode", "dilate")
+                )
+            ), 3,
+        )
+        total_err += check(f"planar/open {h}x{w}", got, want_open)
+
         # In-place (input/output-aliased) kernels: same values, and the
         # live operand must be copy-protected by XLA (planes unchanged).
         want1 = np.stack(
@@ -163,6 +180,8 @@ def main() -> int:
          lambda b: oracle.sobel_edge_oracle(
              oracle.sharpen3x3_oracle(oracle.gaussian_blur_int_oracle(b)))),
         ("median", ("median",), oracle.median3x3_oracle),
+        ("erode", ("erode",), oracle.erode3x3_oracle),
+        ("dilate", ("dilate",), oracle.dilate3x3_oracle),
     ]
     # Lossless DCT-domain transform tensor ops on silicon: coefficient
     # grids round-trip through the device rot90 + its inverse exactly.
@@ -215,6 +234,8 @@ def main() -> int:
         "chain": lambda b: oracle.sobel_edge_oracle(
             oracle.sharpen3x3_oracle(oracle.gaussian_blur_int_oracle(b))
         ),
+        "open": lambda b: oracle.dilate3x3_oracle(oracle.erode3x3_oracle(b)),
+        "close": lambda b: oracle.erode3x3_oracle(oracle.dilate3x3_oracle(b)),
     }
     for name, ofn in oracle_fns.items():
         pipe = plib.PIPELINES[name]

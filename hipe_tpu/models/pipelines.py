@@ -310,6 +310,12 @@ PIPELINES = {
     "chain": Pipeline("chain", ("gaussian3", "sharpen", "edge")),
     "median": Pipeline("median", ("median",)),
     "denoise": Pipeline("denoise", ("median", "gaussian3")),
+    # Morphology: 3x3 min/max rank filters (PIL MinFilter/MaxFilter
+    # bit-exact) and the opening/closing compositions.
+    "erode": Pipeline("erode", ("erode",)),
+    "dilate": Pipeline("dilate", ("dilate",)),
+    "open": Pipeline("open", ("erode", "dilate")),
+    "close": Pipeline("close", ("dilate", "erode")),
     # Radius-0 PIL point stages (ImageOps closed forms); chainable with
     # any stencil stage on every path.
     "invert": Pipeline("invert", ("invert",)),

@@ -178,6 +178,36 @@ def median3x3(
     return _median_of_9(vals).astype(jnp.uint8)
 
 
+def _rank3x3(x, h_axis, w_axis, h_pad, reduce_fn):
+    """Separable 3x3 rank extreme: reduce W triples, then H triples."""
+    assert x.dtype == jnp.uint8
+    v = _stencil3x3(x, h_axis, w_axis, h_pad)
+    rows = [
+        reduce_fn(reduce_fn(v(dy, 0), v(dy, 1)), v(dy, 2)) for dy in range(3)
+    ]
+    return reduce_fn(reduce_fn(rows[0], rows[1]), rows[2]).astype(jnp.uint8)
+
+
+def erode3x3(
+    x: jax.Array, *, h_axis: int = -3, w_axis: int = -2, h_pad: bool = True
+) -> jax.Array:
+    """3x3 minimum (morphological erosion), clamp-to-edge, per channel.
+
+    Bit-identical to PIL ``ImageFilter.MinFilter(3)`` (PIL rank filters
+    replicate the border before ranking — the same clamp-to-edge rule as
+    the reference kernel, gaussian_kernel.cl:56-57). Pure min ops: exact
+    on every path (XLA, fused Pallas chains, tiled) by construction.
+    """
+    return _rank3x3(x, h_axis, w_axis, h_pad, jnp.minimum)
+
+
+def dilate3x3(
+    x: jax.Array, *, h_axis: int = -3, w_axis: int = -2, h_pad: bool = True
+) -> jax.Array:
+    """3x3 maximum (morphological dilation) — PIL ``MaxFilter(3)``."""
+    return _rank3x3(x, h_axis, w_axis, h_pad, jnp.maximum)
+
+
 # ---- Radius-0 point stages (the PIL ImageOps pointwise family) ----
 #
 # Pure per-pixel arithmetic, no stencil: radius 0, so chains mixing them
@@ -230,6 +260,8 @@ FILTERS = {
     "sharpen": sharpen3x3,
     "edge": sobel_edge,
     "median": median3x3,
+    "erode": erode3x3,
+    "dilate": dilate3x3,
     **{nm: _make_point_filter(fn) for nm, fn in POINT_STAGES.items()},
 }
 
@@ -241,6 +273,8 @@ FILTER_RADIUS = {
     "sharpen": 1,
     "edge": 1,
     "median": 1,
+    "erode": 1,
+    "dilate": 1,
     **{nm: 0 for nm in POINT_STAGES},
 }
 
@@ -360,6 +394,27 @@ def median3x3_rows(
     return _median_of_9(vals).astype(jnp.uint8)
 
 
+def _rank3x3_rows(x, channels, h_pad, reduce_fn):
+    assert x.dtype == jnp.uint8
+    v = _rows_stencil(x, channels, h_pad)
+    rows = [
+        reduce_fn(reduce_fn(v(dy, -1), v(dy, 0)), v(dy, 1)) for dy in range(3)
+    ]
+    return reduce_fn(reduce_fn(rows[0], rows[1]), rows[2]).astype(jnp.uint8)
+
+
+def erode3x3_rows(
+    x: jax.Array, channels: int, *, h_pad: bool = True
+) -> jax.Array:
+    return _rank3x3_rows(x, channels, h_pad, jnp.minimum)
+
+
+def dilate3x3_rows(
+    x: jax.Array, channels: int, *, h_pad: bool = True
+) -> jax.Array:
+    return _rank3x3_rows(x, channels, h_pad, jnp.maximum)
+
+
 ROWS_FILTERS = {
     "gaussian3": functools.partial(gaussian_blur_rows, radius=1),
     "gaussian5": functools.partial(gaussian_blur_rows, radius=2),
@@ -367,6 +422,8 @@ ROWS_FILTERS = {
     "sharpen": sharpen3x3_rows,
     "edge": sobel_edge_rows,
     "median": median3x3_rows,
+    "erode": erode3x3_rows,
+    "dilate": dilate3x3_rows,
     **{nm: _make_point_filter_rows(fn) for nm, fn in POINT_STAGES.items()},
 }
 

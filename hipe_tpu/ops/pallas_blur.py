@@ -310,7 +310,7 @@ def _tiled_blur_kernel(top_ref, x_ref, bot_ref, o_ref, *, taps: tuple,
 
 
 def _tiled_point_kernel(top_ref, x_ref, bot_ref, o_ref, *, name: str):
-    """One H tile of a radius-1 point stage (sharpen/edge/median), haloed.
+    """One H tile of a radius-1 stage (sharpen/edge/median/erode/dilate).
 
     Same tiling scheme as `_tiled_blur_kernel`; the stage math matches
     :mod:`hipe_tpu.ops.blur` (`sharpen3x3`/`sobel_edge`) bit-for-bit.
@@ -351,6 +351,11 @@ def _tiled_point_kernel(top_ref, x_ref, bot_ref, o_ref, *, name: str):
         from hipe_tpu.ops.blur import _median_of_9
 
         out = _median_of_9([v(dy, dx) for dy in range(3) for dx in range(3)])
+    elif name in ("erode", "dilate"):
+        red = jnp.minimum if name == "erode" else jnp.maximum
+        out = functools.reduce(
+            red, [v(dy, dx) for dy in range(3) for dx in range(3)]
+        )
     else:
         raise KeyError(name)
     o_ref[0] = out.astype(jnp.uint8)

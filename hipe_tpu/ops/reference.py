@@ -137,3 +137,29 @@ def median3x3_oracle(img: np.ndarray) -> np.ndarray:
         [xp[dy:dy + h, dx:dx + w] for dy in range(3) for dx in range(3)]
     )
     return np.median(views, axis=0).astype(np.uint8)
+
+
+def _rank3x3_oracle(img: np.ndarray, reduce_fn) -> np.ndarray:
+    h, w = img.shape[:2]
+    pad = ((1, 1), (1, 1)) + ((0, 0),) * (img.ndim - 2)
+    xp = np.pad(img, pad, mode="edge")
+    views = np.stack(
+        [xp[dy:dy + h, dx:dx + w] for dy in range(3) for dx in range(3)]
+    )
+    return reduce_fn(views, axis=0).astype(np.uint8)
+
+
+def erode3x3_oracle(img: np.ndarray) -> np.ndarray:
+    """3x3 minimum (morphological erosion), clamp-to-edge, per channel.
+
+    Oracle for ops/blur.py erode3x3. Clamp-to-edge padding makes this
+    bit-identical to PIL's ``ImageFilter.MinFilter(3)`` (rank filters in
+    PIL replicate the border row/column before ranking), which the tests
+    cross-check as an independent oracle.
+    """
+    return _rank3x3_oracle(img, np.min)
+
+
+def dilate3x3_oracle(img: np.ndarray) -> np.ndarray:
+    """3x3 maximum (morphological dilation) — PIL ``MaxFilter(3)``."""
+    return _rank3x3_oracle(img, np.max)

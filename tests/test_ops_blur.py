@@ -106,3 +106,48 @@ def test_denoise_chain_matches_sequential_oracle():
         xblur.filter_chain(jnp.asarray(img), ("median", "gaussian3")))
     want = oracle.gaussian_blur_int_oracle(oracle.median3x3_oracle(img))
     np.testing.assert_array_equal(got, want)
+
+
+def test_rank_filters_match_oracle_and_pil_all_layouts():
+    # erode/dilate (3x3 min/max): NumPy oracle is ground truth, and PIL's
+    # MinFilter/MaxFilter are an independent oracle — PIL rank filters
+    # replicate the border row/column before ranking, the same
+    # clamp-to-edge rule as the reference kernel, so equality holds
+    # everywhere, borders included.
+    from PIL import Image, ImageFilter
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (27, 34, 3)).astype(np.uint8)
+    cases = (
+        ("erode", oracle.erode3x3_oracle, ImageFilter.MinFilter(3)),
+        ("dilate", oracle.dilate3x3_oracle, ImageFilter.MaxFilter(3)),
+    )
+    for name, ofn, pil_filter in cases:
+        want = ofn(img)
+        pil = np.stack(
+            [np.asarray(Image.fromarray(img[:, :, c]).filter(pil_filter))
+             for c in range(3)], axis=-1)
+        np.testing.assert_array_equal(want, pil, err_msg=f"{name} vs PIL")
+        got = np.asarray(xblur.FILTERS[name](jnp.asarray(img)))
+        np.testing.assert_array_equal(got, want, err_msg=f"{name} hwc")
+        rows = jnp.asarray(img[None].reshape(1, 27, 34 * 3))
+        got_rows = np.asarray(
+            xblur.ROWS_FILTERS[name](rows, 3)).reshape(27, 34, 3)
+        np.testing.assert_array_equal(got_rows, want, err_msg=f"{name} rows")
+        got_valid = np.asarray(
+            xblur.FILTERS[name](jnp.asarray(img), h_pad=False))
+        np.testing.assert_array_equal(got_valid, want[1:-1],
+                                      err_msg=f"{name} halo")
+
+
+def test_morphology_open_close_match_sequential_oracle():
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, (24, 30, 3)).astype(np.uint8)
+    got_open = np.asarray(
+        xblur.filter_chain(jnp.asarray(img), ("erode", "dilate")))
+    np.testing.assert_array_equal(
+        got_open, oracle.dilate3x3_oracle(oracle.erode3x3_oracle(img)))
+    got_close = np.asarray(
+        xblur.filter_chain(jnp.asarray(img), ("dilate", "erode")))
+    np.testing.assert_array_equal(
+        got_close, oracle.erode3x3_oracle(oracle.dilate3x3_oracle(img)))

@@ -117,3 +117,35 @@ def test_pallas_median_and_denoise_fused():
     got2 = np.asarray(pallas_blur.filter_chain_planar_pallas(
         jnp.asarray(x), ("median", "gaussian3"), interpret=True))
     np.testing.assert_array_equal(got2, want2)
+
+
+def test_pallas_rank_filters_fused_and_tiled():
+    # erode/dilate are nonlinear (no MXU band form): single stages and the
+    # open/close registry chains route to the generic fused VPU kernel;
+    # oversized planes take the halo-tiled rank branch. All bit-exact.
+    from hipe_tpu.ops import reference as oracle
+    from hipe_tpu.models import pipelines as plib
+
+    x = np.stack([checker_image(32, 48, 1, seed=s)[..., 0]
+                  for s in range(4)])
+    oracles = {
+        "erode": oracle.erode3x3_oracle,
+        "dilate": oracle.dilate3x3_oracle,
+    }
+    for name, ofn in oracles.items():
+        want = np.stack([ofn(p[..., None])[..., 0] for p in x])
+        got = np.asarray(pallas_blur.filter_chain_planar_pallas(
+            jnp.asarray(x), (name,), interpret=True))
+        np.testing.assert_array_equal(got, want, err_msg=f"{name} fused")
+        got_t = np.asarray(pallas_blur.filter_chain_planar_tiled_pallas(
+            jnp.asarray(x), (name,), tile_h=16, interpret=True))
+        np.testing.assert_array_equal(got_t, want, err_msg=f"{name} tiled")
+    for pname, seq in (("open", ("erode", "dilate")),
+                       ("close", ("dilate", "erode"))):
+        pipe = plib.PIPELINES[pname]
+        assert pipe.filters == seq and pipe.radius == 2
+        a, b = (oracles[seq[0]], oracles[seq[1]])
+        want = np.stack(
+            [b(a(p[..., None]))[..., 0] for p in x])
+        got = np.asarray(pipe.apply_planar(jnp.asarray(x), interpret=True))
+        np.testing.assert_array_equal(got, want, err_msg=f"{pname} fused")

@@ -225,3 +225,26 @@ def test_row_split_median_and_denoise_seam_exact():
     wfn = make_weighted_row_split_fn(mesh, ("median", "gaussian3"),
                                      weights=[1, 2, 3, 2])
     np.testing.assert_array_equal(np.asarray(wfn(jnp.asarray(batch))), want_d)
+
+
+def test_row_split_morphology_seam_exact():
+    # erode/dilate shard like any radius-1 stencil; the open chain
+    # (erode -> dilate) must stay exact at shard seams and global edges,
+    # on even and weighted uneven shards.
+    from hipe_tpu.parallel.row_split import make_weighted_row_split_fn
+
+    mesh = _mesh(4)
+    batch = np.stack([checker_image(64, 48, 3, seed=s) for s in range(2)])
+    want_e = np.stack([oracle.erode3x3_oracle(b) for b in batch])
+    got = np.asarray(make_row_split_fn(mesh, ("erode",))(jnp.asarray(batch)))
+    np.testing.assert_array_equal(got, want_e)
+    want_o = np.stack(
+        [oracle.dilate3x3_oracle(oracle.erode3x3_oracle(b)) for b in batch]
+    )
+    got = np.asarray(
+        make_row_split_fn(mesh, ("erode", "dilate"))(jnp.asarray(batch))
+    )
+    np.testing.assert_array_equal(got, want_o)
+    wfn = make_weighted_row_split_fn(mesh, ("erode", "dilate"),
+                                     weights=[1, 3, 2, 2])
+    np.testing.assert_array_equal(np.asarray(wfn(jnp.asarray(batch))), want_o)
