@@ -171,6 +171,8 @@ def main() -> int:
     big = checker_image(1504, 1400, 3, seed=13)
     bp = jnp.asarray(big.transpose(2, 0, 1))
     assert plib.Pipeline.routes_tiled(1504, 1400)
+    from hipe_tpu.ops.blur import PIL_PRESETS as _PRESETS
+
     tiled_cases = [
         ("blur3", ("gaussian3",),
          lambda b: oracle.gaussian_blur_int_oracle(b, 1)),
@@ -182,6 +184,13 @@ def main() -> int:
         ("median", ("median",), oracle.median3x3_oracle),
         ("erode", ("erode",), oracle.erode3x3_oracle),
         ("dilate", ("dilate",), oracle.dilate3x3_oracle),
+        # Registered-kernel stages (PIL Kernel semantics, exact integer
+        # round-half-up): a 3x3 and a radius-2 5x5 through the generic
+        # tiled branch.
+        ("pil_emboss", ("pil_emboss",),
+         lambda b: oracle.kernel_oracle(b, *_PRESETS["pil_emboss"])),
+        ("pil_blur", ("pil_blur",),
+         lambda b: oracle.kernel_oracle(b, *_PRESETS["pil_blur"])),
     ]
     # Lossless DCT-domain transform tensor ops on silicon: coefficient
     # grids round-trip through the device rot90 + its inverse exactly.
@@ -267,6 +276,19 @@ def main() -> int:
         xblur.filter_chain(jnp2.asarray(batch), mixed)
     ))
     total_err += check("chain/blur3+solarize+posterize4 64x128", got, want)
+
+    # Registered-kernel stage fused with a stencil (exercises the exact
+    # reciprocal-multiply division inside the Mosaic VPU chain kernel).
+    kmix = ("gaussian3", "pil_emboss")
+    got = np.asarray(
+        pallas_blur.filter_chain_planar_pallas(
+            jnp2.asarray(hwc_to_planar(batch)), kmix
+        )
+    )
+    want = hwc_to_planar(np.asarray(
+        xblur.filter_chain(jnp2.asarray(batch), kmix)
+    ))
+    total_err += check("chain/blur3+pil_emboss 64x128", got, want)
 
     # Global-statistics pipeline on silicon: both LUT-apply formulations
     # (take-gather and the fused comparison-sum) vs the PIL-exact oracle.

@@ -29,6 +29,17 @@ from hipe_tpu.runtime.engine import Engine, EngineConfig
 from hipe_tpu.utils.images import DEFAULT_IMAGE_320
 
 
+def _add_kernel_flag(sp) -> None:
+    sp.add_argument(
+        "--kernel", action="append", metavar="NAME=TAPS[:SCALE[:OFFSET]]",
+        help="register a custom convolution kernel as a chainable filter "
+             "stage (taps comma-separated in PIL ImageFilter.Kernel order, "
+             "odd square 3x3-9x9; scale defaults to sum(taps); offset in "
+             "halves). Repeatable; use the NAME in --pipeline / the "
+             "pipeline argument. Example: "
+             "--kernel soft=1,2,1,2,4,2,1,2,1:16 --pipeline soft,sharpen")
+
+
 def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="hipe_tpu", description=__doc__,
@@ -59,6 +70,7 @@ def _build_parser() -> argparse.ArgumentParser:
     st.add_argument("--passes", type=int, default=10)
     st.add_argument("--json", action="store_true",
                     help="print one JSON result line (bench.py schema-like)")
+    _add_kernel_flag(st)
 
     sv = sub.add_parser(
         "serve",
@@ -127,6 +139,7 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="skip output JPEG encode")
     sv.add_argument("--json", action="store_true",
                     help="print one JSON result line")
+    _add_kernel_flag(sv)
 
     tr = sub.add_parser(
         "transform",
@@ -182,6 +195,7 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--csv", default=None, metavar="PATH",
                         help="append a per_run.csv-schema row")
         sp.add_argument("--run-index", type=int, default=1)
+        _add_kernel_flag(sp)
     return p
 
 
@@ -446,11 +460,37 @@ def _main_serve(args) -> int:
     return 0 if n_out == args.num_images else 1
 
 
+def _register_cli_kernels(specs) -> str | None:
+    """Register --kernel NAME=TAPS[:SCALE[:OFFSET]] stages; error or None."""
+    from hipe_tpu.ops.blur import register_kernel_filter
+
+    for raw in specs or ():
+        head, eq, body = raw.partition("=")
+        parts = body.split(":")
+        try:
+            if not eq or not head or len(parts) > 3:
+                raise ValueError(
+                    "expected NAME=T,T,...[:SCALE[:OFFSET]] (taps in PIL "
+                    "ImageFilter.Kernel order; scale defaults to sum(taps))"
+                )
+            taps = [int(t) for t in parts[0].split(",")]
+            scale = int(parts[1]) if len(parts) > 1 and parts[1] else None
+            offset = float(parts[2]) if len(parts) > 2 and parts[2] else 0.0
+            register_kernel_filter(head, taps, scale, offset)
+        except ValueError as e:
+            return f"Error: bad --kernel {raw!r}: {e}"
+    return None
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     from hipe_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    err = _register_cli_kernels(getattr(args, "kernel", None))
+    if err:
+        print(err, file=sys.stderr)
+        return 1
     if args.approach == "stream":
         return _main_stream(args)
     if args.approach == "serve":

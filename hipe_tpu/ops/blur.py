@@ -100,22 +100,27 @@ def gaussian_blur_planar(x: jax.Array, radius: int = 1, *, h_pad: bool = True):
     return gaussian_blur(x, radius, h_axis=-2, w_axis=-1, h_pad=h_pad)
 
 
-def _stencil3x3(x: jax.Array, h_axis: int, w_axis: int, h_pad: bool):
-    """Return the 9 int32 shifted views of x for a 3x3 stencil."""
+def _stencil_r(x: jax.Array, h_axis: int, w_axis: int, h_pad: bool, r: int):
+    """Return int32 shifted views of x for a (2r+1)^2 stencil."""
     h_axis = h_axis if h_axis >= 0 else h_axis + x.ndim
     w_axis = w_axis if w_axis >= 0 else w_axis + x.ndim
     xi = x.astype(jnp.int32)
-    xp = _edge_pad_axis(xi, w_axis, 1, 1)
+    xp = _edge_pad_axis(xi, w_axis, r, r)
     if h_pad:
-        xp = _edge_pad_axis(xp, h_axis, 1, 1)
-    hn = xp.shape[h_axis] - 2
-    wn = xp.shape[w_axis] - 2
+        xp = _edge_pad_axis(xp, h_axis, r, r)
+    hn = xp.shape[h_axis] - 2 * r
+    wn = xp.shape[w_axis] - 2 * r
 
     def view(dy, dx):
         v = lax.slice_in_dim(xp, dy, dy + hn, axis=h_axis)
         return lax.slice_in_dim(v, dx, dx + wn, axis=w_axis)
 
     return view
+
+
+def _stencil3x3(x: jax.Array, h_axis: int, w_axis: int, h_pad: bool):
+    """Return the 9 int32 shifted views of x for a 3x3 stencil."""
+    return _stencil_r(x, h_axis, w_axis, h_pad, 1)
 
 
 def sharpen3x3(
@@ -339,18 +344,20 @@ def _conv1d_rows(
     return acc
 
 
-def _rows_stencil(x: jax.Array, c: int, h_pad: bool):
-    """9-point stencil views over (..., H, W*C) int32, pixel-clamped."""
+def _rows_stencil(x: jax.Array, c: int, h_pad: bool, r: int = 1):
+    """(2r+1)^2 stencil views over (..., H, W*C) int32, pixel-clamped.
+
+    ``view(dy, dx)`` takes dy in [0, 2r] and dx in [-r, r]."""
     xi = x.astype(jnp.int32)
-    xp = _edge_pad_rows(xi, -1, 1, c)
+    xp = _edge_pad_rows(xi, -1, r, c)
     if h_pad:
-        xp = _edge_pad_axis(xp, xp.ndim - 2, 1, 1)
-    hn = xp.shape[-2] - 2
-    wn = xp.shape[-1] - 2 * c
+        xp = _edge_pad_axis(xp, xp.ndim - 2, r, r)
+    hn = xp.shape[-2] - 2 * r
+    wn = xp.shape[-1] - 2 * r * c
 
     def view(dy, dx):
         v = lax.slice_in_dim(xp, dy, dy + hn, axis=xp.ndim - 2)
-        return lax.slice_in_dim(v, (dx + 1) * c, (dx + 1) * c + wn, axis=-1)
+        return lax.slice_in_dim(v, (dx + r) * c, (dx + r) * c + wn, axis=-1)
 
     return view
 
@@ -435,3 +442,191 @@ def filter_chain_rows(
     for name in names:
         x = ROWS_FILTERS[name](x, channels, h_pad=h_pad)
     return x
+
+
+# ---- User-defined convolution kernels (the PIL ImageFilter.Kernel family) --
+#
+# A registered kernel stage is an arbitrary integer-tap correlation with an
+# integer divisor and half-integer offset, computed with EXACT integer
+# arithmetic and round-half-up:
+#
+#   out = clamp( floor( acc/scale + offset + 1/2 ) )
+#       = clamp( (2*acc + scale*(2*offset + 1)) // (2*scale) )   (all int32)
+#
+# Taps are given in PIL orientation (`ImageFilter.Kernel` row 0 first): PIL
+# applies kernel rows bottom-up (its row 0 multiplies image row y+r —
+# impulse-probed), so registration flips rows to our top-down correlation.
+# This is PIL's own documented semantics evaluated in infinite precision:
+# bit-identical to PIL for scale-1, power-of-two, and odd scales (fp32 tap
+# normalization is exact or the rounding margin >= 1/(2*scale) dwarfs PIL's
+# ~1e-7 relative float noise; fuzzed over 4.1M pixels, zero deviations).
+# Even non-dyadic scales admit exact .5 ties (acc/scale ≡ X.5, pixel rate
+# ~1/(2*scale)); PIL's fp32 noise resolves each tie implementation-
+# definedly (~coin-flip — e.g. DETAIL at scale 6 differs from its own
+# infinite-precision semantics on ~7% of noise-image pixels), while the
+# engine rounds ties up, deterministically. Measured: every PIL deviation
+# sits on an exact tie and is +-1 (tests assert exactly this).
+# Borders: clamp-to-edge like every engine stencil (the reference kernel's
+# rule) — PIL instead copies border pixels through unfiltered, so PIL
+# equality holds on the interior (r rows/cols in).
+#
+# The stages are plain int32 adds/multiplies plus one exact
+# reciprocal-multiply division, so every execution path (XLA, the fused
+# VPU Pallas chain, the halo-tiled large-plane kernel, row-split shards)
+# traces the identical expression.
+
+KERNEL_STAGES: dict = {}
+
+# |2*acc + scale*(2*off+1)| must stay fp32-exact with margin for the
+# reciprocal-multiply division (see _floordiv_exact): bound by 2^22.
+_KERNEL_NUM_LIMIT = 1 << 22
+
+
+def _floordiv_exact(num: jax.Array, den: int) -> jax.Array:
+    """Exact floor(num/den) for |num| <= 2^22, Mosaic-safe ops only.
+
+    fp32 reciprocal multiply puts the rounded quotient within +-1 of the
+    true floor (|num/den| <= 2^21 keeps the fp32 error < 0.5); one integer
+    remainder correction each way lands it exactly. No integer division —
+    the same expression lowers on VPU, XLA, and interpret paths.
+    """
+    q = jnp.round(
+        num.astype(jnp.float32) * jnp.float32(1.0 / den)
+    ).astype(jnp.int32)
+    rem = num - q * den
+    return q - (rem < 0).astype(jnp.int32) + (rem >= den).astype(jnp.int32)
+
+
+def _kernel_acc(view, flipped, size):
+    acc = None
+    for dy in range(size):
+        for dx in range(size):
+            t = flipped[dy][dx]
+            if t == 0:
+                continue
+            term = view(dy, dx) if t == 1 else t * view(dy, dx)
+            acc = term if acc is None else acc + term
+    return acc if acc is not None else 0 * view(size // 2, size // 2)
+
+
+def _make_kernel_stage(spec):
+    size, flipped = spec["size"], spec["flipped"]
+    den, cnum = 2 * spec["scale"], spec["scale"] * (spec["off2"] + 1)
+
+    def op(x: jax.Array, *, h_axis: int = -3, w_axis: int = -2,
+           h_pad: bool = True) -> jax.Array:
+        assert x.dtype == jnp.uint8
+        v = _stencil_r(x, h_axis, w_axis, h_pad, size // 2)
+        num = 2 * _kernel_acc(v, flipped, size) + cnum
+        return jnp.clip(_floordiv_exact(num, den), 0, 255).astype(jnp.uint8)
+
+    return op
+
+
+def _make_kernel_stage_rows(spec):
+    size, flipped = spec["size"], spec["flipped"]
+    den, cnum = 2 * spec["scale"], spec["scale"] * (spec["off2"] + 1)
+    r = size // 2
+
+    def op(x: jax.Array, channels: int, *, h_pad: bool = True) -> jax.Array:
+        assert x.dtype == jnp.uint8
+        v = _rows_stencil(x, channels, h_pad, r)
+        num = 2 * _kernel_acc(
+            lambda dy, dx: v(dy, dx - r), flipped, size
+        ) + cnum
+        return jnp.clip(_floordiv_exact(num, den), 0, 255).astype(jnp.uint8)
+
+    return op
+
+
+def register_kernel_filter(name: str, taps, scale: int | None = None,
+                           offset: float = 0.0) -> None:
+    """Register a user convolution kernel as a chainable filter stage.
+
+    ``taps``: (2r+1)^2 integers in PIL ``ImageFilter.Kernel`` order (row 0
+    first — paste PIL kernels verbatim). ``scale`` defaults to ``sum(taps)``
+    (PIL's default); must be a positive integer. ``offset`` must be a
+    multiple of 0.5 (covers every PIL builtin). The stage becomes a
+    first-class FILTERS entry: chainable with any other stage on every
+    execution path, with stencil radius r for row-split halo exchange.
+
+    Re-registering the same name with an identical spec is a no-op;
+    a conflicting spec raises.
+    """
+    taps = tuple(int(t) for t in taps)
+    size = int(round(len(taps) ** 0.5))
+    if size * size != len(taps) or size % 2 == 0 or not (3 <= size <= 9):
+        raise ValueError(
+            f"kernel {name!r}: taps must be a full odd square "
+            f"(3x3/5x5/7x7/9x9), got {len(taps)} taps"
+        )
+    if scale is None:
+        scale = sum(taps)
+    if int(scale) != scale or scale <= 0:
+        raise ValueError(
+            f"kernel {name!r}: scale must be a positive integer "
+            f"(PIL default sum(taps) = {sum(taps)}), got {scale!r}"
+        )
+    scale = int(scale)
+    off2 = 2.0 * float(offset)
+    if off2 != int(off2):
+        raise ValueError(
+            f"kernel {name!r}: offset must be a multiple of 0.5, "
+            f"got {offset!r}"
+        )
+    off2 = int(off2)
+    num_bound = 2 * 255 * sum(abs(t) for t in taps) + scale * (abs(off2) + 1)
+    if num_bound > _KERNEL_NUM_LIMIT:
+        raise ValueError(
+            f"kernel {name!r}: |taps|/scale/offset too large for exact "
+            f"int32 arithmetic (bound {num_bound} > {_KERNEL_NUM_LIMIT})"
+        )
+    rows = [list(taps[i * size:(i + 1) * size]) for i in range(size)]
+    spec = {
+        "taps": taps, "scale": scale, "off2": off2, "size": size,
+        "flipped": tuple(tuple(r_) for r_ in rows[::-1]),
+        "radius": size // 2,
+    }
+    prev = KERNEL_STAGES.get(name)
+    if prev is not None:
+        if prev == spec:
+            return
+        raise ValueError(
+            f"kernel {name!r} already registered with a different spec"
+        )
+    if name in FILTERS:
+        raise ValueError(f"{name!r} is already a builtin filter name")
+    KERNEL_STAGES[name] = spec
+    FILTERS[name] = _make_kernel_stage(spec)
+    ROWS_FILTERS[name] = _make_kernel_stage_rows(spec)
+    FILTER_RADIUS[name] = spec["radius"]
+
+
+# The PIL builtin convolution presets (tap tables as in Pillow 12.1
+# ImageFilter.py; the test suite asserts these match the installed PIL's
+# `.filterargs` so a Pillow bump can't silently drift them). Registered
+# as `pil_*` stages — `pil_sharpen` etc. keep clear of the engine's own
+# `sharpen` (the reference's 5-point unsharp).
+PIL_PRESETS = {
+    "pil_blur": ((1, 1, 1, 1, 1,
+                  1, 0, 0, 0, 1,
+                  1, 0, 0, 0, 1,
+                  1, 0, 0, 0, 1,
+                  1, 1, 1, 1, 1), 16, 0),
+    "pil_contour": ((-1, -1, -1, -1, 8, -1, -1, -1, -1), 1, 255),
+    "pil_detail": ((0, -1, 0, -1, 10, -1, 0, -1, 0), 6, 0),
+    "pil_edge_enhance": ((-1, -1, -1, -1, 10, -1, -1, -1, -1), 2, 0),
+    "pil_edge_enhance_more": ((-1, -1, -1, -1, 9, -1, -1, -1, -1), 1, 0),
+    "pil_emboss": ((-1, 0, 0, 0, 1, 0, 0, 0, 0), 1, 128),
+    "pil_find_edges": ((-1, -1, -1, -1, 8, -1, -1, -1, -1), 1, 0),
+    "pil_sharpen": ((-2, -2, -2, -2, 32, -2, -2, -2, -2), 16, 0),
+    "pil_smooth": ((1, 1, 1, 1, 5, 1, 1, 1, 1), 13, 0),
+    "pil_smooth_more": ((1, 1, 1, 1, 1,
+                         1, 5, 5, 5, 1,
+                         1, 5, 44, 5, 1,
+                         1, 5, 5, 5, 1,
+                         1, 1, 1, 1, 1), 100, 0),
+}
+
+for _nm, (_taps, _scale, _off) in PIL_PRESETS.items():
+    register_kernel_filter(_nm, _taps, _scale, _off)

@@ -310,7 +310,8 @@ def _tiled_blur_kernel(top_ref, x_ref, bot_ref, o_ref, *, taps: tuple,
 
 
 def _tiled_point_kernel(top_ref, x_ref, bot_ref, o_ref, *, name: str):
-    """One H tile of a radius-1 stage (sharpen/edge/median/erode/dilate).
+    """One H tile of a point/stencil stage (sharpen/edge/median/erode/
+    dilate/registered kernels, radius 0-4), haloed by neighbor blocks.
 
     Same tiling scheme as `_tiled_blur_kernel`; the stage math matches
     :mod:`hipe_tpu.ops.blur` (`sharpen3x3`/`sobel_edge`) bit-for-bit.
@@ -324,19 +325,31 @@ def _tiled_point_kernel(top_ref, x_ref, bot_ref, o_ref, *, name: str):
         # Radius-0 stage: per-pixel arithmetic, halo rows unused.
         o_ref[0] = POINT_STAGES[name](main).astype(jnp.uint8)
         return
-    top = top_ref[0].astype(jnp.int32)[-1:]
-    bot = bot_ref[0].astype(jnp.int32)[:1]
-    tpart = jnp.where(i == 0, main[:1], top)
-    bpart = jnp.where(i == n_i - 1, main[-1:], bot)
+    from hipe_tpu.ops.blur import FILTER_RADIUS, KERNEL_STAGES
+
+    r = FILTER_RADIUS[name]
+    top = top_ref[0].astype(jnp.int32)[-r:]
+    bot = bot_ref[0].astype(jnp.int32)[:r]
+    edge_t = jnp.concatenate([main[:1]] * r, axis=0)
+    edge_b = jnp.concatenate([main[-1:]] * r, axis=0)
+    tpart = jnp.where(i == 0, edge_t, top)
+    bpart = jnp.where(i == n_i - 1, edge_b, bot)
     padded = jnp.concatenate([tpart, main, bpart], axis=0)
-    xp = _edge_pad(padded, axis=1, r=1)  # W clamp
-    hn = padded.shape[0] - 2
-    wn = xp.shape[1] - 2
+    xp = _edge_pad(padded, axis=1, r=r)  # W clamp
+    hn = padded.shape[0] - 2 * r
+    wn = xp.shape[1] - 2 * r
 
     def v(dy, dx):
         return lax.slice(xp, (dy, dx), (dy + hn, dx + wn))
 
-    if name == "sharpen":
+    if name in KERNEL_STAGES:
+        from hipe_tpu.ops.blur import _floordiv_exact, _kernel_acc
+
+        spec = KERNEL_STAGES[name]
+        num = 2 * _kernel_acc(v, spec["flipped"], spec["size"]) \
+            + spec["scale"] * (spec["off2"] + 1)
+        out = jnp.clip(_floordiv_exact(num, 2 * spec["scale"]), 0, 255)
+    elif name == "sharpen":
         out = 5 * v(1, 1) - v(0, 1) - v(2, 1) - v(1, 0) - v(1, 2)
         out = jnp.clip(out, 0, 255)
     elif name == "edge":

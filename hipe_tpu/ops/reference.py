@@ -163,3 +163,30 @@ def erode3x3_oracle(img: np.ndarray) -> np.ndarray:
 def dilate3x3_oracle(img: np.ndarray) -> np.ndarray:
     """3x3 maximum (morphological dilation) — PIL ``MaxFilter(3)``."""
     return _rank3x3_oracle(img, np.max)
+
+
+def kernel_oracle(img: np.ndarray, taps, scale: int, offset: float
+                  ) -> np.ndarray:
+    """Exact-arithmetic PIL ``ImageFilter.Kernel`` semantics, int64.
+
+    Taps in PIL order (row 0 first; PIL applies kernel rows bottom-up, so
+    the correlation uses the row-reversed table); clamp-to-edge borders
+    (PIL copies border pixels unfiltered — equality vs PIL holds on the
+    interior); round-half-up via the integer identity
+    floor(acc/scale + offset + 1/2) = (2*acc + scale*(2*offset+1)) // (2*scale).
+    Oracle for ops/blur.py register_kernel_filter stages.
+    """
+    size = int(round(len(taps) ** 0.5))
+    r = size // 2
+    h, w = img.shape[:2]
+    pad = ((r, r), (r, r)) + ((0, 0),) * (img.ndim - 2)
+    xp = np.pad(img, pad, mode="edge").astype(np.int64)
+    t = np.array(taps, np.int64).reshape(size, size)[::-1]
+    acc = np.zeros(img.shape, np.int64)
+    for dy in range(size):
+        for dx in range(size):
+            acc += t[dy, dx] * xp[dy:dy + h, dx:dx + w]
+    off2 = int(2 * offset)
+    assert off2 == 2 * offset
+    num = 2 * acc + int(scale) * (off2 + 1)
+    return np.clip(num // (2 * int(scale)), 0, 255).astype(np.uint8)
