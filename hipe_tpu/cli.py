@@ -174,7 +174,7 @@ def _build_parser() -> argparse.ArgumentParser:
                              "stream (BASELINE config 5)")
         sp.add_argument("--num-images", type=int, default=pt.NUM_IMAGES)
         sp.add_argument("--pipeline", default="blur3",
-                        help="blur3|blur5|blur9|sharpen|edge|chain or "
+                        help="blur3|blur5|blur7|blur9|sharpen|edge|chain or "
                              "comma-separated filter names")
         sp.add_argument("--accel-path", default="pallas",
                         choices=["pallas", "xla"])

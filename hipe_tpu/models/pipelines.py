@@ -304,6 +304,7 @@ class GlobalStatsPipeline:
 PIPELINES = {
     "blur3": Pipeline("blur3", ("gaussian3",)),
     "blur5": Pipeline("blur5", ("gaussian5",)),
+    "blur7": Pipeline("blur7", ("gaussian7",)),
     "blur9": Pipeline("blur9", ("gaussian9",)),
     "sharpen": Pipeline("sharpen", ("sharpen",)),
     "edge": Pipeline("edge", ("edge",)),

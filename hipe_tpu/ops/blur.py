@@ -261,6 +261,7 @@ def _make_point_filter_rows(fn):
 FILTERS = {
     "gaussian3": gaussian_blur3x3,
     "gaussian5": functools.partial(gaussian_blur, radius=2),
+    "gaussian7": functools.partial(gaussian_blur, radius=3),
     "gaussian9": functools.partial(gaussian_blur, radius=4),
     "sharpen": sharpen3x3,
     "edge": sobel_edge,
@@ -274,6 +275,7 @@ FILTERS = {
 FILTER_RADIUS = {
     "gaussian3": 1,
     "gaussian5": 2,
+    "gaussian7": 3,
     "gaussian9": 4,
     "sharpen": 1,
     "edge": 1,
@@ -425,6 +427,7 @@ def dilate3x3_rows(
 ROWS_FILTERS = {
     "gaussian3": functools.partial(gaussian_blur_rows, radius=1),
     "gaussian5": functools.partial(gaussian_blur_rows, radius=2),
+    "gaussian7": functools.partial(gaussian_blur_rows, radius=3),
     "gaussian9": functools.partial(gaussian_blur_rows, radius=4),
     "sharpen": sharpen3x3_rows,
     "edge": sobel_edge_rows,

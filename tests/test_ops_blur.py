@@ -10,7 +10,7 @@ from hipe_tpu.ops import reference as oracle
 from hipe_tpu.utils.images import checker_image, hwc_to_planar, planar_to_hwc
 
 
-@pytest.mark.parametrize("radius", [1, 2, 4])
+@pytest.mark.parametrize("radius", [1, 2, 3, 4])
 @pytest.mark.parametrize("shape", [(32, 32, 3), (31, 45, 3), (240, 320, 3)])
 def test_gaussian_blur_hwc_bit_exact(radius, shape):
     img = checker_image(*shape, seed=radius)

@@ -37,7 +37,7 @@ def test_float_oracle_matches_literal_cl_kernel():
     )
 
 
-@pytest.mark.parametrize("radius", [1, 2, 4])
+@pytest.mark.parametrize("radius", [1, 2, 3, 4])
 @pytest.mark.parametrize("shape", [(16, 16, 3), (33, 21, 3), (64, 64)])
 def test_int_oracle_bit_identical_to_float_oracle(radius, shape):
     img = checker_image(*shape) if len(shape) == 3 else checker_image(

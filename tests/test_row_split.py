@@ -29,11 +29,11 @@ def test_row_split_blur_seam_exact(n_shards):
     np.testing.assert_array_equal(got, want)
 
 
-@pytest.mark.parametrize("radius", [2, 4])
+@pytest.mark.parametrize("radius", [2, 3, 4])
 def test_row_split_large_radius(radius):
     mesh = _mesh(4)
     batch = np.stack([checker_image(64, 48, 3, seed=7)])
-    name = {2: "gaussian5", 4: "gaussian9"}[radius]
+    name = {2: "gaussian5", 3: "gaussian7", 4: "gaussian9"}[radius]
     fn = make_row_split_fn(mesh, (name,))
     got = np.asarray(fn(jnp.asarray(batch)))
     want = np.stack(

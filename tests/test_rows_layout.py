@@ -20,7 +20,7 @@ def _rows(batch):
 BATCH = np.stack([checker_image(32, 40, 3, seed=s) for s in range(2)])
 
 
-@pytest.mark.parametrize("radius", [1, 2, 4])
+@pytest.mark.parametrize("radius", [1, 2, 3, 4])
 def test_xla_rows_blur_bit_exact(radius):
     got = np.asarray(
         xblur.gaussian_blur_rows(_rows(BATCH), 3, radius)
