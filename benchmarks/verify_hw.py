@@ -290,6 +290,19 @@ def main() -> int:
     ))
     total_err += check("chain/blur3+pil_emboss 64x128", got, want)
 
+    # Static-LUT point stage (pruned comparison-sum) inside an MXU chain.
+    xblur.register_lut_filter("hw_g22", xblur.gamma_lut(2.2))
+    lmix = ("gaussian3", "hw_g22")
+    got = np.asarray(
+        pallas_blur.filter_chain_planar_pallas(
+            jnp2.asarray(hwc_to_planar(batch)), lmix
+        )
+    )
+    want = hwc_to_planar(np.asarray(
+        xblur.filter_chain(jnp2.asarray(batch), lmix)
+    ))
+    total_err += check("chain/blur3+gamma2.2-lut 64x128", got, want)
+
     # Global-statistics pipeline on silicon: both LUT-apply formulations
     # (take-gather and the fused comparison-sum) vs the PIL-exact oracle.
     from hipe_tpu.ops import equalize as eqops

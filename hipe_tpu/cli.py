@@ -38,6 +38,13 @@ def _add_kernel_flag(sp) -> None:
              "halves). Repeatable; use the NAME in --pipeline / the "
              "pipeline argument. Example: "
              "--kernel soft=1,2,1,2,4,2,1,2,1:16 --pipeline soft,sharpen")
+    sp.add_argument(
+        "--lut", action="append", metavar="NAME=SPEC",
+        help="register a 256-entry LUT as a chainable radius-0 point "
+             "stage. SPEC is brightness:F (PIL ImageEnhance.Brightness, "
+             "bit-exact), gamma:G, or 256 comma-separated uint8 values. "
+             "Repeatable. Example: --lut dim=brightness:0.7 "
+             "--pipeline dim,blur3")
 
 
 def _build_parser() -> argparse.ArgumentParser:
@@ -482,12 +489,46 @@ def _register_cli_kernels(specs) -> str | None:
     return None
 
 
+def _register_cli_luts(specs) -> str | None:
+    """Register --lut NAME=SPEC point stages; returns an error or None."""
+    from hipe_tpu.ops.blur import (brightness_lut, gamma_lut,
+                                   register_lut_filter)
+
+    for raw in specs or ():
+        head, eq, body = raw.partition("=")
+        try:
+            if not eq or not head:
+                raise ValueError(
+                    "expected NAME=brightness:F | NAME=gamma:G | "
+                    "NAME=v0,v1,...,v255"
+                )
+            kind, sep, arg = body.partition(":")
+            if sep and kind == "brightness":
+                lut = brightness_lut(float(arg))
+            elif sep and kind == "gamma":
+                lut = gamma_lut(float(arg))
+            elif sep:
+                raise ValueError(
+                    f"unknown LUT constructor {kind!r} "
+                    "(brightness:F or gamma:G)"
+                )
+            else:
+                import numpy as np
+
+                lut = np.array([int(v) for v in body.split(",")])
+            register_lut_filter(head, lut)
+        except ValueError as e:
+            return f"Error: bad --lut {raw!r}: {e}"
+    return None
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     from hipe_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    err = _register_cli_kernels(getattr(args, "kernel", None))
+    err = (_register_cli_kernels(getattr(args, "kernel", None))
+           or _register_cli_luts(getattr(args, "lut", None)))
     if err:
         print(err, file=sys.stderr)
         return 1

@@ -633,3 +633,109 @@ PIL_PRESETS = {
 
 for _nm, (_taps, _scale, _off) in PIL_PRESETS.items():
     register_kernel_filter(_nm, _taps, _scale, _off)
+
+
+# ---- Static-LUT point stages (brightness / gamma / arbitrary 256-LUTs) ---
+#
+# Any 256-entry uint8 LUT registers as a radius-0 POINT_STAGES entry, so it
+# composes everywhere point stages do: XLA chains, the fused Pallas MXU/VPU
+# chain kernels (free VPU arithmetic between band matmuls), the tiled
+# large-plane kernels, and row-split shards (radius 0 -> no halo exchange).
+# TPU has no vector table lookup, so the in-graph apply is the static
+# comparison-sum: out = lut[0] + sum_{v: lut[v] != lut[v-1]} (x >= v) * d_v
+# — the same exact rewrite ops/equalize.py uses for data-dependent LUTs,
+# but with the diff vector folded at trace time and zero-diff thresholds
+# pruned (a brightness LUT at factor < 1 keeps ~128 of 255 terms; smooth
+# monotone LUTs prune further). Integer-only, bit-identical to the gather.
+#
+# Built-in LUT constructors reproduce PIL exactly:
+# - brightness(f) == ImageEnhance.Brightness(im).enhance(f): PIL's
+#   Image.blend computes fp32 a + f*(b-a) with a truncating uint8 store
+#   (probed over factors incl. 0.7, 1.234: trunc-fp32 matches everywhere,
+#   round/half-up don't) -> lut[v] = clip(trunc(fp32(f) * v)).
+# - gamma(g): lut[v] = round(255 * (v/255)^g) in float64 (no PIL analog;
+#   ImageOps has no gamma — documented engine spec).
+
+LUT_STAGES: dict = {}
+
+
+def _make_lut_point_fn(lut: "np.ndarray"):
+    import numpy as np
+
+    lut = np.asarray(lut)
+    base = int(lut[0])
+    d = lut.astype(np.int64)
+    terms = [(v, int(d[v] - d[v - 1])) for v in range(1, 256)
+             if d[v] != d[v - 1]]
+
+    def fn(x):
+        acc = None
+        for v, dv in terms:
+            t = jnp.where(x >= v, dv, 0)
+            acc = t if acc is None else acc + t
+        return (base + acc) if acc is not None else base + 0 * x
+
+    return fn
+
+
+def register_lut_filter(name: str, lut) -> None:
+    """Register a 256-entry uint8 LUT as a chainable radius-0 point stage.
+
+    Same first-class status as invert/solarize/posterize: the stage works
+    on every execution path and in any chain. Re-registering the same
+    name with an identical LUT is a no-op; a different LUT raises.
+    """
+    import numpy as np
+
+    lut = np.asarray(lut)
+    if lut.shape != (256,):
+        raise ValueError(
+            f"LUT {name!r}: expected 256 entries, got shape {lut.shape}"
+        )
+    if lut.dtype != np.uint8:
+        if not (np.issubdtype(lut.dtype, np.integer)
+                and lut.min() >= 0 and lut.max() <= 255):
+            raise ValueError(
+                f"LUT {name!r}: entries must be integers in [0, 255]"
+            )
+        lut = lut.astype(np.uint8)
+    prev = LUT_STAGES.get(name)
+    if prev is not None:
+        if np.array_equal(prev, lut):
+            return
+        raise ValueError(f"LUT {name!r} already registered with "
+                         "different entries")
+    if name in FILTERS:
+        raise ValueError(f"{name!r} is already a builtin filter name")
+    LUT_STAGES[name] = lut
+    fn = _make_lut_point_fn(lut)
+    POINT_STAGES[name] = fn
+    FILTERS[name] = _make_point_filter(fn)
+    ROWS_FILTERS[name] = _make_point_filter_rows(fn)
+    FILTER_RADIUS[name] = 0
+
+
+def brightness_lut(factor: float):
+    """PIL ``ImageEnhance.Brightness(im).enhance(factor)`` as a LUT.
+
+    Bit-exact: PIL's Image.blend is fp32 ``a + f*(b-a)`` with a
+    truncating uint8 store; brightness blends from black, so
+    ``lut[v] = clip(trunc(fp32(factor) * v), 0, 255)``.
+    """
+    import numpy as np
+
+    if factor < 0:
+        raise ValueError(f"brightness factor must be >= 0, got {factor}")
+    v = np.arange(256, dtype=np.float32)
+    out = np.trunc((np.float32(factor) * v).astype(np.float32))
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def gamma_lut(gamma: float):
+    """Gamma-correction LUT: ``lut[v] = round(255 * (v/255)**gamma)``."""
+    import numpy as np
+
+    if gamma <= 0:
+        raise ValueError(f"gamma must be > 0, got {gamma}")
+    v = np.arange(256, dtype=np.float64) / 255.0
+    return np.clip(np.round(255.0 * v ** gamma), 0, 255).astype(np.uint8)
