@@ -307,9 +307,15 @@ def main() -> int:
     # (take-gather and the fused comparison-sum) vs the PIL-exact oracle.
     from hipe_tpu.ops import equalize as eqops
 
-    for op, ofn in (("equalize", eqops.equalize_oracle),
-                    ("autocontrast", eqops.autocontrast_oracle)):
-        gpipe = plib.PIPELINES[op]
+    import functools as _ft
+
+    for op, gpipe, ofn in (
+        ("equalize", plib.PIPELINES["equalize"], eqops.equalize_oracle),
+        ("autocontrast", plib.PIPELINES["autocontrast"],
+         eqops.autocontrast_oracle),
+        ("contrast1.4", plib.GlobalStatsPipeline("contrast", factor=1.4),
+         _ft.partial(eqops.contrast_oracle, factor=1.4)),
+    ):
         want_g = np.stack([ofn(b) for b in batch])
         for label, cmp_ in (("cmp", True), ("gather", False)):
             got = np.asarray(

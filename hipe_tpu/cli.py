@@ -137,6 +137,10 @@ def _build_parser() -> argparse.ArgumentParser:
                          "values: low high) of histogram mass from each "
                          "end before stretching (PIL cutoff semantics, "
                          "bit-exact)")
+    sv.add_argument("--factor", type=float, default=None,
+                    help="contrast only: PIL ImageEnhance.Contrast "
+                         "strength (bit-exact; 1.0 = identity, <1 "
+                         "reduces, >1 boosts)")
     sv.add_argument("--decode-scale", type=int, default=1,
                     choices=(1, 2, 4, 8),
                     help="DCT-domain scaled decode 1/N (libjpeg "
@@ -412,6 +416,22 @@ def _main_serve(args) -> int:
             print(f"Error: {e}", file=sys.stderr)
             return 1
         print(f"Autocontrast cutoff: {cut}%")
+    if args.factor is not None:
+        from hipe_tpu.models.pipelines import GlobalStatsPipeline
+
+        if args.pipeline_name != "contrast":
+            print("Error: --factor applies to the 'contrast' pipeline "
+                  "only", file=sys.stderr)
+            return 1
+        try:
+            pipeline_arg = GlobalStatsPipeline(
+                "contrast", factor=args.factor,
+                channels=1 if args.decode_gray else 3)
+        except ValueError as e:
+            print(f"Error: {e}", file=sys.stderr)
+            return 1
+        print(f"Contrast factor: {args.factor} "
+              "(PIL ImageEnhance.Contrast, bit-exact)")
     serve = ServingPipeline(
         pipeline_arg, quality=args.quality,
         decode_on_device=args.decode_on_device,

@@ -216,6 +216,11 @@ class GlobalStatsPipeline:
       e.g. ``GlobalStatsPipeline("autocontrast", cutoff=2)`` is
       ``ImageOps.autocontrast(im, cutoff=2)``; the registry entry keeps
       cutoff=0.
+    - ``contrast``: per-*image* Pillow luma mean -> (mean, value) LUT
+      cube row — PIL ``ImageEnhance.Contrast(im).enhance(factor)``,
+      bit-exact (fp32 truncating blend emulated host-side per factor).
+      The ``factor`` field selects the strength; 1.0 (the registry
+      default) is the identity, so pass a factor (CLI ``--factor``).
 
     There is no stencil radius: these ops need *whole-image* statistics,
     so halo-based row-split cannot run them (accessing :attr:`radius`
@@ -234,6 +239,10 @@ class GlobalStatsPipeline:
     name: str
     filters: tuple = ()
     cutoff: object = 0  # autocontrast only: int percent or (low, high)
+    factor: float = 1.0  # contrast only: blend strength (1.0 = identity)
+    # contrast only: channel count of *planar* inputs (apply_planar gets
+    # (B*C, H, W) with no channel info; rows/nhwc layouts carry their own).
+    channels: int = 3
 
     has_pallas_blocks = False
 
@@ -244,19 +253,33 @@ class GlobalStatsPipeline:
             raise ValueError(
                 f"cutoff applies to 'autocontrast' only, not {self.name!r}"
             )
+        if self.factor != 1.0 and self.name != "contrast":
+            raise ValueError(
+                f"factor applies to 'contrast' only, not {self.name!r}"
+            )
         if self.name == "autocontrast":
             from hipe_tpu.ops.equalize import _normalize_cutoff
 
             _normalize_cutoff(self.cutoff)  # fail at construction
+        if self.name == "contrast" and not (
+            isinstance(self.factor, (int, float)) and self.factor >= 0
+        ):
+            raise ValueError(
+                f"contrast factor must be a number >= 0, got {self.factor!r}"
+            )
 
     def _op(self, layout: str):
+        import functools
+
         from hipe_tpu.ops import equalize as eq
 
         fn = getattr(eq, f"{self.name}_{layout}")
         if self.name == "autocontrast":
-            import functools
-
             fn = functools.partial(fn, cutoff=self.cutoff)
+        elif self.name == "contrast":
+            fn = functools.partial(fn, factor=float(self.factor))
+            if layout == "planar":
+                fn = functools.partial(fn, channels=self.channels)
         return fn
 
     @property
@@ -324,6 +347,7 @@ PIPELINES = {
     "posterize": Pipeline("posterize", ("posterize4",)),
     "equalize": GlobalStatsPipeline("equalize"),
     "autocontrast": GlobalStatsPipeline("autocontrast"),
+    "contrast": GlobalStatsPipeline("contrast"),
 }
 
 # The flagship model: the reference workload (3x3 Gaussian on image streams).

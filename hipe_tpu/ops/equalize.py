@@ -364,3 +364,138 @@ def equalize_oracle(img: np.ndarray) -> np.ndarray:
             lut = (step // 2 + (np.cumsum(h) - h)) // step
         out[..., ci] = np.clip(lut, 0, 255).astype(np.uint8)[chan]
     return out[..., 0] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
+# Contrast — PIL ImageEnhance.Contrast semantics, bit-exact. The degenerate
+# is a solid gray at mean_i = int(mean(im.convert("L")) + 0.5), blended as
+# fp32 ``mean_i + factor*(px - mean_i)`` with a truncating uint8 store
+# (probed: trunc-fp32 matches PIL everywhere; round/half-up don't; the L
+# conversion is Pillow's fixed-point (19595 R + 38470 G + 7471 B + 0x8000)
+# >> 16). TPUs have no fp64/fp32 guarantees worth relying on for the blend,
+# so like autocontrast the full (mean, value) LUT cube per factor is built
+# host-side in fp32-emulating NumPy (256x256 uint8 = 64 KB, lru-cached) and
+# the in-graph op is: luma -> exact round-half mean -> cube row gather ->
+# LUT apply. The mean uses the integer identity int(S/N + 0.5) ==
+# (2S + N) // (2N), with S accumulated as three "count-of-pixels >= t"
+# partial sums so every int32 intermediate stays below 2^31 for images up
+# to ~12M pixels (the 4000x2250 asset included). Sharding: psum of partial
+# luma histograms (the equalize collective pattern), then identical math.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=16)
+def _contrast_table(factor: float) -> np.ndarray:
+    """(256, 256) uint8: table[mean, v] = PIL blend(mean, v, factor)."""
+    m = np.arange(256, dtype=np.float32)[:, None]
+    v = np.arange(256, dtype=np.float32)[None, :]
+    t = (np.float32(factor) * (v - m)).astype(np.float32)
+    vals = np.trunc((m + t).astype(np.float32))
+    return np.clip(vals, 0, 255).astype(np.uint8)
+
+
+def contrast_lut(mean_i: jax.Array, factor: float) -> jax.Array:
+    """(B,) int32 rounded means -> (B, 256) uint8 PIL-exact LUTs."""
+    if isinstance(mean_i, jax.core.Tracer):
+        tab = jnp.asarray(_contrast_table(float(factor)))
+        return tab[mean_i.astype(jnp.int32)]
+    tab = _contrast_table(float(factor))
+    return tab[np.asarray(mean_i).astype(np.int32)]
+
+
+def pil_luma(img4: jax.Array) -> jax.Array:
+    """(B, C, H, W) uint8 -> (B, H, W) uint8 Pillow convert("L") luma.
+
+    Pillow's ITU-R 601-2 fixed point: (19595 R + 38470 G + 7471 B +
+    0x8000) >> 16, exact in int32. C=1 is the identity (PIL L->L).
+    """
+    b, c = img4.shape[0], img4.shape[1]
+    if c == 1:
+        return img4[:, 0]
+    if c != 3:
+        raise ValueError(
+            f"contrast needs 1- or 3-channel images (PIL L / RGB), got C={c}"
+        )
+    r = img4[:, 0].astype(jnp.int32)
+    g = img4[:, 1].astype(jnp.int32)
+    bl = img4[:, 2].astype(jnp.int32)
+    return ((19595 * r + 38470 * g + 7471 * bl + 0x8000) >> 16).astype(
+        jnp.uint8)
+
+
+def luma_mean_round_half(hist: jax.Array, npix: int) -> jax.Array:
+    """(B, 256) luma histograms -> (B,) int32 int(S/npix + 0.5), exact.
+
+    S = sum(v * h_v) rewritten as sum over thresholds of the pixel counts
+    >= t, split into three partial sums of <= 85 terms each so every
+    int32 intermediate is < 2^31 for npix up to ~12.6M; the rounded mean
+    is the piecewise floor of (2S + N) / (2N) — matches PIL's
+    float64 int(mean + 0.5) everywhere (the fp64 quotient can't cross a
+    rounding boundary: margin >= 1/(2N) vs ~1e-14 division error).
+    """
+    csum = jnp.cumsum(hist.astype(jnp.int32), axis=-1)
+    ge = npix - csum[:, :255]  # ge[:, t-1] = #pixels >= t, t in 1..255
+    n2 = 2 * npix
+    parts = [ge[:, 0:85].sum(-1), ge[:, 85:170].sum(-1),
+             ge[:, 170:255].sum(-1)]
+    nums = [2 * parts[0], 2 * parts[1], 2 * parts[2] + npix]
+    q = sum(n // n2 for n in nums)
+    rem = sum(n % n2 for n in nums)
+    return q + rem // n2
+
+
+def contrast_planar(planes: jax.Array, channels: int = 3, *,
+                    factor: float = 1.0, use_cmp: bool = False) -> jax.Array:
+    """(B*C, H, W) uint8 (plane index = b*C + c) -> same, per image.
+
+    Unlike equalize/autocontrast (per-channel statistics), the contrast
+    LUT is per *image*: one luma mean across all channels, one LUT row
+    applied to every channel — PIL's degenerate-gray blend.
+    """
+    n, h, w = planes.shape
+    assert n % channels == 0, (n, channels)
+    b = n // channels
+    img4 = planes.reshape(b, channels, h, w)
+    l = pil_luma(img4)
+    hist = histogram_planes(l)
+    mean_i = luma_mean_round_half(hist, h * w)
+    lut = contrast_lut(mean_i, factor)
+    grouped = planes.reshape(b, channels * h * w)
+    out = (apply_lut_cmp if use_cmp else apply_lut)(grouped, lut)
+    return out.reshape(planes.shape)
+
+
+def contrast_rows(rows: jax.Array, channels: int, *, factor: float = 1.0,
+                  use_cmp: bool = False) -> jax.Array:
+    """Interleaved rows (B, H, W*C) uint8, per-image contrast."""
+    return _rows_via_planar(
+        lambda planes, **kw: contrast_planar(planes, channels, **kw),
+        rows, channels, factor=factor, use_cmp=use_cmp,
+    )
+
+
+def contrast_nhwc(x: jax.Array, *, factor: float = 1.0,
+                  use_cmp: bool = False) -> jax.Array:
+    """(..., H, W, C) uint8 -> same shape, per-image contrast."""
+    return _nhwc_via_rows(contrast_rows, x, factor=factor, use_cmp=use_cmp)
+
+
+def contrast_oracle(img: np.ndarray, factor: float = 1.0) -> np.ndarray:
+    """NumPy reference for PIL ImageEnhance.Contrast, int64 statistics."""
+    if img.ndim == 2:
+        img = img[..., None]
+        squeeze = True
+    else:
+        squeeze = False
+    h, w, c = img.shape
+    if c == 1:
+        l = img[..., 0].astype(np.int64)
+    else:
+        r, g, b = (img[..., i].astype(np.int64) for i in range(3))
+        l = (19595 * r + 38470 * g + 7471 * b + 0x8000) >> 16
+    s = int(l.sum())
+    npix = h * w
+    mean_i = (2 * s + npix) // (2 * npix)
+    lut = _contrast_table(float(factor))[mean_i]
+    out = lut[img]
+    return out[..., 0] if squeeze else out

@@ -353,7 +353,7 @@ def _make_stats_row_split_fn(
 ) -> Callable[[jax.Array], jax.Array]:
     """Shared shard scaffolding for the global-statistics pipelines.
 
-    ``plane_lut_fn(planes) -> (N, 256) LUTs`` runs inside the shard body
+    ``plane_lut_fn(planes, c) -> (N, 256) LUTs`` runs inside the shard body
     and performs whatever collective its statistic needs (psum of
     histograms, pmin/pmax of extrema); everything else — the rows/NHWC
     layout handling, the LUT apply, the shard_map plumbing — is
@@ -371,7 +371,7 @@ def _make_stats_row_split_fn(
             b, hh, w = x.shape[0], x.shape[1], x.shape[2]
         c = x.shape[-1]
         planes = x.transpose(0, 3, 1, 2).reshape(b * c, hh, w)
-        lut = plane_lut_fn(planes)
+        lut = plane_lut_fn(planes, c)
         out = (eq.apply_lut_cmp if use_cmp else eq.apply_lut)(planes, lut)
         out = out.reshape(b, c, hh, w).transpose(0, 2, 3, 1)
         return out.reshape(block.shape)
@@ -418,7 +418,7 @@ def make_equalize_row_split_fn(
 
     n_shards = mesh.shape[axis_name]
 
-    def plane_luts(planes: jax.Array) -> jax.Array:
+    def plane_luts(planes: jax.Array, c: int) -> jax.Array:
         hist = lax.psum(eq.histogram_planes(planes), axis_name)
         npix = planes.shape[1] * n_shards * planes.shape[2]
         return eq.equalize_lut(hist, npix)
@@ -457,7 +457,7 @@ def make_autocontrast_row_split_fn(
 
     c0, c1 = eq._normalize_cutoff(cutoff)
 
-    def plane_luts(planes: jax.Array) -> jax.Array:
+    def plane_luts(planes: jax.Array, c: int) -> jax.Array:
         if c0 or c1:
             hist = lax.psum(eq.histogram_planes(planes), axis_name)
             lo, hi = eq.autocontrast_extrema(hist, (c0, c1))
@@ -466,6 +466,47 @@ def make_autocontrast_row_split_fn(
             lo = lax.pmin(flat.min(axis=1), axis_name)
             hi = lax.pmax(flat.max(axis=1), axis_name)
         return eq.autocontrast_lut(lo, hi)
+
+    return _make_stats_row_split_fn(
+        mesh, plane_luts, axis_name=axis_name, batch_axis=batch_axis,
+        channels=channels, use_cmp=use_cmp,
+    )
+
+
+def make_contrast_row_split_fn(
+    mesh: Mesh,
+    *,
+    factor: float = 1.0,
+    axis_name: str = ROW_AXIS,
+    batch_axis: str | None = None,
+    channels: int | None = None,
+    use_cmp: bool = False,
+) -> Callable[[jax.Array], jax.Array]:
+    """PIL-exact contrast over H-sharded images: psum of luma histograms.
+
+    Contrast (``ops/equalize.py`` contrast_*, ImageEnhance.Contrast
+    bit-exact) needs one statistic per *image* — the rounded mean of the
+    Pillow fixed-point luma — shared by all channels. Each shard
+    histograms the luma of its local rows, one ``lax.psum`` yields the
+    global (B, 256) histogram, every shard derives the identical rounded
+    mean (exact int32 threshold-sum arithmetic), gathers the factor's
+    (mean, value) LUT row and applies it to all its channels'
+    rows — bit-identical to the single-device
+    :func:`hipe_tpu.ops.equalize.contrast_nhwc` for every shard count.
+    """
+    from hipe_tpu.ops import equalize as eq
+
+    n_shards = mesh.shape[axis_name]
+
+    def plane_luts(planes: jax.Array, c: int) -> jax.Array:
+        b = planes.shape[0] // c
+        img4 = planes.reshape(b, c, planes.shape[1], planes.shape[2])
+        l = eq.pil_luma(img4)
+        hist = lax.psum(eq.histogram_planes(l), axis_name)
+        npix = planes.shape[1] * n_shards * planes.shape[2]
+        mean_i = eq.luma_mean_round_half(hist, npix)
+        lut = eq.contrast_lut(mean_i, factor)
+        return jnp.repeat(lut, c, axis=0)
 
     return _make_stats_row_split_fn(
         mesh, plane_luts, axis_name=axis_name, batch_axis=batch_axis,
