@@ -315,6 +315,8 @@ def main() -> int:
          eqops.autocontrast_oracle),
         ("contrast1.4", plib.GlobalStatsPipeline("contrast", factor=1.4),
          _ft.partial(eqops.contrast_oracle, factor=1.4)),
+        ("color1.6", plib.GlobalStatsPipeline("color", factor=1.6),
+         _ft.partial(eqops.color_oracle, factor=1.6)),
     ):
         want_g = np.stack([ofn(b) for b in batch])
         for label, cmp_ in (("cmp", True), ("gather", False)):

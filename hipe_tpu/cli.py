@@ -138,7 +138,7 @@ def _build_parser() -> argparse.ArgumentParser:
                          "end before stretching (PIL cutoff semantics, "
                          "bit-exact)")
     sv.add_argument("--factor", type=float, default=None,
-                    help="contrast only: PIL ImageEnhance.Contrast "
+                    help="contrast/color only: PIL ImageEnhance "
                          "strength (bit-exact; 1.0 = identity, <1 "
                          "reduces, >1 boosts)")
     sv.add_argument("--decode-scale", type=int, default=1,
@@ -419,19 +419,20 @@ def _main_serve(args) -> int:
     if args.factor is not None:
         from hipe_tpu.models.pipelines import GlobalStatsPipeline
 
-        if args.pipeline_name != "contrast":
-            print("Error: --factor applies to the 'contrast' pipeline "
-                  "only", file=sys.stderr)
+        if args.pipeline_name not in ("contrast", "color"):
+            print("Error: --factor applies to the 'contrast'/'color' "
+                  "pipelines only", file=sys.stderr)
             return 1
         try:
             pipeline_arg = GlobalStatsPipeline(
-                "contrast", factor=args.factor,
+                args.pipeline_name, factor=args.factor,
                 channels=1 if args.decode_gray else 3)
         except ValueError as e:
             print(f"Error: {e}", file=sys.stderr)
             return 1
-        print(f"Contrast factor: {args.factor} "
-              "(PIL ImageEnhance.Contrast, bit-exact)")
+        enh = ("Contrast" if args.pipeline_name == "contrast" else "Color")
+        print(f"{enh} factor: {args.factor} "
+              f"(PIL ImageEnhance.{enh}, bit-exact)")
     serve = ServingPipeline(
         pipeline_arg, quality=args.quality,
         decode_on_device=args.decode_on_device,

@@ -221,6 +221,11 @@ class GlobalStatsPipeline:
       bit-exact (fp32 truncating blend emulated host-side per factor).
       The ``factor`` field selects the strength; 1.0 (the registry
       default) is the identity, so pass a factor (CLI ``--factor``).
+    - ``color``: per-pixel saturation blend with the pixel's own Pillow
+      luma — PIL ``ImageEnhance.Color``, bit-exact (the fp32 blend runs
+      directly in-graph; IEEE f32 matches PIL's C). Cross-channel, so
+      it lives in this channels-aware family though it needs no global
+      statistic (sharding is collective-free).
 
     There is no stencil radius: these ops need *whole-image* statistics,
     so halo-based row-split cannot run them (accessing :attr:`radius`
@@ -253,19 +258,21 @@ class GlobalStatsPipeline:
             raise ValueError(
                 f"cutoff applies to 'autocontrast' only, not {self.name!r}"
             )
-        if self.factor != 1.0 and self.name != "contrast":
+        if self.factor != 1.0 and self.name not in ("contrast", "color"):
             raise ValueError(
-                f"factor applies to 'contrast' only, not {self.name!r}"
+                f"factor applies to 'contrast'/'color' only, "
+                f"not {self.name!r}"
             )
         if self.name == "autocontrast":
             from hipe_tpu.ops.equalize import _normalize_cutoff
 
             _normalize_cutoff(self.cutoff)  # fail at construction
-        if self.name == "contrast" and not (
+        if self.name in ("contrast", "color") and not (
             isinstance(self.factor, (int, float)) and self.factor >= 0
         ):
             raise ValueError(
-                f"contrast factor must be a number >= 0, got {self.factor!r}"
+                f"{self.name} factor must be a number >= 0, "
+                f"got {self.factor!r}"
             )
 
     def _op(self, layout: str):
@@ -276,7 +283,7 @@ class GlobalStatsPipeline:
         fn = getattr(eq, f"{self.name}_{layout}")
         if self.name == "autocontrast":
             fn = functools.partial(fn, cutoff=self.cutoff)
-        elif self.name == "contrast":
+        elif self.name in ("contrast", "color"):
             fn = functools.partial(fn, factor=float(self.factor))
             if layout == "planar":
                 fn = functools.partial(fn, channels=self.channels)
@@ -285,7 +292,8 @@ class GlobalStatsPipeline:
     @property
     def radius(self) -> int:
         raise ValueError(
-            f"pipeline {self.name!r} uses whole-image statistics and has "
+            f"pipeline {self.name!r} uses whole-image or cross-channel "
+            "statistics and has "
             "no stencil radius: halo-based row-split (approach2) cannot "
             "run it. Use an image-level mode (approach1/stream/serve) or "
             "the collective (psum/pmin/pmax) shard helper "
@@ -348,6 +356,7 @@ PIPELINES = {
     "equalize": GlobalStatsPipeline("equalize"),
     "autocontrast": GlobalStatsPipeline("autocontrast"),
     "contrast": GlobalStatsPipeline("contrast"),
+    "color": GlobalStatsPipeline("color"),
 }
 
 # The flagship model: the reference workload (3x3 Gaussian on image streams).

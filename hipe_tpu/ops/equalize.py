@@ -499,3 +499,82 @@ def contrast_oracle(img: np.ndarray, factor: float = 1.0) -> np.ndarray:
     lut = _contrast_table(float(factor))[mean_i]
     out = lut[img]
     return out[..., 0] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
+# Color (saturation) — PIL ImageEnhance.Color, bit-exact. The degenerate is
+# the image's own Pillow luma replicated across channels, blended per PIXEL:
+# out_c = trunc(fp32(l + factor*(c - l))). Unlike contrast there is no
+# image-wide statistic and no LUT — the fp32 blend is emulated directly
+# in-graph (XLA/TPU f32 multiply-add is IEEE round-to-nearest like PIL's C,
+# and the truncating store matches; probed bit-exact across factors).
+# Cross-channel (needs the pixel's full RGB), so it lives in this module's
+# channels-aware op family rather than the channel-independent FILTERS.
+# Sharding is trivial: per-pixel, no collective (make_color_row_split_fn).
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=16)
+def _color_product_table(factor: float) -> np.ndarray:
+    """(511,) fp32: the PIL-rounded products factor*d for d in [-255, 255]."""
+    d = np.arange(-255, 256, dtype=np.float32)
+    return (np.float32(factor) * d).astype(np.float32)
+
+
+def color_planar(planes: jax.Array, channels: int = 3, *,
+                 factor: float = 1.0, use_cmp: bool = False) -> jax.Array:
+    """(B*C, H, W) uint8 (plane index = b*C + c) -> same, per pixel.
+
+    ``use_cmp`` is accepted for interface uniformity and ignored (there
+    is no LUT apply to choose a formulation for).
+    """
+    n, h, w = planes.shape
+    assert n % channels == 0, (n, channels)
+    if channels == 1:
+        # PIL Color on an L image blends it with itself: the identity
+        # (l + f*(l - l) truncates back to l exactly).
+        return planes
+    b = n // channels
+    img4 = planes.reshape(b, channels, h, w)
+    l = pil_luma(img4)
+    # PIL rounds the fp32 product factor*(c-l) BEFORE the add; under jit
+    # XLA contracts an in-graph mul+add into an FMA (skipping that
+    # rounding — measured ±1 on ~1.7% of pixels at factor 2.2, and
+    # optimization_barrier does not stop the backend contraction), so the
+    # rounded products are precomputed host-side as a 511-entry fp32
+    # table over d = c-l and gathered; the remaining add + trunc are
+    # single IEEE ops no backend can fuse. Bit-exact vs PIL everywhere.
+    prod = jnp.asarray(_color_product_table(float(factor)))
+    d = img4.astype(jnp.int32) - l.astype(jnp.int32)[:, None]
+    t = jnp.take(prod, d + 255)
+    v = l.astype(jnp.float32)[:, None] + t
+    out = jnp.clip(jnp.trunc(v), 0, 255).astype(jnp.uint8)
+    return out.reshape(planes.shape)
+
+
+def color_rows(rows: jax.Array, channels: int, *, factor: float = 1.0,
+               use_cmp: bool = False) -> jax.Array:
+    """Interleaved rows (B, H, W*C) uint8, per-pixel saturation blend."""
+    return _rows_via_planar(
+        lambda planes, **kw: color_planar(planes, channels, **kw),
+        rows, channels, factor=factor, use_cmp=use_cmp,
+    )
+
+
+def color_nhwc(x: jax.Array, *, factor: float = 1.0,
+               use_cmp: bool = False) -> jax.Array:
+    """(..., H, W, C) uint8 -> same shape, per-pixel saturation blend."""
+    return _nhwc_via_rows(color_rows, x, factor=factor, use_cmp=use_cmp)
+
+
+def color_oracle(img: np.ndarray, factor: float = 1.0) -> np.ndarray:
+    """NumPy fp32 reference for PIL ImageEnhance.Color."""
+    if img.ndim == 2 or img.shape[-1] == 1:
+        return img.copy()
+    r, g, b = (img[..., i].astype(np.int64) for i in range(3))
+    l = ((19595 * r + 38470 * g + 7471 * b + 0x8000) >> 16)
+    lf = l.astype(np.float32)[..., None]
+    v = (lf + (np.float32(factor)
+               * (img.astype(np.float32) - lf)).astype(np.float32)
+         ).astype(np.float32)
+    return np.clip(np.trunc(v), 0, 255).astype(np.uint8)

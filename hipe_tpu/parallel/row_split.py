@@ -512,3 +512,43 @@ def make_contrast_row_split_fn(
         mesh, plane_luts, axis_name=axis_name, batch_axis=batch_axis,
         channels=channels, use_cmp=use_cmp,
     )
+
+
+def make_color_row_split_fn(
+    mesh: Mesh,
+    *,
+    factor: float = 1.0,
+    axis_name: str = ROW_AXIS,
+    batch_axis: str | None = None,
+    channels: int | None = None,
+    use_cmp: bool = False,
+) -> Callable[[jax.Array], jax.Array]:
+    """PIL-exact saturation blend over H-sharded images: no collective.
+
+    Color (``ops/equalize.py`` color_*, ImageEnhance.Color bit-exact)
+    blends each pixel with its own luma — purely local, so the shard
+    body is a plain per-shard apply (the degenerate case of the
+    global-statistics shard family: the "collective" is empty). Provided
+    for API symmetry with the other channels-aware ops.
+    """
+    from hipe_tpu.ops import equalize as eq
+
+    def local(block: jax.Array) -> jax.Array:
+        if channels is not None:
+            b, hh, lane = block.shape
+            return eq.color_rows(block, channels, factor=factor)
+        b, hh, w, c = block.shape
+        rows = block.reshape(b, hh, w * c)
+        return eq.color_rows(rows, c, factor=factor).reshape(block.shape)
+
+    pspec = P(batch_axis, axis_name)
+    shard_fn = jax.shard_map(
+        local, mesh=mesh, in_specs=pspec, out_specs=pspec, check_vma=False
+    )
+
+    @jax.jit
+    def step(x: jax.Array) -> jax.Array:
+        x = lax.with_sharding_constraint(x, NamedSharding(mesh, pspec))
+        return shard_fn(x)
+
+    return step
