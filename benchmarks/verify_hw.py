@@ -317,6 +317,8 @@ def main() -> int:
          _ft.partial(eqops.contrast_oracle, factor=1.4)),
         ("color1.6", plib.GlobalStatsPipeline("color", factor=1.6),
          _ft.partial(eqops.color_oracle, factor=1.6)),
+        ("sharpness1.7", plib.GlobalStatsPipeline("sharpness", factor=1.7),
+         _ft.partial(eqops.sharpness_oracle, factor=1.7)),
     ):
         want_g = np.stack([ofn(b) for b in batch])
         for label, cmp_ in (("cmp", True), ("gather", False)):

@@ -138,7 +138,7 @@ def _build_parser() -> argparse.ArgumentParser:
                          "end before stretching (PIL cutoff semantics, "
                          "bit-exact)")
     sv.add_argument("--factor", type=float, default=None,
-                    help="contrast/color only: PIL ImageEnhance "
+                    help="contrast/color/sharpness only: PIL ImageEnhance "
                          "strength (bit-exact; 1.0 = identity, <1 "
                          "reduces, >1 boosts)")
     sv.add_argument("--decode-scale", type=int, default=1,
@@ -419,9 +419,9 @@ def _main_serve(args) -> int:
     if args.factor is not None:
         from hipe_tpu.models.pipelines import GlobalStatsPipeline
 
-        if args.pipeline_name not in ("contrast", "color"):
-            print("Error: --factor applies to the 'contrast'/'color' "
-                  "pipelines only", file=sys.stderr)
+        if args.pipeline_name not in ("contrast", "color", "sharpness"):
+            print("Error: --factor applies to the 'contrast'/'color'/"
+                  "'sharpness' pipelines only", file=sys.stderr)
             return 1
         try:
             pipeline_arg = GlobalStatsPipeline(
@@ -430,7 +430,8 @@ def _main_serve(args) -> int:
         except ValueError as e:
             print(f"Error: {e}", file=sys.stderr)
             return 1
-        enh = ("Contrast" if args.pipeline_name == "contrast" else "Color")
+        enh = {"contrast": "Contrast", "color": "Color",
+               "sharpness": "Sharpness"}[args.pipeline_name]
         print(f"{enh} factor: {args.factor} "
               f"(PIL ImageEnhance.{enh}, bit-exact)")
     serve = ServingPipeline(

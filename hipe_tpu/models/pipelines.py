@@ -222,10 +222,14 @@ class GlobalStatsPipeline:
       The ``factor`` field selects the strength; 1.0 (the registry
       default) is the identity, so pass a factor (CLI ``--factor``).
     - ``color``: per-pixel saturation blend with the pixel's own Pillow
-      luma — PIL ``ImageEnhance.Color``, bit-exact (the fp32 blend runs
-      directly in-graph; IEEE f32 matches PIL's C). Cross-channel, so
-      it lives in this channels-aware family though it needs no global
-      statistic (sharding is collective-free).
+      luma — PIL ``ImageEnhance.Color``, bit-exact (host-rounded fp32
+      product table; see ops/equalize.py). Cross-channel, so it lives
+      in this channels-aware family though it needs no global statistic
+      (sharding is collective-free).
+    - ``sharpness``: PIL ``ImageEnhance.Sharpness``, bit-exact — the
+      SMOOTH-degenerate blend with PIL's border-copy rule. Border
+      position is global, so row-split needs the hybrid halo+mask
+      helper (``make_sharpness_row_split_fn``).
 
     There is no stencil radius: these ops need *whole-image* statistics,
     so halo-based row-split cannot run them (accessing :attr:`radius`
@@ -258,16 +262,18 @@ class GlobalStatsPipeline:
             raise ValueError(
                 f"cutoff applies to 'autocontrast' only, not {self.name!r}"
             )
-        if self.factor != 1.0 and self.name not in ("contrast", "color"):
+        if self.factor != 1.0 and self.name not in (
+            "contrast", "color", "sharpness"
+        ):
             raise ValueError(
-                f"factor applies to 'contrast'/'color' only, "
+                f"factor applies to 'contrast'/'color'/'sharpness' only, "
                 f"not {self.name!r}"
             )
         if self.name == "autocontrast":
             from hipe_tpu.ops.equalize import _normalize_cutoff
 
             _normalize_cutoff(self.cutoff)  # fail at construction
-        if self.name in ("contrast", "color") and not (
+        if self.name in ("contrast", "color", "sharpness") and not (
             isinstance(self.factor, (int, float)) and self.factor >= 0
         ):
             raise ValueError(
@@ -283,7 +289,7 @@ class GlobalStatsPipeline:
         fn = getattr(eq, f"{self.name}_{layout}")
         if self.name == "autocontrast":
             fn = functools.partial(fn, cutoff=self.cutoff)
-        elif self.name in ("contrast", "color"):
+        elif self.name in ("contrast", "color", "sharpness"):
             fn = functools.partial(fn, factor=float(self.factor))
             if layout == "planar":
                 fn = functools.partial(fn, channels=self.channels)
@@ -357,6 +363,7 @@ PIPELINES = {
     "autocontrast": GlobalStatsPipeline("autocontrast"),
     "contrast": GlobalStatsPipeline("contrast"),
     "color": GlobalStatsPipeline("color"),
+    "sharpness": GlobalStatsPipeline("sharpness"),
 }
 
 # The flagship model: the reference workload (3x3 Gaussian on image streams).

@@ -578,3 +578,80 @@ def color_oracle(img: np.ndarray, factor: float = 1.0) -> np.ndarray:
                * (img.astype(np.float32) - lf)).astype(np.float32)
          ).astype(np.float32)
     return np.clip(np.trunc(v), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Sharpness — PIL ImageEnhance.Sharpness, bit-exact, completing the
+# ImageEnhance quartet (Brightness is a LUT stage in ops/blur.py). The
+# degenerate is the image filtered with ImageFilter.SMOOTH — whose odd
+# scale (13) makes PIL's fp32 kernel identical to the exact integer
+# round-half-up (ops/blur.py pil_smooth) — with PIL's kernel-filter border
+# rule (border pixels copied through unfiltered, so the blend there is
+# blend(x, x, f) = x: the output border IS the input border). The blend
+# reuses the color op's host-rounded fp32 product table over d = x - sm
+# (same FMA-contraction trap, same fix). Channel-independent but
+# border-POSITION-dependent, so it lives in this family (the clamp-window
+# row-split machinery assumes translation-invariant stages); sharding is
+# one ppermute halo row + axis-index border masks
+# (make_sharpness_row_split_fn).
+# ---------------------------------------------------------------------------
+
+
+def _sharpness_blend(x_i32: jax.Array, sm_i32: jax.Array,
+                     factor: float) -> jax.Array:
+    prod = jnp.asarray(_color_product_table(float(factor)))
+    t = jnp.take(prod, x_i32 - sm_i32 + 255)
+    v = sm_i32.astype(jnp.float32) + t
+    return jnp.clip(jnp.trunc(v), 0, 255).astype(jnp.uint8)
+
+
+def sharpness_planar(planes: jax.Array, channels: int = 3, *,
+                     factor: float = 1.0, use_cmp: bool = False) -> jax.Array:
+    """(N, H, W) uint8 -> same; channel-independent, so any plane layout."""
+    from hipe_tpu.ops import blur as xblur
+
+    sm = xblur.FILTERS["pil_smooth"](planes, h_axis=-2, w_axis=-1)
+    out = _sharpness_blend(planes.astype(jnp.int32), sm.astype(jnp.int32),
+                           factor)
+    h, w = planes.shape[-2], planes.shape[-1]
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    border = (ys == 0) | (ys == h - 1) | (xs == 0) | (xs == w - 1)
+    return jnp.where(border, planes, out)
+
+
+def sharpness_rows(rows: jax.Array, channels: int, *, factor: float = 1.0,
+                   use_cmp: bool = False) -> jax.Array:
+    """Interleaved rows (B, H, W*C) uint8, per-channel sharpness."""
+    return _rows_via_planar(
+        lambda planes, **kw: sharpness_planar(planes, channels, **kw),
+        rows, channels, factor=factor, use_cmp=use_cmp,
+    )
+
+
+def sharpness_nhwc(x: jax.Array, *, factor: float = 1.0,
+                   use_cmp: bool = False) -> jax.Array:
+    """(..., H, W, C) uint8 -> same shape, PIL sharpness."""
+    return _nhwc_via_rows(sharpness_rows, x, factor=factor, use_cmp=use_cmp)
+
+
+def sharpness_oracle(img: np.ndarray, factor: float = 1.0) -> np.ndarray:
+    """NumPy reference for PIL ImageEnhance.Sharpness."""
+    from hipe_tpu.ops.reference import kernel_oracle
+
+    if img.ndim == 2:
+        img = img[..., None]
+        squeeze = True
+    else:
+        squeeze = False
+    sm = kernel_oracle(img, (1, 1, 1, 1, 5, 1, 1, 1, 1), 13, 0).astype(
+        np.int64)
+    d = img.astype(np.int64) - sm
+    t = _color_product_table(float(factor))[d + 255]
+    v = (sm.astype(np.float32) + t).astype(np.float32)
+    out = np.clip(np.trunc(v), 0, 255).astype(np.uint8)
+    out[0] = img[0]
+    out[-1] = img[-1]
+    out[:, 0] = img[:, 0]
+    out[:, -1] = img[:, -1]
+    return out[..., 0] if squeeze else out

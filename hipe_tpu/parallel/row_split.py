@@ -552,3 +552,65 @@ def make_color_row_split_fn(
         return shard_fn(x)
 
     return step
+
+
+def make_sharpness_row_split_fn(
+    mesh: Mesh,
+    *,
+    factor: float = 1.0,
+    axis_name: str = ROW_AXIS,
+    batch_axis: str | None = None,
+    channels: int | None = None,
+    use_cmp: bool = False,
+) -> Callable[[jax.Array], jax.Array]:
+    """PIL-exact sharpness over H-sharded images: halo + border masks.
+
+    Sharpness (``ops/equalize.py`` sharpness_*, ImageEnhance.Sharpness
+    bit-exact) is a radius-1 stencil blend with PIL's kernel-filter
+    border rule: border pixels pass through unfiltered. The border is a
+    *global* position — a translation-variant wrinkle the clamp-window
+    stencil machinery doesn't model — so the shard body combines both
+    SPMD patterns: one ``ppermute`` halo row per side (``exchange_halo``)
+    for the smooth, then ``lax.axis_index`` masks so only the true first/
+    last shard pass their global edge row through. Bit-identical to the
+    single-device :func:`hipe_tpu.ops.equalize.sharpness_nhwc`.
+    """
+    from hipe_tpu.ops import blur as xblur
+    from hipe_tpu.ops.equalize import _sharpness_blend
+
+    def local(block: jax.Array) -> jax.Array:
+        if channels is not None:
+            b, hh, lane = block.shape
+            w = lane // channels
+            x = block.reshape(b, hh, w, channels)
+        else:
+            x = block
+            b, hh, w = x.shape[0], x.shape[1], x.shape[2]
+        padded = exchange_halo(x, 1, axis_name, h_axis=1)
+        sm = xblur.FILTERS["pil_smooth"](
+            padded, h_axis=-3, w_axis=-2, h_pad=False)
+        out = _sharpness_blend(x.astype(jnp.int32), sm.astype(jnp.int32),
+                               factor)
+        n = lax.axis_size(axis_name)
+        idx = lax.axis_index(axis_name)
+        ys = jnp.arange(hh)[:, None, None]
+        xs = jnp.arange(w)[None, :, None]
+        border = (
+            ((idx == 0) & (ys == 0))
+            | ((idx == n - 1) & (ys == hh - 1))
+            | (xs == 0) | (xs == w - 1)
+        )
+        out = jnp.where(border, x, out)
+        return out.reshape(block.shape)
+
+    pspec = P(batch_axis, axis_name)
+    shard_fn = jax.shard_map(
+        local, mesh=mesh, in_specs=pspec, out_specs=pspec, check_vma=False
+    )
+
+    @jax.jit
+    def step(x: jax.Array) -> jax.Array:
+        x = lax.with_sharding_constraint(x, NamedSharding(mesh, pspec))
+        return shard_fn(x)
+
+    return step
