@@ -51,6 +51,10 @@ def render_device_stream() -> str:
         "close": "close (dilate->erode, fused)",
         "equalize": "equalize (global-stats, PIL-exact)",
         "autocontrast": "autocontrast (global-stats, PIL-exact)",
+        "blur7": "blur7 (7x7 separable)",
+        "contrast": "contrast (PIL ImageEnhance, per-image luma)",
+        "color": "color (PIL ImageEnhance, saturation blend)",
+        "sharpness": "sharpness (PIL ImageEnhance, smooth blend)",
     }
     out = ["| pipeline | ms/pass (5000 imgs) | img/s per chip | GB/s | chosen config |",
            "|---|---|---|---|---|"]
