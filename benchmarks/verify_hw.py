@@ -191,6 +191,10 @@ def main() -> int:
          lambda b: oracle.kernel_oracle(b, *_PRESETS["pil_emboss"])),
         ("pil_blur", ("pil_blur",),
          lambda b: oracle.kernel_oracle(b, *_PRESETS["pil_blur"])),
+        # 5x5 rank filter (odd-even transposition network) on the tiled
+        # and fused paths.
+        ("median5", ("median5",),
+         lambda b: oracle.rank_oracle(b, 5, 12)),
     ]
     # Lossless DCT-domain transform tensor ops on silicon: coefficient
     # grids round-trip through the device rot90 + its inverse exactly.

@@ -45,6 +45,12 @@ def _add_kernel_flag(sp) -> None:
              "bit-exact), gamma:G, or 256 comma-separated uint8 values. "
              "Repeatable. Example: --lut dim=brightness:0.7 "
              "--pipeline dim,blur3")
+    sp.add_argument(
+        "--rank", action="append", metavar="NAME=SIZE:RANK",
+        help="register PIL RankFilter(SIZE, RANK) as a chainable stage "
+             "(odd SIZE 3-9, RANK in [0, SIZE^2); bit-exact incl. "
+             "borders; median5/erode5/dilate5 are pre-registered). "
+             "Repeatable. Example: --rank q25=5:6 --pipeline q25,edge")
 
 
 def _build_parser() -> argparse.ArgumentParser:
@@ -544,13 +550,30 @@ def _register_cli_luts(specs) -> str | None:
     return None
 
 
+def _register_cli_ranks(specs) -> str | None:
+    """Register --rank NAME=SIZE:RANK stages; returns an error or None."""
+    from hipe_tpu.ops.blur import register_rank_filter
+
+    for raw in specs or ():
+        head, eq, body = raw.partition("=")
+        try:
+            size, sep, rank = body.partition(":")
+            if not eq or not head or not sep:
+                raise ValueError("expected NAME=SIZE:RANK")
+            register_rank_filter(head, int(size), int(rank))
+        except ValueError as e:
+            return f"Error: bad --rank {raw!r}: {e}"
+    return None
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     from hipe_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     err = (_register_cli_kernels(getattr(args, "kernel", None))
-           or _register_cli_luts(getattr(args, "lut", None)))
+           or _register_cli_luts(getattr(args, "lut", None))
+           or _register_cli_ranks(getattr(args, "rank", None)))
     if err:
         print(err, file=sys.stderr)
         return 1

@@ -370,7 +370,14 @@ def _tiled_point_kernel(top_ref, x_ref, bot_ref, o_ref, *, name: str):
             red, [v(dy, dx) for dy in range(3) for dx in range(3)]
         )
     else:
-        raise KeyError(name)
+        from hipe_tpu.ops.blur import RANK_STAGES, _rank_select
+
+        if name not in RANK_STAGES:
+            raise KeyError(name)
+        size, rank = RANK_STAGES[name]
+        out = _rank_select(
+            [v(dy, dx) for dy in range(size) for dx in range(size)], rank
+        )
     o_ref[0] = out.astype(jnp.uint8)
 
 

@@ -165,6 +165,19 @@ def dilate3x3_oracle(img: np.ndarray) -> np.ndarray:
     return _rank3x3_oracle(img, np.max)
 
 
+def rank_oracle(img: np.ndarray, size: int, rank: int) -> np.ndarray:
+    """PIL ``RankFilter(size, rank)`` with clamp-to-edge (== PIL's border
+    replication): sort the (size^2) window values, take index ``rank``."""
+    r = size // 2
+    h, w = img.shape[:2]
+    pad = ((r, r), (r, r)) + ((0, 0),) * (img.ndim - 2)
+    xp = np.pad(img, pad, mode="edge")
+    views = np.stack(
+        [xp[dy:dy + h, dx:dx + w] for dy in range(size) for dx in range(size)]
+    )
+    return np.sort(views, axis=0)[rank]
+
+
 def kernel_oracle(img: np.ndarray, taps, scale: int, offset: float
                   ) -> np.ndarray:
     """Exact-arithmetic PIL ``ImageFilter.Kernel`` semantics, int64.
