@@ -147,6 +147,11 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="contrast/color/sharpness only: PIL ImageEnhance "
                          "strength (bit-exact; 1.0 = identity, <1 "
                          "reduces, >1 boosts)")
+    sv.add_argument("--colorize", default=None, metavar="BLACK:WHITE[:MID]",
+                    help="map grayscale output to a color wedge (PIL "
+                         "ImageOps.colorize, bit-exact; colors are names "
+                         "or #rrggbb). Needs a 1-channel stage output: "
+                         "combine with --decode-gray or --gray")
     sv.add_argument("--decode-scale", type=int, default=1,
                     choices=(1, 2, 4, 8),
                     help="DCT-domain scaled decode 1/N (libjpeg "
@@ -440,6 +445,27 @@ def _main_serve(args) -> int:
                "sharpness": "Sharpness"}[args.pipeline_name]
         print(f"{enh} factor: {args.factor} "
               f"(PIL ImageEnhance.{enh}, bit-exact)")
+    colorize_lut3 = None
+    if args.colorize is not None:
+        from hipe_tpu.ops.equalize import colorize_lut
+
+        parts = args.colorize.split(":")
+        if len(parts) not in (2, 3):
+            print("Error: --colorize takes BLACK:WHITE or BLACK:WHITE:MID "
+                  "colors", file=sys.stderr)
+            return 1
+        if not (args.decode_gray or args.gray):
+            print("Error: --colorize needs a grayscale stage output; "
+                  "combine it with --decode-gray or --gray",
+                  file=sys.stderr)
+            return 1
+        try:
+            colorize_lut3 = colorize_lut(*parts)
+        except ValueError as e:
+            print(f"Error: bad --colorize: {e}", file=sys.stderr)
+            return 1
+        print(f"Colorize: {' -> '.join(parts)} (PIL ImageOps.colorize, "
+              "bit-exact)")
     serve = ServingPipeline(
         pipeline_arg, quality=args.quality,
         decode_on_device=args.decode_on_device,
@@ -453,6 +479,7 @@ def _main_serve(args) -> int:
         resize_to=tuple(args.resize) if args.resize else None,
         gray_output=args.gray,
         decode_gray=args.decode_gray,
+        colorize=colorize_lut3,
         decode_scale=args.decode_scale,
     )
 

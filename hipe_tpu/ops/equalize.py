@@ -655,3 +655,61 @@ def sharpness_oracle(img: np.ndarray, factor: float = 1.0) -> np.ndarray:
     out[:, 0] = img[:, 0]
     out[:, -1] = img[:, -1]
     return out[..., 0] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
+# Colorize — PIL ImageOps.colorize: grayscale -> RGB through three
+# per-channel wedge LUTs built with pure integer floor-division
+# interpolation (Pillow's own loops — no float anywhere), trivially exact.
+# The serving pipeline applies it as the mirror of gray output
+# (ServingPipeline(colorize=...)): L rows gather through the three LUTs
+# into interleaved RGB before encode.
+# ---------------------------------------------------------------------------
+
+
+def colorize_lut(black, white, mid=None, blackpoint: int = 0,
+                 whitepoint: int = 255, midpoint: int = 127) -> np.ndarray:
+    """(3, 256) uint8 wedge LUTs — PIL ``ImageOps.colorize`` bit-exact.
+
+    Colors are RGB triples or any string PIL's ``ImageColor`` parses
+    ("red", "#rrggbb", ...). Integer arithmetic identical to Pillow's
+    list construction (floor-division interpolation over the point
+    ranges), verified against PIL in the tests.
+    """
+    from PIL import ImageColor
+
+    def rgb(c):
+        return ImageColor.getrgb(c) if isinstance(c, str) else tuple(c)
+
+    kb, kw = rgb(black), rgb(white)
+    km = rgb(mid) if mid is not None else None
+    if km is None:
+        if not 0 <= blackpoint <= whitepoint <= 255:
+            raise ValueError(
+                f"need 0 <= blackpoint <= whitepoint <= 255, got "
+                f"{blackpoint}/{whitepoint}"
+            )
+    elif not 0 <= blackpoint <= midpoint <= whitepoint <= 255:
+        raise ValueError(
+            f"need 0 <= blackpoint <= midpoint <= whitepoint <= 255, got "
+            f"{blackpoint}/{midpoint}/{whitepoint}"
+        )
+    lut = np.empty((3, 256), np.int64)
+    for ch in range(3):
+        vals = [kb[ch]] * blackpoint
+        if km is None:
+            n = whitepoint - blackpoint
+            vals += [kb[ch] + i * (kw[ch] - kb[ch]) // n for i in range(n)]
+        else:
+            n1 = midpoint - blackpoint
+            vals += [kb[ch] + i * (km[ch] - kb[ch]) // n1 for i in range(n1)]
+            n2 = whitepoint - midpoint
+            vals += [km[ch] + i * (kw[ch] - km[ch]) // n2 for i in range(n2)]
+        vals += [kw[ch]] * (256 - whitepoint)
+        lut[ch] = vals
+    return lut.astype(np.uint8)
+
+
+def colorize_oracle(gray: np.ndarray, lut3: np.ndarray) -> np.ndarray:
+    """(H, W) uint8 -> (H, W, 3) via the three wedge LUTs."""
+    return np.stack([lut3[c][gray] for c in range(3)], axis=-1)

@@ -62,6 +62,7 @@ class ServingPipeline:
         decode_scale: int = 1,
         gray_output: bool = False,
         decode_gray: bool = False,
+        colorize=None,
     ):
         self.pipeline = plib.get(pipeline) if isinstance(pipeline, str) else pipeline
         self.device = device or jax.devices()[0]
@@ -155,6 +156,25 @@ class ServingPipeline:
         # x 1/2-1/8: jdmaster's scaled-size selection for gray output
         # matches the 1-component selection on full-res-luma streams).
         self.decode_gray = decode_gray
+        # colorize: grayscale pipeline output -> RGB through three wedge
+        # LUTs (PIL ImageOps.colorize bit-exact; build with
+        # ops.equalize.colorize_lut or pass any (3, 256) uint8 table).
+        # The mirror of gray_output: it needs a 1-channel stage output
+        # (decode_gray / gray_output / L streams) and makes the encoded
+        # files color. Applied inside every placement's jitted program.
+        if colorize is not None:
+            import numpy as _np
+
+            colorize = _np.asarray(colorize, dtype=_np.uint8)
+            if colorize.shape != (3, 256):
+                raise ValueError(
+                    f"colorize expects a (3, 256) LUT (see "
+                    f"ops.equalize.colorize_lut), got {colorize.shape}"
+                )
+        self.colorize = colorize
+        self._colorize_key = (
+            None if colorize is None else hash(colorize.tobytes())
+        )
         # decode_scale=2/4/8: DCT-domain scaled decode (libjpeg
         # scale_num/denom semantics, bit-exact) — the image enters the
         # pipeline already at ceil(dim/scale), so filter + encode run on
@@ -199,8 +219,31 @@ class ServingPipeline:
         return h, w
 
     def _out_c(self, c: int) -> int:
-        """Output channel count (1 when gray_output converts color)."""
-        return 1 if (self.gray_output and c == 3) else c
+        """Output channel count (gray_output then colorize, in order)."""
+        c1 = 1 if (self.gray_output and c == 3) else c
+        if self.colorize is not None and c1 == 1:
+            return 3
+        return c1
+
+    def _colorize_rows(self, rows, b: int, h: int, w: int, c1: int):
+        """Wedge-LUT L->RGB on rows layout: (b, h, w) -> (b, h, w*3).
+
+        ``c1`` is the channel count AFTER gray_output. PIL's colorize
+        asserts L mode; a 3-channel stage output is a config error.
+        """
+        if self.colorize is None:
+            return rows
+        if c1 != 1:
+            raise ValueError(
+                "colorize needs a grayscale stage output (use decode_gray "
+                "or gray_output, or feed 1-channel streams); got "
+                f"{c1} channels"
+            )
+        lut = jnp.asarray(self.colorize)
+        x = rows.reshape(b, h, w).astype(jnp.int32)
+        chans = [jnp.take(lut[i], x) for i in range(3)]
+        out = jnp.stack(chans, axis=-1).astype(jnp.uint8)
+        return out.reshape(b, h, w * 3)
 
     def _gray_rows(self, rows, b: int, h: int, w: int, c: int):
         """rgb_to_gray on rows layout: (b, h, w*3) -> (b, h, w)."""
@@ -264,7 +307,9 @@ class ServingPipeline:
                 out = self._post_filter_rows(out, rows.shape[0], h, w,
                                              channels)
                 oh, ow = self._out_dims(h, w)
-                return self._gray_rows(out, rows.shape[0], oh, ow, channels)
+                out = self._gray_rows(out, rows.shape[0], oh, ow, channels)
+                c1 = 1 if (self.gray_output and channels == 3) else channels
+                return self._colorize_rows(out, rows.shape[0], oh, ow, c1)
 
             self._fns[shape] = jax.jit(
                 fn, donate_argnums=0 if (pallas_flag and not reshapes) else ()
@@ -349,7 +394,8 @@ class ServingPipeline:
     def _device_encode_fn(self, shape: tuple, with_filter: bool):
         """Per-shape jitted (filter +) encode: rows -> quantized coefs."""
         key = ("enc", shape, self.encode_subsampling, with_filter,
-               self.output_scale, self.resize_to, self.gray_output)
+               self.output_scale, self.resize_to, self.gray_output,
+               self._colorize_key)
         if key not in self._fns:
             from hipe_tpu.ops import jpeg_encode as je
 
@@ -369,6 +415,8 @@ class ServingPipeline:
                                            alias=pallas_flag)
                     rows = self._post_filter_rows(rows, b, h, w, c)
                     rows = self._gray_rows(rows, b, oh, ow, c)
+                    c1 = 1 if (self.gray_output and c == 3) else c
+                    rows = self._colorize_rows(rows, b, oh, ow, c1)
                 img = rows.reshape(b, oh, ow, oc)
                 return tuple(je.encode_planes(geo, img, qtables))
 
@@ -423,7 +471,7 @@ class ServingPipeline:
     def _fused_decode_filter_fn(self, geo, qkey):
         """Per-(geometry, quant-tables) jitted decode+filter program."""
         key = (geo, qkey, self.output_scale, self.resize_to,
-               self.decode_scale, self.gray_output)
+               self.decode_scale, self.gray_output, self._colorize_key)
         if key not in self._fused_fns:
             from hipe_tpu.ops import jpeg_decode as jd
 
@@ -447,6 +495,8 @@ class ServingPipeline:
                 out = self._post_filter_rows(out, b, h, w, c)
                 oh, ow = self._out_dims(h, w)
                 out = self._gray_rows(out, b, oh, ow, c)
+                c1 = 1 if (self.gray_output and c == 3) else c
+                out = self._colorize_rows(out, b, oh, ow, c1)
                 return out.reshape(b, oh, ow, self._out_c(c))
 
             self._fused_fns[key] = jax.jit(fn)
@@ -544,7 +594,7 @@ class ServingPipeline:
         """
         key = ("transcode", geo, qkey, self.encode_subsampling,
                self.output_scale, self.resize_to, self.decode_scale,
-               self.gray_output)
+               self.gray_output, self._colorize_key)
         if key not in self._fused_fns:
             from hipe_tpu.ops import jpeg_decode as jd
             from hipe_tpu.ops import jpeg_encode as je
@@ -567,6 +617,8 @@ class ServingPipeline:
                                       alias=pallas_flag)
                 out = self._post_filter_rows(out, out.shape[0], h, w, c)
                 out = self._gray_rows(out, out.shape[0], oh, ow, c)
+                c1 = 1 if (self.gray_output and c == 3) else c
+                out = self._colorize_rows(out, out.shape[0], oh, ow, c1)
                 img = out.reshape(out.shape[0], oh, ow, oc)
                 return tuple(je.encode_planes(enc_geo, img, enc_qt))
 
@@ -617,7 +669,7 @@ class ServingPipeline:
                     *self._scaled_in_dims(geo.height, geo.width)
                 )
                 res = self._entropy_encode(
-                    coefs, oh, ow, 3 if geo.ncomps == 3 else 1,
+                    coefs, oh, ow, self._out_c(3 if geo.ncomps == 3 else 1),
                 )
             for j, i in enumerate(idxs):
                 out[i] = res[j]
