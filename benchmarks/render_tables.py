@@ -52,6 +52,7 @@ def render_device_stream() -> str:
         "equalize": "equalize (global-stats, PIL-exact)",
         "autocontrast": "autocontrast (global-stats, PIL-exact)",
         "blur7": "blur7 (7x7 separable)",
+        "median5": "median5 (5x5 rank, PIL MedianFilter-exact)",
         "contrast": "contrast (PIL ImageEnhance, per-image luma)",
         "color": "color (PIL ImageEnhance, saturation blend)",
         "sharpness": "sharpness (PIL ImageEnhance, smooth blend)",

@@ -63,6 +63,11 @@ def main() -> int:
         ([py, "bench.py"], 3600),
         ([py, "benchmarks/run_device_decode.py"], 5400),
         ([py, "benchmarks/probe_transform.py"], 1800),
+        # Incremental stream rows for the pipelines added since the last
+        # full capture (merged into device_stream_v5e.json).
+        ([py, "benchmarks/run_device_stream.py", "--reuse-tune",
+          "--pipelines", "blur7", "erode", "dilate", "open", "close",
+          "median5", "contrast", "color", "sharpness"], 7200),
     ]
     if args.with_corpus:
         steps.append(([py, "benchmarks/run_corpus.py", "--num-images",

@@ -354,6 +354,8 @@ PIPELINES = {
     "dilate": Pipeline("dilate", ("dilate",)),
     "open": Pipeline("open", ("erode", "dilate")),
     "close": Pipeline("close", ("dilate", "erode")),
+    # 5x5 rank filter (PIL MedianFilter(5), odd-even transposition net).
+    "median5": Pipeline("median5", ("median5",)),
     # Radius-0 PIL point stages (ImageOps closed forms); chainable with
     # any stencil stage on every path.
     "invert": Pipeline("invert", ("invert",)),
