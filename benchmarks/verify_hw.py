@@ -323,6 +323,9 @@ def main() -> int:
          _ft.partial(eqops.color_oracle, factor=1.6)),
         ("sharpness1.7", plib.GlobalStatsPipeline("sharpness", factor=1.7),
          _ft.partial(eqops.sharpness_oracle, factor=1.7)),
+        ("autocontrast_tone",
+         plib.GlobalStatsPipeline("autocontrast", preserve_tone=True),
+         _ft.partial(eqops.autocontrast_oracle, preserve_tone=True)),
     ):
         want_g = np.stack([ofn(b) for b in batch])
         for label, cmp_ in (("cmp", True), ("gather", False)):

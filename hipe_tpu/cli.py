@@ -42,7 +42,8 @@ def _add_kernel_flag(sp) -> None:
         "--lut", action="append", metavar="NAME=SPEC",
         help="register a 256-entry LUT as a chainable radius-0 point "
              "stage. SPEC is brightness:F (PIL ImageEnhance.Brightness, "
-             "bit-exact), gamma:G, or 256 comma-separated uint8 values. "
+             "bit-exact), gamma:G, solarize:T (PIL threshold), or 256 "
+             "comma-separated uint8 values. "
              "Repeatable. Example: --lut dim=brightness:0.7 "
              "--pipeline dim,blur3")
     sp.add_argument(
@@ -143,6 +144,10 @@ def _build_parser() -> argparse.ArgumentParser:
                          "values: low high) of histogram mass from each "
                          "end before stretching (PIL cutoff semantics, "
                          "bit-exact)")
+    sv.add_argument("--preserve-tone", action="store_true",
+                    help="autocontrast only: PIL preserve_tone — one "
+                         "luminance-derived range applied to all "
+                         "channels (bit-exact)")
     sv.add_argument("--factor", type=float, default=None,
                     help="contrast/color/sharpness only: PIL ImageEnhance "
                          "strength (bit-exact; 1.0 = identity, <1 "
@@ -411,22 +416,34 @@ def _main_serve(args) -> int:
         print(f"Decode scale: 1/{args.decode_scale} (DCT-domain, "
               f"bit-exact vs libjpeg scaled decode)")
     pipeline_arg = serve_pipeline
-    if args.cutoff is not None:
+    if args.cutoff is not None or args.preserve_tone:
         from hipe_tpu.models.pipelines import GlobalStatsPipeline
 
-        if args.pipeline_name != "autocontrast" or len(args.cutoff) > 2:
-            print("Error: --cutoff takes one or two integer percents and "
-                  "applies to the 'autocontrast' pipeline only",
+        if args.pipeline_name != "autocontrast" or (
+            args.cutoff is not None and len(args.cutoff) > 2
+        ):
+            print("Error: --cutoff/--preserve-tone take autocontrast "
+                  "options (one or two integer percents / a flag) and "
+                  "apply to the 'autocontrast' pipeline only",
                   file=sys.stderr)
             return 1
-        cut = (args.cutoff[0] if len(args.cutoff) == 1
-               else tuple(args.cutoff))
+        cut = 0
+        if args.cutoff is not None:
+            cut = (args.cutoff[0] if len(args.cutoff) == 1
+                   else tuple(args.cutoff))
         try:
-            pipeline_arg = GlobalStatsPipeline("autocontrast", cutoff=cut)
+            pipeline_arg = GlobalStatsPipeline(
+                "autocontrast", cutoff=cut,
+                preserve_tone=args.preserve_tone,
+                channels=1 if args.decode_gray else 3)
         except ValueError as e:
             print(f"Error: {e}", file=sys.stderr)
             return 1
-        print(f"Autocontrast cutoff: {cut}%")
+        if args.cutoff is not None:
+            print(f"Autocontrast cutoff: {cut}%")
+        if args.preserve_tone:
+            print("Autocontrast preserve_tone: luminance-derived range "
+                  "(PIL bit-exact)")
     if args.factor is not None:
         from hipe_tpu.models.pipelines import GlobalStatsPipeline
 
@@ -547,7 +564,7 @@ def _register_cli_kernels(specs) -> str | None:
 def _register_cli_luts(specs) -> str | None:
     """Register --lut NAME=SPEC point stages; returns an error or None."""
     from hipe_tpu.ops.blur import (brightness_lut, gamma_lut,
-                                   register_lut_filter)
+                                   register_lut_filter, solarize_lut)
 
     for raw in specs or ():
         head, eq, body = raw.partition("=")
@@ -562,10 +579,12 @@ def _register_cli_luts(specs) -> str | None:
                 lut = brightness_lut(float(arg))
             elif sep and kind == "gamma":
                 lut = gamma_lut(float(arg))
+            elif sep and kind == "solarize":
+                lut = solarize_lut(int(arg))
             elif sep:
                 raise ValueError(
                     f"unknown LUT constructor {kind!r} "
-                    "(brightness:F or gamma:G)"
+                    "(brightness:F, gamma:G, or solarize:T)"
                 )
             else:
                 import numpy as np

@@ -248,6 +248,9 @@ class GlobalStatsPipeline:
     name: str
     filters: tuple = ()
     cutoff: object = 0  # autocontrast only: int percent or (low, high)
+    # autocontrast only: PIL preserve_tone — one Pillow-luma-derived
+    # range applied to all channels (per-image, like contrast).
+    preserve_tone: bool = False
     factor: float = 1.0  # contrast only: blend strength (1.0 = identity)
     # contrast only: channel count of *planar* inputs (apply_planar gets
     # (B*C, H, W) with no channel info; rows/nhwc layouts carry their own).
@@ -261,6 +264,11 @@ class GlobalStatsPipeline:
         if self.cutoff != 0 and self.name != "autocontrast":
             raise ValueError(
                 f"cutoff applies to 'autocontrast' only, not {self.name!r}"
+            )
+        if self.preserve_tone and self.name != "autocontrast":
+            raise ValueError(
+                f"preserve_tone applies to 'autocontrast' only, "
+                f"not {self.name!r}"
             )
         if self.factor != 1.0 and self.name not in (
             "contrast", "color", "sharpness"
@@ -288,7 +296,10 @@ class GlobalStatsPipeline:
 
         fn = getattr(eq, f"{self.name}_{layout}")
         if self.name == "autocontrast":
-            fn = functools.partial(fn, cutoff=self.cutoff)
+            fn = functools.partial(fn, cutoff=self.cutoff,
+                                   preserve_tone=self.preserve_tone)
+            if self.preserve_tone and layout == "planar":
+                fn = functools.partial(fn, channels=self.channels)
         elif self.name in ("contrast", "color", "sharpness"):
             fn = functools.partial(fn, factor=float(self.factor))
             if layout == "planar":

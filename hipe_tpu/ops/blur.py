@@ -731,6 +731,18 @@ def brightness_lut(factor: float):
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
+def solarize_lut(threshold: int = 128):
+    """PIL ``ImageOps.solarize(im, threshold)`` as a LUT (exact closed
+    form: identity below the threshold, inverted at and above it). The
+    fixed-threshold builtin stage ``solarize`` is threshold=128."""
+    import numpy as np
+
+    if not 0 <= threshold <= 256:
+        raise ValueError(f"threshold must be in [0, 256], got {threshold}")
+    v = np.arange(256, dtype=np.int64)
+    return np.where(v < threshold, v, 255 - v).astype(np.uint8)
+
+
 def gamma_lut(gamma: float):
     """Gamma-correction LUT: ``lut[v] = round(255 * (v/255)**gamma)``."""
     import numpy as np

@@ -249,16 +249,38 @@ def autocontrast_extrema(hist: jax.Array,
     return lo, hi
 
 
-def autocontrast_planar(planes: jax.Array, *, cutoff=0,
-                        use_cmp: bool = False) -> jax.Array:
-    """(N, H, W) uint8 -> same, each plane contrast-stretched alone.
+def autocontrast_planar(planes: jax.Array, channels: int = 3, *, cutoff=0,
+                        use_cmp: bool = False,
+                        preserve_tone: bool = False) -> jax.Array:
+    """(N, H, W) uint8 -> same, contrast-stretched.
 
     ``cutoff``: percent (or (low, high) percents) of pixels trimmed from
     each histogram end before picking the stretch range — PIL's
     ``autocontrast(cutoff=...)``, integer percents only (exact).
     cutoff=0 skips the histogram entirely (min/max reduce).
+
+    ``preserve_tone=False`` (PIL default) stretches each plane alone
+    (``channels`` unused). ``preserve_tone=True`` is PIL's
+    ``autocontrast(..., preserve_tone=True)``: ONE per-*image* range from
+    the Pillow luma (probe-verified bit-exact: L histogram -> the same
+    trim walk -> one cube LUT row applied to all channels), so planes
+    must group as b*channels + c like the other per-image ops.
     """
     c0, c1 = _normalize_cutoff(cutoff)
+    if preserve_tone:
+        n, h, w = planes.shape
+        assert n % channels == 0, (n, channels)
+        b = n // channels
+        l = pil_luma(planes.reshape(b, channels, h, w))
+        if c0 == 0 and c1 == 0:
+            flat = l.reshape(b, -1)
+            lo, hi = flat.min(axis=1), flat.max(axis=1)
+        else:
+            lo, hi = autocontrast_extrema(histogram_planes(l), (c0, c1))
+        lut = autocontrast_lut(lo, hi)
+        grouped = planes.reshape(b, channels * h * w)
+        out = (apply_lut_cmp if use_cmp else apply_lut)(grouped, lut)
+        return out.reshape(planes.shape)
     n = planes.shape[0]
     flat = planes.reshape(n, -1)
     if c0 == 0 and c1 == 0:
@@ -270,26 +292,33 @@ def autocontrast_planar(planes: jax.Array, *, cutoff=0,
 
 
 def autocontrast_rows(rows: jax.Array, channels: int, *, cutoff=0,
-                      use_cmp: bool = False) -> jax.Array:
-    """Interleaved rows (B, H, W*C) uint8, per-channel autocontrast."""
+                      use_cmp: bool = False,
+                      preserve_tone: bool = False) -> jax.Array:
+    """Interleaved rows (B, H, W*C) uint8 autocontrast."""
     return _rows_via_planar(
-        autocontrast_planar, rows, channels, cutoff=cutoff, use_cmp=use_cmp
+        lambda planes, **kw: autocontrast_planar(planes, channels, **kw),
+        rows, channels, cutoff=cutoff, use_cmp=use_cmp,
+        preserve_tone=preserve_tone,
     )
 
 
 def autocontrast_nhwc(x: jax.Array, *, cutoff=0,
-                      use_cmp: bool = False) -> jax.Array:
-    """(..., H, W, C) uint8 -> same shape, per-channel autocontrast."""
+                      use_cmp: bool = False,
+                      preserve_tone: bool = False) -> jax.Array:
+    """(..., H, W, C) uint8 -> same shape autocontrast."""
     return _nhwc_via_rows(autocontrast_rows, x, cutoff=cutoff,
-                          use_cmp=use_cmp)
+                          use_cmp=use_cmp, preserve_tone=preserve_tone)
 
 
-def autocontrast_oracle(img: np.ndarray, cutoff=0) -> np.ndarray:
-    """NumPy reference replicating PIL autocontrast per channel.
+def autocontrast_oracle(img: np.ndarray, cutoff=0,
+                        preserve_tone: bool = False) -> np.ndarray:
+    """NumPy reference replicating PIL autocontrast.
 
     Deliberately implements PIL's *literal destructive histogram walk*
     (not the closed form the JAX path uses) so the test suite
     cross-checks two independent derivations against PIL itself.
+    ``preserve_tone=True`` walks the Pillow-luma histogram once and
+    applies the one resulting LUT to every channel (PIL semantics).
     """
     c0, c1 = _normalize_cutoff(cutoff)
     if img.ndim == 2:
@@ -298,9 +327,16 @@ def autocontrast_oracle(img: np.ndarray, cutoff=0) -> np.ndarray:
     else:
         squeeze = False
     out = np.empty_like(img)
+    if preserve_tone and img.shape[2] == 3:
+        r, g, b = (img[..., i].astype(np.int64) for i in range(3))
+        tone = ((19595 * r + 38470 * g + 7471 * b + 0x8000) >> 16).astype(
+            np.uint8)
+        sources = [tone] * 3
+    else:
+        sources = [img[..., ci] for ci in range(img.shape[2])]
     for ci in range(img.shape[2]):
         chan = img[..., ci]
-        h = np.bincount(chan.ravel(), minlength=256).astype(np.int64)
+        h = np.bincount(sources[ci].ravel(), minlength=256).astype(np.int64)
         if c0 or c1:
             n = int(h.sum())
             cut = n * c0 // 100

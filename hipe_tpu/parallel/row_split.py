@@ -437,6 +437,7 @@ def make_autocontrast_row_split_fn(
     channels: int | None = None,
     cutoff=0,
     use_cmp: bool = False,
+    preserve_tone: bool = False,
 ) -> Callable[[jax.Array], jax.Array]:
     """Autocontrast over H-sharded images: pmin/pmax of local extrema.
 
@@ -458,14 +459,24 @@ def make_autocontrast_row_split_fn(
     c0, c1 = eq._normalize_cutoff(cutoff)
 
     def plane_luts(planes: jax.Array, c: int) -> jax.Array:
+        if preserve_tone:
+            # PIL preserve_tone: ONE Pillow-luma-derived range per image,
+            # shared by all channels (psum/pmin/pmax over the luma).
+            b = planes.shape[0] // c
+            src = eq.pil_luma(
+                planes.reshape(b, c, planes.shape[1], planes.shape[2])
+            )
+        else:
+            src = planes
         if c0 or c1:
-            hist = lax.psum(eq.histogram_planes(planes), axis_name)
+            hist = lax.psum(eq.histogram_planes(src), axis_name)
             lo, hi = eq.autocontrast_extrema(hist, (c0, c1))
         else:
-            flat = planes.reshape(planes.shape[0], -1)
+            flat = src.reshape(src.shape[0], -1)
             lo = lax.pmin(flat.min(axis=1), axis_name)
             hi = lax.pmax(flat.max(axis=1), axis_name)
-        return eq.autocontrast_lut(lo, hi)
+        lut = eq.autocontrast_lut(lo, hi)
+        return jnp.repeat(lut, c, axis=0) if preserve_tone else lut
 
     return _make_stats_row_split_fn(
         mesh, plane_luts, axis_name=axis_name, batch_axis=batch_axis,

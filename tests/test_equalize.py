@@ -411,3 +411,48 @@ def test_device_stream_runner_equalize():
     assert r.verify_max_abs_err() == 0
     timings = r.autotune(passes=1, reps=1, cache=False)
     assert set(timings) <= {"xla", "pallas"}  # no fictitious block configs
+
+
+@pytest.mark.parametrize("cutoff", [0, 2, (1, 3)])
+def test_autocontrast_preserve_tone_matches_pil(cutoff):
+    # PIL preserve_tone: ONE Pillow-luma-derived range applied to all
+    # channels — per-image, like contrast. Oracle (literal walk on the
+    # luma histogram) and JAX paths (incl. cmp apply) vs PIL itself.
+    from PIL import Image, ImageOps
+
+    rng = np.random.default_rng(61)
+    img = rng.integers(30, 220, (40, 48, 3)).astype(np.uint8)
+    want = np.asarray(ImageOps.autocontrast(
+        Image.fromarray(img), cutoff=cutoff, preserve_tone=True))
+    np.testing.assert_array_equal(
+        eq.autocontrast_oracle(img, cutoff, preserve_tone=True), want)
+    for cmp_ in (False, True):
+        got = np.asarray(eq.autocontrast_nhwc(
+            jnp.asarray(img[None]), cutoff=cutoff, preserve_tone=True,
+            use_cmp=cmp_))[0]
+        np.testing.assert_array_equal(got, want, err_msg=f"cmp={cmp_}")
+
+
+def test_autocontrast_preserve_tone_pipeline_and_sharded():
+    from hipe_tpu.models.pipelines import GlobalStatsPipeline
+    from hipe_tpu.parallel import mesh as meshlib
+    from hipe_tpu.parallel.row_split import make_autocontrast_row_split_fn
+
+    rng = np.random.default_rng(67)
+    batch = rng.integers(30, 220, (2, 64, 40, 3)).astype(np.uint8)
+    for cutoff in (0, 2):
+        want = np.stack([
+            eq.autocontrast_oracle(b, cutoff, preserve_tone=True)
+            for b in batch])
+        pipe = GlobalStatsPipeline("autocontrast", cutoff=cutoff,
+                                   preserve_tone=True)
+        np.testing.assert_array_equal(
+            np.asarray(pipe(jnp.asarray(batch))), want)
+        # Sharded: pmin/pmax (cutoff 0) or psum (trim) over the LUMA.
+        mesh = meshlib.make_mesh(8, axis=meshlib.ROW_AXIS)
+        fn = make_autocontrast_row_split_fn(mesh, cutoff=cutoff,
+                                            preserve_tone=True)
+        np.testing.assert_array_equal(
+            np.asarray(fn(jnp.asarray(batch))), want)
+    with pytest.raises(ValueError, match="preserve_tone applies"):
+        GlobalStatsPipeline("equalize", preserve_tone=True)

@@ -121,3 +121,20 @@ def test_cli_lut_flag():
     assert err and "unknown LUT constructor" in err
     err = _register_cli_luts(["lt_y=gamma:0"])
     assert err and "> 0" in err
+
+
+def test_solarize_lut_matches_pil():
+    from PIL import Image, ImageOps
+
+    rng = np.random.default_rng(71)
+    img = rng.integers(0, 256, (20, 24), np.uint8)
+    for t in (0, 64, 130, 255):
+        want = np.asarray(ImageOps.solarize(Image.fromarray(img), t))
+        np.testing.assert_array_equal(xblur.solarize_lut(t)[img], want)
+    with pytest.raises(ValueError, match="\\[0, 256\\]"):
+        xblur.solarize_lut(-1)
+    from hipe_tpu.cli import _register_cli_luts
+
+    assert _register_cli_luts(["lt_sol=solarize:100"]) is None
+    np.testing.assert_array_equal(
+        xblur.LUT_STAGES["lt_sol"], xblur.solarize_lut(100))
