@@ -65,7 +65,7 @@ def main() -> int:
         ([py, "benchmarks/probe_transform.py"], 1800),
         # Incremental stream rows for the pipelines added since the last
         # full capture (merged into device_stream_v5e.json).
-        ([py, "benchmarks/run_device_stream.py", "--reuse-tune",
+        ([py, "benchmarks/run_device_stream.py", "--cached-tune",
           "--pipelines", "blur7", "erode", "dilate", "open", "close",
           "median5", "contrast", "color", "sharpness"], 7200),
     ]

@@ -49,19 +49,31 @@ def __getattr__(name):
         from hipe_tpu.runtime.device_stream import DeviceStreamRunner
 
         return DeviceStreamRunner
-    if name in ("PIPELINES", "Pipeline", "flagship"):
+    if name in ("register_kernel_filter", "register_lut_filter",
+                "register_rank_filter", "brightness_lut", "gamma_lut",
+                "solarize_lut"):
+        from hipe_tpu.ops import blur
+
+        return getattr(blur, name)
+    if name in ("PIPELINES", "Pipeline", "GlobalStatsPipeline", "flagship"):
         from hipe_tpu.models import pipelines
 
         return getattr(pipelines, name)
     if name in ("equalize_nhwc", "equalize_rows", "equalize_planar",
                 "autocontrast_nhwc", "autocontrast_rows",
-                "autocontrast_planar"):
+                "autocontrast_planar",
+                "contrast_nhwc", "contrast_rows", "contrast_planar",
+                "color_nhwc", "color_rows", "color_planar",
+                "sharpness_nhwc", "sharpness_rows", "sharpness_planar",
+                "colorize_lut"):
         from hipe_tpu.ops import equalize
 
         return getattr(equalize, name)
     if name in ("make_row_split_fn", "make_weighted_row_split_fn",
                 "make_equalize_row_split_fn",
-                "make_autocontrast_row_split_fn"):
+                "make_autocontrast_row_split_fn",
+                "make_contrast_row_split_fn", "make_color_row_split_fn",
+                "make_sharpness_row_split_fn"):
         from hipe_tpu.parallel import row_split
 
         return getattr(row_split, name)

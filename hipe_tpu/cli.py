@@ -49,7 +49,7 @@ def _add_kernel_flag(sp) -> None:
     sp.add_argument(
         "--rank", action="append", metavar="NAME=SIZE:RANK",
         help="register PIL RankFilter(SIZE, RANK) as a chainable stage "
-             "(odd SIZE 3-9, RANK in [0, SIZE^2); bit-exact incl. "
+             "(SIZE 3 or 5, RANK in [0, SIZE^2); bit-exact incl. "
              "borders; median5/erode5/dilate5 are pre-registered). "
              "Repeatable. Example: --rank q25=5:6 --pipeline q25,edge")
 
@@ -246,16 +246,23 @@ def _main_stream(args) -> int:
                   f"(chainable stages: {sorted(FILTERS)})", file=sys.stderr)
             return 1
         stream_pipeline = plib.get(names)
-    elif args.pipeline_name not in PIPELINES:
-        print(
-            f"Error: unknown pipeline {args.pipeline_name!r} "
-            f"(choose from {sorted(PIPELINES)}, or a comma-joined "
-            "filter chain)",
-            file=sys.stderr,
-        )
-        return 1
-    else:
+    elif args.pipeline_name in PIPELINES:
         stream_pipeline = args.pipeline_name
+    else:
+        # Bare filter names — registered --kernel/--lut/--rank stages
+        # included — are single-stage pipelines (plib.get semantics).
+        from hipe_tpu.models import pipelines as plib
+        from hipe_tpu.ops.blur import FILTERS
+
+        if args.pipeline_name not in FILTERS:
+            print(
+                f"Error: unknown pipeline {args.pipeline_name!r} "
+                f"(choose from {sorted(PIPELINES)}, a filter name, or a "
+                "comma-joined filter chain)",
+                file=sys.stderr,
+            )
+            return 1
+        stream_pipeline = plib.get(args.pipeline_name)
     try:
         image = decode_file(args.image or DEFAULT_IMAGE_256)
     except (FileNotFoundError, ValueError) as e:
@@ -367,16 +374,21 @@ def _main_serve(args) -> int:
                   f"(chainable stages: {sorted(FILTERS)})", file=sys.stderr)
             return 1
         serve_pipeline = plib.get(names)
-    elif args.pipeline_name not in PIPELINES:
-        print(
-            f"Error: unknown pipeline {args.pipeline_name!r} "
-            f"(choose from {sorted(PIPELINES)}, or a comma-joined "
-            "filter chain)",
-            file=sys.stderr,
-        )
-        return 1
-    else:
+    elif args.pipeline_name in PIPELINES:
         serve_pipeline = args.pipeline_name
+    else:
+        from hipe_tpu.models import pipelines as plib
+        from hipe_tpu.ops.blur import FILTERS
+
+        if args.pipeline_name not in FILTERS:
+            print(
+                f"Error: unknown pipeline {args.pipeline_name!r} "
+                f"(choose from {sorted(PIPELINES)}, a filter name, or a "
+                "comma-joined filter chain)",
+                file=sys.stderr,
+            )
+            return 1
+        serve_pipeline = plib.get(args.pipeline_name)
     paths = (args.image or DEFAULT_IMAGE_256).split(",")
     try:
         payloads = [

@@ -784,14 +784,20 @@ def _rank_select(vals, rank: int):
 def register_rank_filter(name: str, size: int, rank: int) -> None:
     """Register ``PIL.ImageFilter.RankFilter(size, rank)`` as a stage.
 
-    size: odd window edge (3-9); rank: order statistic in [0, size*size).
+    size: odd window edge (3 or 5); rank: order statistic in
+    [0, size*size). Larger windows are rejected: the unrolled
+    odd-even network at size 7/9 (49/81 live views) risks the Mosaic
+    scoped-VMEM blowup documented for wide unrolled graphs (each value
+    gets its own VMEM slot) — widen only after on-silicon validation.
     The stage is a first-class FILTERS entry (radius size//2): chainable
     on every execution path, halo-aware in row-split. Bit-identical to
     PIL including borders. Idempotent re-registration; conflicts raise.
     """
-    if size % 2 == 0 or not (3 <= size <= 9):
+    if size not in (3, 5):
         raise ValueError(
-            f"rank filter {name!r}: size must be odd in [3, 9], got {size}"
+            f"rank filter {name!r}: size must be 3 or 5, got {size} "
+            "(larger unrolled sort networks risk Mosaic scoped-VMEM "
+            "exhaustion in the fused kernels)"
         )
     if not (0 <= rank < size * size):
         raise ValueError(

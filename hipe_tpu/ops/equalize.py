@@ -469,6 +469,11 @@ def luma_mean_round_half(hist: jax.Array, npix: int) -> jax.Array:
     float64 int(mean + 0.5) everywhere (the fp64 quotient can't cross a
     rounding boundary: margin >= 1/(2N) vs ~1e-14 division error).
     """
+    if 170 * npix >= 2 ** 31:
+        raise ValueError(
+            f"contrast mean: image too large for exact int32 arithmetic "
+            f"({npix} pixels; limit ~12.6M)"
+        )
     csum = jnp.cumsum(hist.astype(jnp.int32), axis=-1)
     ge = npix - csum[:, :255]  # ge[:, t-1] = #pixels >= t, t in 1..255
     n2 = 2 * npix

@@ -218,9 +218,13 @@ class ServingPipeline:
             return -(-h // 2), -(-w // 2)
         return h, w
 
+    def _gray_c(self, c: int) -> int:
+        """Channel count after the gray_output stage."""
+        return 1 if (self.gray_output and c == 3) else c
+
     def _out_c(self, c: int) -> int:
         """Output channel count (gray_output then colorize, in order)."""
-        c1 = 1 if (self.gray_output and c == 3) else c
+        c1 = self._gray_c(c)
         if self.colorize is not None and c1 == 1:
             return 3
         return c1
@@ -308,8 +312,8 @@ class ServingPipeline:
                                              channels)
                 oh, ow = self._out_dims(h, w)
                 out = self._gray_rows(out, rows.shape[0], oh, ow, channels)
-                c1 = 1 if (self.gray_output and channels == 3) else channels
-                return self._colorize_rows(out, rows.shape[0], oh, ow, c1)
+                return self._colorize_rows(out, rows.shape[0], oh, ow,
+                                           self._gray_c(channels))
 
             self._fns[shape] = jax.jit(
                 fn, donate_argnums=0 if (pallas_flag and not reshapes) else ()
@@ -358,11 +362,13 @@ class ServingPipeline:
         if (self.encode_subsampling != "420" or self.encode_progressive
                 or self.encode_arithmetic
                 or self.encode_restart_interval or self.encode_optimize
-                or (self.gray_output and batch.shape[-1] == 3)):
+                or (self.gray_output and batch.shape[-1] == 3
+                    and self.colorize is None)):
             # Honor non-default subsampling / entropy options on the host
             # path too (raises if the native codec is unavailable rather
             # than silently emitting defaults).
-            gray = self.gray_output and batch.shape[-1] == 3
+            gray = (self.gray_output and batch.shape[-1] == 3
+                    and self.colorize is None)
 
             def enc(im):
                 return encode_bytes_opts(
@@ -415,8 +421,8 @@ class ServingPipeline:
                                            alias=pallas_flag)
                     rows = self._post_filter_rows(rows, b, h, w, c)
                     rows = self._gray_rows(rows, b, oh, ow, c)
-                    c1 = 1 if (self.gray_output and c == 3) else c
-                    rows = self._colorize_rows(rows, b, oh, ow, c1)
+                    rows = self._colorize_rows(rows, b, oh, ow,
+                                               self._gray_c(c))
                 img = rows.reshape(b, oh, ow, oc)
                 return tuple(je.encode_planes(geo, img, qtables))
 
@@ -495,8 +501,7 @@ class ServingPipeline:
                 out = self._post_filter_rows(out, b, h, w, c)
                 oh, ow = self._out_dims(h, w)
                 out = self._gray_rows(out, b, oh, ow, c)
-                c1 = 1 if (self.gray_output and c == 3) else c
-                out = self._colorize_rows(out, b, oh, ow, c1)
+                out = self._colorize_rows(out, b, oh, ow, self._gray_c(c))
                 return out.reshape(b, oh, ow, self._out_c(c))
 
             self._fused_fns[key] = jax.jit(fn)
@@ -617,8 +622,8 @@ class ServingPipeline:
                                       alias=pallas_flag)
                 out = self._post_filter_rows(out, out.shape[0], h, w, c)
                 out = self._gray_rows(out, out.shape[0], oh, ow, c)
-                c1 = 1 if (self.gray_output and c == 3) else c
-                out = self._colorize_rows(out, out.shape[0], oh, ow, c1)
+                out = self._colorize_rows(out, out.shape[0], oh, ow,
+                                          self._gray_c(c))
                 img = out.reshape(out.shape[0], oh, ow, oc)
                 return tuple(je.encode_planes(enc_geo, img, enc_qt))
 

@@ -89,3 +89,44 @@ def test_serving_colorize_duotone_and_errors():
                         colorize=lut3).process_batch(payloads, encode=False)
     with pytest.raises(ValueError, match="\\(3, 256\\)"):
         ServingPipeline("blur3", colorize=np.zeros((2, 256), np.uint8))
+
+
+def test_duotone_encoded_files_stay_color_across_placements():
+    # Regression: the host-encode path used to re-gray a colorized
+    # (gray_output + colorize) batch via gray_from_rgb, silently
+    # discarding the wedge. Encoded duotone files must decode to the
+    # colorized pixels and match across placements.
+    from hipe_tpu.io_ import jpeg
+    from hipe_tpu.ops import reference as oracle
+    from hipe_tpu.ops.jpeg_encode import rgb_to_gray
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(23)
+    payloads = [
+        jpeg.encode_bytes(rng.integers(0, 256, (32, 48, 3), np.uint8), 90)
+    ]
+    lut3 = eq.colorize_lut("navy", "#ffe0a0")
+    from hipe_tpu.runtime.serve import ServingPipeline
+
+    ref = ServingPipeline("blur3", use_pallas=False, gray_output=True,
+                          colorize=lut3).process_batch(payloads)
+    decoded = jpeg.decode_bytes(ref[0])
+    assert decoded.shape[-1] == 3
+    # The file holds the wedge colors, not a grayscale re-encode: the
+    # expected pixels are colorize(luma(blur(rgb))).
+    src = jpeg.decode_bytes(payloads[0])
+    blurred = oracle.gaussian_blur_int_oracle(src)
+    luma = np.asarray(rgb_to_gray(jnp.asarray(blurred[None])))[0]
+    want = eq.colorize_oracle(luma, lut3)
+    got_px = ServingPipeline(
+        "blur3", use_pallas=False, gray_output=True, colorize=lut3
+    ).process_batch(payloads, encode=False)[0]
+    np.testing.assert_array_equal(got_px, want)
+    # Encoded bytes must equal a direct color encode of those pixels.
+    assert ref[0] == jpeg.encode_bytes(want, 90)
+    for kwargs in ({"encode_on_device": True},
+                   {"decode_on_device": True, "encode_on_device": True}):
+        got = ServingPipeline(
+            "blur3", use_pallas=False, gray_output=True, colorize=lut3,
+            **kwargs).process_batch(payloads)
+        assert got == ref, kwargs

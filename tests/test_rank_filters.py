@@ -65,8 +65,10 @@ def test_custom_rank_registration_and_pil():
     np.testing.assert_array_equal(got, want)
     with pytest.raises(ValueError, match="different spec"):
         xblur.register_rank_filter("rk_q", 5, 7)
-    with pytest.raises(ValueError, match="odd in \\[3, 9\\]"):
+    with pytest.raises(ValueError, match="size must be 3 or 5"):
         xblur.register_rank_filter("rk_bad", 4, 0)
+    with pytest.raises(ValueError, match="size must be 3 or 5"):
+        xblur.register_rank_filter("rk_bad7", 7, 24)
     with pytest.raises(ValueError, match="rank must be in"):
         xblur.register_rank_filter("rk_bad2", 3, 9)
     with pytest.raises(ValueError, match="builtin filter name"):
@@ -105,4 +107,4 @@ def test_cli_rank_flag():
     err = _register_cli_ranks(["nope"])
     assert err and "bad --rank" in err
     err = _register_cli_ranks(["rk_x=4:0"])
-    assert err and "odd in" in err
+    assert err and "size must be 3 or 5" in err
