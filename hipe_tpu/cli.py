@@ -84,6 +84,14 @@ def _build_parser() -> argparse.ArgumentParser:
     st.add_argument("--passes", type=int, default=10)
     st.add_argument("--json", action="store_true",
                     help="print one JSON result line (bench.py schema-like)")
+    st.add_argument("--factor", type=float, default=None,
+                    help="contrast/color/sharpness strength (PIL "
+                         "ImageEnhance, bit-exact)")
+    st.add_argument("--cutoff", type=int, nargs="+", default=None,
+                    metavar="PCT",
+                    help="autocontrast trim percent(s) (PIL semantics)")
+    st.add_argument("--preserve-tone", action="store_true",
+                    help="autocontrast: PIL preserve_tone luminance mode")
     _add_kernel_flag(st)
 
     sv = sub.add_parser(
@@ -263,6 +271,38 @@ def _main_stream(args) -> int:
             )
             return 1
         stream_pipeline = plib.get(args.pipeline_name)
+    if args.factor is not None or args.cutoff is not None \
+            or args.preserve_tone:
+        # Parametrized global-statistics pipelines, same rules as serve.
+        from hipe_tpu.models.pipelines import GlobalStatsPipeline
+
+        name = args.pipeline_name
+        try:
+            if args.factor is not None:
+                if name not in ("contrast", "color", "sharpness"):
+                    raise ValueError(
+                        "--factor applies to contrast/color/sharpness only"
+                    )
+                stream_pipeline = GlobalStatsPipeline(
+                    name, factor=args.factor)
+            else:
+                if name != "autocontrast" or (
+                    args.cutoff is not None and len(args.cutoff) > 2
+                ):
+                    raise ValueError(
+                        "--cutoff/--preserve-tone apply to autocontrast "
+                        "only (one or two integer percents / a flag)"
+                    )
+                cut = 0
+                if args.cutoff is not None:
+                    cut = (args.cutoff[0] if len(args.cutoff) == 1
+                           else tuple(args.cutoff))
+                stream_pipeline = GlobalStatsPipeline(
+                    "autocontrast", cutoff=cut,
+                    preserve_tone=args.preserve_tone)
+        except ValueError as e:
+            print(f"Error: {e}", file=sys.stderr)
+            return 1
     try:
         image = decode_file(args.image or DEFAULT_IMAGE_256)
     except (FileNotFoundError, ValueError) as e:
