@@ -230,6 +230,14 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--csv", default=None, metavar="PATH",
                         help="append a per_run.csv-schema row")
         sp.add_argument("--run-index", type=int, default=1)
+        sp.add_argument("--factor", type=float, default=None,
+                        help="contrast/color/sharpness strength (PIL "
+                             "ImageEnhance, bit-exact)")
+        sp.add_argument("--cutoff", type=int, nargs="+", default=None,
+                        metavar="PCT",
+                        help="autocontrast trim percent(s)")
+        sp.add_argument("--preserve-tone", action="store_true",
+                        help="autocontrast: PIL preserve_tone mode")
         _add_kernel_flag(sp)
     return p
 
@@ -271,38 +279,12 @@ def _main_stream(args) -> int:
             )
             return 1
         stream_pipeline = plib.get(args.pipeline_name)
-    if args.factor is not None or args.cutoff is not None \
-            or args.preserve_tone:
-        # Parametrized global-statistics pipelines, same rules as serve.
-        from hipe_tpu.models.pipelines import GlobalStatsPipeline
-
-        name = args.pipeline_name
-        try:
-            if args.factor is not None:
-                if name not in ("contrast", "color", "sharpness"):
-                    raise ValueError(
-                        "--factor applies to contrast/color/sharpness only"
-                    )
-                stream_pipeline = GlobalStatsPipeline(
-                    name, factor=args.factor)
-            else:
-                if name != "autocontrast" or (
-                    args.cutoff is not None and len(args.cutoff) > 2
-                ):
-                    raise ValueError(
-                        "--cutoff/--preserve-tone apply to autocontrast "
-                        "only (one or two integer percents / a flag)"
-                    )
-                cut = 0
-                if args.cutoff is not None:
-                    cut = (args.cutoff[0] if len(args.cutoff) == 1
-                           else tuple(args.cutoff))
-                stream_pipeline = GlobalStatsPipeline(
-                    "autocontrast", cutoff=cut,
-                    preserve_tone=args.preserve_tone)
-        except ValueError as e:
-            print(f"Error: {e}", file=sys.stderr)
-            return 1
+    param_pipe, err = _stats_pipeline_from_flags(args, args.pipeline_name)
+    if err:
+        print(err, file=sys.stderr)
+        return 1
+    if param_pipe is not None:
+        stream_pipeline = param_pipe
     try:
         image = decode_file(args.image or DEFAULT_IMAGE_256)
     except (FileNotFoundError, ValueError) as e:
@@ -648,6 +630,40 @@ def _register_cli_luts(specs) -> str | None:
     return None
 
 
+def _stats_pipeline_from_flags(args, name: str):
+    """(pipeline_or_None, error_or_None) for --factor/--cutoff/
+    --preserve-tone on a pipeline called ``name`` (stream/approach
+    grammar; serve adds channel handling on top)."""
+    from hipe_tpu.models.pipelines import GlobalStatsPipeline
+
+    factor = getattr(args, "factor", None)
+    cutoff = getattr(args, "cutoff", None)
+    tone = getattr(args, "preserve_tone", False)
+    if factor is None and cutoff is None and not tone:
+        return None, None
+    try:
+        if factor is not None:
+            if name not in ("contrast", "color", "sharpness"):
+                raise ValueError(
+                    "--factor applies to contrast/color/sharpness only"
+                )
+            return GlobalStatsPipeline(name, factor=factor), None
+        if name != "autocontrast" or (
+            cutoff is not None and len(cutoff) > 2
+        ):
+            raise ValueError(
+                "--cutoff/--preserve-tone apply to autocontrast only "
+                "(one or two integer percents / a flag)"
+            )
+        cut = 0
+        if cutoff is not None:
+            cut = cutoff[0] if len(cutoff) == 1 else tuple(cutoff)
+        return GlobalStatsPipeline(
+            "autocontrast", cutoff=cut, preserve_tone=tone), None
+    except ValueError as e:
+        return None, f"Error: {e}"
+
+
 def _register_cli_ranks(specs) -> str | None:
     """Register --rank NAME=SIZE:RANK stages; returns an error or None."""
     from hipe_tpu.ops.blur import register_rank_filter
@@ -705,6 +721,13 @@ def main(argv: list[str] | None = None) -> int:
             file=sys.stderr,
         )
         return 1
+    if isinstance(pipeline, str):
+        param_pipe, err = _stats_pipeline_from_flags(args, pipeline)
+        if err:
+            print(err, file=sys.stderr)
+            return 1
+        if param_pipe is not None:
+            pipeline = param_pipe
     if approach == 2:
         from hipe_tpu.models import pipelines as plib
 

@@ -383,7 +383,9 @@ PIPELINES = {
 flagship = PIPELINES["blur3"]
 
 
-def get(name_or_filters: str | Sequence[str]) -> Pipeline:
+def get(name_or_filters) -> Pipeline:
+    if isinstance(name_or_filters, (Pipeline, GlobalStatsPipeline)):
+        return name_or_filters  # already-constructed (e.g. parametrized)
     if isinstance(name_or_filters, str):
         if name_or_filters in PIPELINES:
             return PIPELINES[name_or_filters]

@@ -148,3 +148,23 @@ def test_serving_pipeline_contrast_and_encode_placements():
         got = ServingPipeline(
             pipe, use_pallas=False, **kwargs).process_batch(payloads)
         assert got == ref, kwargs
+
+
+def test_cli_approach1_and_stream_parametrized_contrast():
+    # plib.get passes constructed pipeline objects through, so the
+    # engine/stream CLI paths accept --factor-parametrized pipelines.
+    from hipe_tpu.models import pipelines as plib
+
+    pipe = plib.GlobalStatsPipeline("contrast", factor=1.5)
+    assert plib.get(pipe) is pipe
+    from hipe_tpu.cli import _stats_pipeline_from_flags
+
+    class A:
+        factor = 1.5
+        cutoff = None
+        preserve_tone = False
+
+    got, err = _stats_pipeline_from_flags(A(), "contrast")
+    assert err is None and got.factor == 1.5
+    got, err = _stats_pipeline_from_flags(A(), "blur3")
+    assert got is None and "contrast/color/sharpness" in err
