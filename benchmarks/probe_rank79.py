@@ -1,0 +1,195 @@
+"""Probe: rank filters at window sizes 7 and 9 on silicon.
+
+`register_rank_filter` gates sizes to 3/5 because the unrolled odd-even
+transposition network at 7/9 keeps 49/81 live views — the documented
+Mosaic failure mode where every value of a wide unrolled graph gets its
+own scoped-VMEM stack slot (see ROADMAP: the 64-plane DCT graph hit
+116 MB).  This probe registers median7/median9 WITHOUT the gate and
+answers, per path:
+
+  1. exactness — fused Pallas chain + XLA planar vs the numpy oracle
+     (itself cross-checked against PIL RankFilter at 7/9 first);
+  2. compileability — which fused block sizes VMEM-OOM (recorded, not
+     hidden), incl. a raised-cap candidate;
+  3. rate — median-of-reps per-pass time vs median5 on the same stream.
+
+Outcome feeds the size gate in `hipe_tpu.ops.blur.register_rank_filter`:
+widen to 7/9 only where this probe is green.
+
+Run serially on the real chip: python benchmarks/probe_rank79.py
+Results land in benchmarks/probe_rank79.json.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import statistics
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+NUM_IMAGES = 1000  # 3000 planes: enough signal; median9 is ~3300 VPU ops/px
+PASSES = 4
+REPS = 5
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _pil_rank_gray(img: np.ndarray, size: int, rank: int) -> np.ndarray:
+    from PIL import Image, ImageFilter
+
+    return np.asarray(Image.fromarray(img).filter(
+        ImageFilter.RankFilter(size, rank)))
+
+
+def _register_unchecked(name: str, size: int, rank: int) -> None:
+    """register_rank_filter minus the size gate (probe-only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hipe_tpu.ops import blur as xblur
+
+    r = size // 2
+
+    def op(x, *, h_axis=-3, w_axis=-2, h_pad=True):
+        assert x.dtype == jnp.uint8
+        v = xblur._stencil_r(x, h_axis, w_axis, h_pad, r)
+        vals = [v(dy, dx) for dy in range(size) for dx in range(size)]
+        return xblur._rank_select(vals, rank).astype(jnp.uint8)
+
+    def op_rows(x, channels, *, h_pad=True):
+        assert x.dtype == jnp.uint8
+        v = xblur._rows_stencil(x, channels, h_pad, r)
+        vals = [v(dy, dx) for dy in range(size) for dx in range(-r, r + 1)]
+        return xblur._rank_select(vals, rank).astype(jnp.uint8)
+
+    xblur.RANK_STAGES[name] = (size, rank)
+    xblur.FILTERS[name] = op
+    xblur.ROWS_FILTERS[name] = op_rows
+    xblur.FILTER_RADIUS[name] = r
+    del jax
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from hipe_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from hipe_tpu.io_.jpeg import decode_file
+    from hipe_tpu.ops import pallas_blur as pb
+    from hipe_tpu.ops import reference as oracle
+    from hipe_tpu.utils.images import DEFAULT_IMAGE_256, hwc_to_planar
+
+    results: dict = {}
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "probe_rank79.json")
+
+    # -- 0. oracle vs PIL at 7/9 (host; the oracle then stands in on TPU) --
+    rng = np.random.default_rng(79)
+    small = rng.integers(0, 256, (40, 52), np.uint8)
+    for size, rank in ((7, 24), (9, 40), (7, 0), (9, 80)):
+        want = _pil_rank_gray(small, size, rank)
+        got = oracle.rank_oracle(small[..., None], size, rank)[..., 0]
+        exact = bool(np.array_equal(got, want))
+        results[f"oracle_vs_pil_{size}_{rank}"] = exact
+        log(f"oracle vs PIL size={size} rank={rank}: "
+            f"{'exact' if exact else 'MISMATCH'}")
+        if not exact:
+            with open(out_path, "w") as f:
+                json.dump(results, f, indent=1)
+            return 1
+
+    _register_unchecked("median7", 7, 24)
+    _register_unchecked("median9", 9, 40)
+
+    img = decode_file(DEFAULT_IMAGE_256)
+    h, w, c = img.shape
+    n = NUM_IMAGES * c
+    planes = jnp.asarray(hwc_to_planar(img[None]))
+
+    @jax.jit
+    def materialize(p):
+        return jnp.broadcast_to(p[None], (NUM_IMAGES, c, h, w)).reshape(
+            n, h, w)
+
+    stream = materialize(planes)
+    np.asarray(stream[0, 0, :4])
+
+    oracles = {
+        name: hwc_to_planar(
+            oracle.rank_oracle(img, size, rank)[None])
+        for name, (size, rank) in (
+            ("median5", (5, 12)), ("median7", (7, 24)), ("median9", (9, 40)),
+        )
+    }
+
+    def timed(call, label, want):
+        got = np.asarray(jax.jit(lambda s: call(s)[:c])(stream))
+        err = int(np.max(np.abs(got.astype(int) - want.astype(int))))
+        assert err == 0, (label, err)
+
+        @functools.partial(jax.jit, static_argnames="r")
+        def chained(s, r):
+            out = lax.fori_loop(0, r, lambda i, x: call(x), s)
+            return jnp.sum(out[::97, ::3, ::64].astype(jnp.int32))
+
+        float(np.asarray(chained(stream, 1)))
+        float(np.asarray(chained(stream, 1 + PASSES)))
+        samples = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            float(np.asarray(chained(stream, 1)))
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(np.asarray(chained(stream, 1 + PASSES)))
+            t2 = time.perf_counter() - t0
+            samples.append((t2 - t1) / PASSES)
+        per_pass = statistics.median(samples)
+        return {
+            "per_pass_ms": round(per_pass * 1e3, 3),
+            "img_per_s": round(NUM_IMAGES / per_pass),
+            "max_abs_err": err,
+        }
+
+    cases = []
+    for name in ("median5", "median7", "median9"):
+        cases.append((f"{name}_xla",
+                      lambda s, nm=name: __import__(
+                          "hipe_tpu.ops.blur", fromlist=["blur"]
+                      ).filter_chain(s, (nm,), h_axis=1, w_axis=2)))
+        for k, vmem in ((8, None), (24, None), (24, 64)):
+            cases.append((
+                f"{name}_fused_k{k}" + (f"_vmem{vmem}M" if vmem else ""),
+                lambda s, nm=name, k=k, vmem=vmem:
+                    pb.filter_chain_planar_pallas(
+                        s, (nm,), block_planes=k, vmem_limit_mb=vmem),
+            ))
+
+    for label, call in cases:
+        name = label.split("_")[0]
+        try:
+            results[label] = timed(call, label, oracles[name])
+            log(f"{label:28s} {results[label]['per_pass_ms']:9.2f} ms  "
+                f"{results[label]['img_per_s']:9,d} img/s")
+        except Exception as e:  # noqa: BLE001 — OOMs are a probe *result*
+            results[label] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+            log(f"{label:28s} FAILED: {type(e).__name__}")
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+    log(f"wrote {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
