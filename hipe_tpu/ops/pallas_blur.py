@@ -381,7 +381,35 @@ def _tiled_point_kernel(top_ref, x_ref, bot_ref, o_ref, *, name: str):
     o_ref[0] = out.astype(jnp.uint8)
 
 
-def _tiled_call(x: jax.Array, kernel, tile_h: int, interpret: bool):
+def _tiled_vmem(name: str, tile_h: int, w: int) -> tuple[int, int | None]:
+    """(tile_h, scoped-VMEM cap MB) for one tiled stage.
+
+    Rank stages keep all size^2 window views live at once in the odd-even
+    network (sequential accumulators — blur/kernel/point stages — fit the
+    16 MB default, verified on silicon at 1504x1400), so wide planes blow
+    Mosaic's default cap: median5 at tile_h=128, W=1400 needs 23.3 MB
+    (measured OOM). Estimate the live set, raise the cap (v5e: 128 MB/core),
+    and shrink the tile if even 110 MB wouldn't hold it.
+    """
+    from hipe_tpu.ops.blur import FILTER_RADIUS, RANK_STAGES
+
+    if name not in RANK_STAGES:
+        return tile_h, None
+    size, _ = RANK_STAGES[name]
+    r = FILTER_RADIUS[name]
+
+    def est_mb(th: int) -> int:
+        live = (size * size + 6) * (th + 2 * r + 8) * (w + 2 * r) * 4
+        return -(-live * 13 // (10 * 2**20))  # x1.3 headroom
+
+    while tile_h > 8 and est_mb(tile_h) > 110:
+        tile_h //= 2
+    mb = est_mb(tile_h)
+    return tile_h, None if mb <= 14 else min(110, max(24, mb))
+
+
+def _tiled_call(x: jax.Array, kernel, tile_h: int, interpret: bool,
+                vmem_limit_mb: int | None = None):
     """Shared pallas_call plumbing for halo-tiled large-plane kernels.
 
     H is edge-pad-rounded to the tile size outside the kernel — replicated
@@ -420,6 +448,7 @@ def _tiled_call(x: jax.Array, kernel, tile_h: int, interpret: bool):
         ),
         out_shape=jax.ShapeDtypeStruct((n, hp, w), jnp.uint8),
         interpret=interpret,
+        **_compiler_params(None if interpret else vmem_limit_mb),
     )(x, x, x)
     return out[:, :h] if hp != h else out
 
@@ -478,7 +507,8 @@ def filter_chain_planar_tiled_pallas(
             )
         else:
             kernel = functools.partial(_tiled_point_kernel, name=name)
-            x = _tiled_call(x, kernel, tile_h, interpret)
+            th, vmem_mb = _tiled_vmem(name, tile_h, x.shape[2])
+            x = _tiled_call(x, kernel, th, interpret, vmem_mb)
     return x
 
 

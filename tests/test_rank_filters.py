@@ -99,6 +99,28 @@ def test_rank_filters_fused_tiled_and_row_split():
     np.testing.assert_array_equal(np.asarray(fn(jnp.asarray(batch))), want_c)
 
 
+def test_tiled_rank_vmem_sizing_and_wide_plane():
+    # Rank stages keep size^2 window views live in the tiled kernel —
+    # wide planes exceeded Mosaic's default 16 MB scoped-VMEM cap on
+    # silicon (median5 @ 1504x1400 OOM'd at 23.3 MB). The tiled dispatch
+    # must raise the cap for rank stages (and only them), shrinking the
+    # tile when even the 110 MB ceiling wouldn't hold the live set.
+    th, mb = pallas_blur._tiled_vmem("median5", 128, 1400)
+    assert th == 128 and mb is not None and 24 <= mb <= 110
+    assert pallas_blur._tiled_vmem("median5", 128, 256) == (128, None)
+    for name in ("gaussian3", "median", "erode", "pil_blur", "sharpen"):
+        assert pallas_blur._tiled_vmem(name, 128, 1400) == (128, None)
+    th, mb = pallas_blur._tiled_vmem("median5", 128, 60000)
+    assert th < 128 and mb is not None and mb <= 110
+    # Wide-plane tiled rank stays bit-exact through the resized call.
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 256, (1, 48, 1400), np.uint8)
+    want = oracle.rank_oracle(x[0][..., None], 5, 12)[..., 0]
+    got = np.asarray(pallas_blur.filter_chain_planar_tiled_pallas(
+        jnp.asarray(x), ("median5",), tile_h=16, interpret=True))[0]
+    np.testing.assert_array_equal(got, want)
+
+
 def test_cli_rank_flag():
     from hipe_tpu.cli import _register_cli_ranks
 
