@@ -50,11 +50,20 @@ def _pil_rank_gray(img: np.ndarray, size: int, rank: int) -> np.ndarray:
 
 
 def _register_unchecked(name: str, size: int, rank: int) -> None:
-    """register_rank_filter minus the size gate (probe-only)."""
-    import jax
+    """register_rank_filter minus the size gate (probe-only).
+
+    Applies the same name-collision check as register_rank_filter so an
+    accidental import into a live process can't silently overwrite a
+    registered stage.
+    """
     import jax.numpy as jnp
 
     from hipe_tpu.ops import blur as xblur
+
+    for reg in (xblur.FILTERS, xblur.ROWS_FILTERS, xblur.RANK_STAGES,
+                xblur.FILTER_RADIUS):
+        if name in reg:
+            raise ValueError(f"stage name already registered: {name!r}")
 
     r = size // 2
 
@@ -74,7 +83,6 @@ def _register_unchecked(name: str, size: int, rank: int) -> None:
     xblur.FILTERS[name] = op
     xblur.ROWS_FILTERS[name] = op_rows
     xblur.FILTER_RADIUS[name] = r
-    del jax
 
 
 def main() -> int:

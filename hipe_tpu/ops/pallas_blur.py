@@ -381,7 +381,9 @@ def _tiled_point_kernel(top_ref, x_ref, bot_ref, o_ref, *, name: str):
     o_ref[0] = out.astype(jnp.uint8)
 
 
-def _tiled_vmem(name: str, tile_h: int, w: int) -> tuple[int, int | None]:
+def _tiled_vmem(
+    name: str, tile_h: int, w: int
+) -> tuple[int | None, int | None]:
     """(tile_h, scoped-VMEM cap MB) for one tiled stage.
 
     Rank stages keep all size^2 window views live at once in the odd-even
@@ -389,7 +391,11 @@ def _tiled_vmem(name: str, tile_h: int, w: int) -> tuple[int, int | None]:
     16 MB default, verified on silicon at 1504x1400), so wide planes blow
     Mosaic's default cap: median5 at tile_h=128, W=1400 needs 23.3 MB
     (measured OOM). Estimate the live set, raise the cap (v5e: 128 MB/core),
-    and shrink the tile if even 110 MB wouldn't hold it.
+    and shrink the tile — in 8-row units, preserving _tiled_call's
+    sublane-aligned halo index maps — if even 110 MB wouldn't hold it.
+    Returns ``(None, None)`` when even an 8-row tile exceeds the cap
+    (extreme widths): the caller must route that stage to the XLA planar
+    path instead of emitting a pallas_call known to VMEM-OOM.
     """
     from hipe_tpu.ops.blur import FILTER_RADIUS, RANK_STAGES
 
@@ -403,8 +409,10 @@ def _tiled_vmem(name: str, tile_h: int, w: int) -> tuple[int, int | None]:
         return -(-live * 13 // (10 * 2**20))  # x1.3 headroom
 
     while tile_h > 8 and est_mb(tile_h) > 110:
-        tile_h //= 2
+        tile_h = max(8, (tile_h // 2) // 8 * 8)
     mb = est_mb(tile_h)
+    if mb > 110:
+        return None, None
     return tile_h, None if mb <= 14 else min(110, max(24, mb))
 
 
@@ -498,17 +506,26 @@ def filter_chain_planar_tiled_pallas(
     the same as the XLA path but on the ~2x-faster Pallas streaming path.
     """
     assert x.dtype == jnp.uint8 and x.ndim == 3
-    from hipe_tpu.ops.blur import FILTER_RADIUS
+    assert tile_h % 8 == 0 and tile_h >= 8
+    from hipe_tpu.ops import blur as xblur
 
     for name in names:
         if name.startswith("gaussian"):
             x = gaussian_blur_planar_tiled_pallas(
-                x, FILTER_RADIUS[name], tile_h=tile_h, interpret=interpret
+                x, xblur.FILTER_RADIUS[name], tile_h=tile_h,
+                interpret=interpret
             )
-        else:
-            kernel = functools.partial(_tiled_point_kernel, name=name)
-            th, vmem_mb = _tiled_vmem(name, tile_h, x.shape[2])
-            x = _tiled_call(x, kernel, th, interpret, vmem_mb)
+            continue
+        th, vmem_mb = _tiled_vmem(name, tile_h, x.shape[2])
+        if th is None:
+            # Even an 8-row tile can't hold this rank stage's live set
+            # under the 110 MB scoped-VMEM ceiling (extreme widths): XLA
+            # planar path for this stage — same per-stage clamp semantics,
+            # so the chain stays bit-identical.
+            x = xblur.filter_chain(x, (name,), h_axis=-2, w_axis=-1)
+            continue
+        kernel = functools.partial(_tiled_point_kernel, name=name)
+        x = _tiled_call(x, kernel, th, interpret, vmem_mb)
     return x
 
 

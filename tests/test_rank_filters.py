@@ -110,11 +110,31 @@ def test_tiled_rank_vmem_sizing_and_wide_plane():
     assert pallas_blur._tiled_vmem("median5", 128, 256) == (128, None)
     for name in ("gaussian3", "median", "erode", "pil_blur", "sharpen"):
         assert pallas_blur._tiled_vmem(name, 128, 1400) == (128, None)
-    th, mb = pallas_blur._tiled_vmem("median5", 128, 60000)
-    assert th < 128 and mb is not None and mb <= 110
+    # The shrink loop halves in 8-row units (preserving _tiled_call's
+    # sublane-aligned halo index maps) and floors at 8.
+    for w in (6000, 12000, 24000):
+        th, mb = pallas_blur._tiled_vmem("median5", 128, w)
+        assert th is not None and th % 8 == 0 and 8 <= th < 128
+        assert mb is not None and mb <= 110
+    # Beyond the width where even an 8-row tile exceeds the 110 MB cap,
+    # the sizing signals "route to XLA" instead of emitting a known-OOM
+    # pallas_call.
+    assert pallas_blur._tiled_vmem("median5", 128, 60000) == (None, None)
     # Wide-plane tiled rank stays bit-exact through the resized call.
     rng = np.random.default_rng(5)
     x = rng.integers(0, 256, (1, 48, 1400), np.uint8)
+    want = oracle.rank_oracle(x[0][..., None], 5, 12)[..., 0]
+    got = np.asarray(pallas_blur.filter_chain_planar_tiled_pallas(
+        jnp.asarray(x), ("median5",), tile_h=16, interpret=True))[0]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_tiled_rank_extreme_width_xla_fallback():
+    # W=60000: even an 8-row tile's rank live set exceeds the 110 MB
+    # scoped-VMEM ceiling, so the tiled chain routes that stage through
+    # the XLA planar path — bit-identical, no pallas_call emitted.
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 256, (1, 16, 60000), np.uint8)
     want = oracle.rank_oracle(x[0][..., None], 5, 12)[..., 0]
     got = np.asarray(pallas_blur.filter_chain_planar_tiled_pallas(
         jnp.asarray(x), ("median5",), tile_h=16, interpret=True))[0]
