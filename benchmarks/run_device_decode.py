@@ -349,6 +349,150 @@ def main() -> int:
     results["device_transcode_scaled8_blur3_img_s"] = round(rate, 1)
     log(f"device_transcode 1/8   {rate:12,.0f} img/s")
 
+    # 7c. Round-3 serving placements. Device stages (gray-source decode,
+    # gray-output transcode, colorize, arbitrary-size bilinear resize)
+    # use the same chained pass-count differencing; the emission options
+    # (optimize/arithmetic/progressive/restart) change only the host
+    # entropy layer, so those are host batch rates. Byte-identity for
+    # every placement is asserted in the test suite
+    # (test_serve_device_encode.py, test_colorize.py); the gates here are
+    # the cheap numeric ones.
+
+    def chain_list(pass_fn):
+        @jax.jit
+        def chained(arrs, r):
+            out = lax.fori_loop(0, r, lambda i, x: pass_fn(x), arrs)
+            return sum(jnp.sum(a[::97, ::3, ::5, ::7].astype(jnp.int32))
+                       for a in out)
+
+        return jax.jit(chained, static_argnames="r")
+
+    # gray SOURCE decode (JCS_GRAYSCALE semantics): luma-only device graph.
+    gray_geo = jd.gray_geometry(geo)
+    ref_gray = jpeg.decode_bytes(payload, force_gray=True)
+    got_gray = np.asarray(jd.decode_planes(
+        gray_geo, [jnp.asarray(co.components[0].coefs)], qtables[:1],
+        layout="rows"))
+    err = int(np.abs(got_gray.astype(int)
+                     - ref_gray[..., 0].astype(int)).max())
+    results["decode_gray_max_abs_err"] = err
+
+    def gray_decode_pass(arrs):
+        y = jd.decode_planes(gray_geo, list(arrs), qtables[:1],
+                             layout="rows")
+        z = (jnp.min(y).astype(jnp.int16) >> 8)
+        return [a + z for a in arrs]
+
+    per_pass = measure_device_chain(chain_list(gray_decode_pass),
+                                    comp_batches[:1], passes=passes)
+    rate = num_images / per_pass
+    results["device_decode_gray_img_s"] = round(rate, 1)
+    log(f"device_decode_gray     {rate:12,.0f} img/s (max_abs_err {err})")
+
+    # gray OUTPUT transcode: decode -> blur3 -> jccolor luma -> 1-comp
+    # encode (the --gray serving placement's device stage).
+    from hipe_tpu.ops.jpeg_encode import rgb_to_gray
+
+    enc_geo_g = je.encode_geometry(h, w, 1)
+
+    def transcode_gray_pass(arrs):
+        rgb = jd.decode_planes(geo, list(arrs), qtables)
+        b, hh, ww, c = rgb.shape
+        rows = pipe.apply_rows(rgb.reshape(b, hh, ww * c), c,
+                               use_pallas=on_tpu, alias=on_tpu)
+        yc = rgb_to_gray(rows.reshape(b, hh, ww, c))
+        coefs = je.encode_planes(enc_geo_g, yc, [luma])
+        # < 2^15 coefficient magnitude, so >> 20 is a data-dependent 0.
+        z = (jnp.max(jnp.abs(coefs[0].astype(jnp.int32)))
+             >> 20).astype(jnp.int16)
+        return [a + z for a in arrs]
+
+    per_pass = measure_device_chain(chain_list(transcode_gray_pass),
+                                    comp_batches, passes=passes)
+    rate = num_images / per_pass
+    results["device_transcode_gray_blur3_img_s"] = round(rate, 1)
+    log(f"device_transcode_gray  {rate:12,.0f} img/s")
+
+    # colorize: wedge-LUT L -> RGB (the --colorize stage on gray rows).
+    from hipe_tpu.ops.equalize import colorize_lut, colorize_oracle
+
+    lut3 = colorize_lut("navy", "#ffe0a0", "maroon")
+    lutj = jnp.asarray(lut3)
+    want_c = colorize_oracle(ref_gray[..., 0], lut3)
+    got_c = np.asarray(jnp.stack(
+        [jnp.take(lutj[i], jnp.asarray(ref_gray[..., 0]).astype(jnp.int32))
+         for i in range(3)], axis=-1))
+    err = int(np.abs(got_c.astype(int) - want_c.astype(int)).max())
+    results["colorize_max_abs_err"] = err
+    gray_stream = jax.device_put(
+        np.broadcast_to(ref_gray[..., 0], (num_images, h, w)).copy()
+    )
+
+    def colorize_pass(g):
+        x = g.astype(jnp.int32)
+        rgbc = jnp.stack([jnp.take(lutj[i], x) for i in range(3)], -1)
+        # feedback consumes ALL three channels so none can be dead-coded
+        z = ((jnp.min(rgbc[..., 0]) + jnp.min(rgbc[..., 1])
+              + jnp.min(rgbc[..., 2])) >> 8).astype(jnp.uint8)
+        return g + z
+
+    @jax.jit
+    def colorize_chained(g, r):
+        out = lax.fori_loop(0, r, lambda i, x: colorize_pass(x), g)
+        return jnp.sum(out[::97, ::3, ::5].astype(jnp.int32))
+
+    per_pass = measure_device_chain(
+        jax.jit(colorize_chained, static_argnames="r"), gray_stream,
+        passes=passes,
+    )
+    rate = num_images / per_pass
+    results["device_colorize_img_s"] = round(rate, 1)
+    log(f"device_colorize        {rate:12,.0f} img/s (max_abs_err {err})")
+
+    # arbitrary-size bilinear resize (--resize): 256x256 -> 192x144 on
+    # the MXU banded-matmul path. Flat-field gate here; bit-exactness vs
+    # the integer oracle is test_resize.py's contract.
+    from hipe_tpu.ops.resize import resize_bilinear
+
+    flat = jnp.full((2, h, w, 3), 119, jnp.uint8)
+    ff = np.asarray(resize_bilinear(flat, 144, 192))
+    results["resize_flat_field_exact"] = bool((ff == 119).all())
+
+    def resize_pass(px):
+        out = resize_bilinear(px, 144, 192)
+        z = (jnp.min(out).astype(jnp.int16) >> 8).astype(jnp.uint8)
+        return px + z
+
+    @jax.jit
+    def resize_chained(px, r):
+        out = lax.fori_loop(0, r, lambda i, x: resize_pass(x), px)
+        return jnp.sum(out[::97, ::3, ::5, ::7].astype(jnp.int32))
+
+    per_pass = measure_device_chain(
+        jax.jit(resize_chained, static_argnames="r"), pixels, passes=passes
+    )
+    rate = num_images / per_pass
+    results["device_resize_192x144_img_s"] = round(rate, 1)
+    log(f"device_resize 192x144  {rate:12,.0f} img/s")
+
+    # host entropy-layer emission variants (batch): each option changes
+    # only the entropy layer the host drains, so the deployment question
+    # is "what rate does the host sustain for this emission mode".
+    for label, kw in (
+        ("optimize", {"optimize": True}),
+        ("arithmetic", {"arithmetic": True}),
+        ("progressive", {"progressive": True}),
+        ("restart8", {"restart_interval": 8}),
+    ):
+        rate = measure_host(
+            lambda p, _kw=kw: jpeg.write_coefficients_batch(
+                stacked, w, h, quality=quality, subsampling="420", **_kw
+            ),
+            payloads,
+        )
+        results[f"host_entropy_encode_{label}_img_s"] = round(rate, 1)
+        log(f"host entropy encode ({label}): {rate:12,.0f} img/s")
+
     # 8. end-to-end serving: JPEG bytes in -> filtered JPEG bytes out via
     # ServingPipeline with the full numeric transcode on device and the
     # batch entropy coding on the host. On THIS harness the number is

@@ -647,8 +647,18 @@ def _band_from_taps_np(w: int, taps, scale: float = 1.0, c: int = 1):
     return band
 
 
-def _chain_band_specs(names: tuple, w: int, c: int = 1):
-    """Ordered unique band matrices a fused MXU chain needs."""
+def _chain_band_specs(names: tuple, w: int, c: int = 1,
+                      int8: bool = False):
+    """Ordered unique band matrices a fused MXU chain needs.
+
+    ``int8=True`` builds UNSCALED integer bands (int8): v5e's MXU runs
+    int8 x int8 -> int32 at twice the bf16 rate and every tap is a small
+    exact integer, so the fused chain can trade the fp32-accumulate
+    formulation for integer dots + a `>> 4r` normalization (the two are
+    bit-identical — see the exactness note above). Blur normalization is
+    NOT folded into the int8 band (entries must stay integers); the
+    stage shifts after the H pass instead.
+    """
     keys: list[tuple] = []
     from hipe_tpu.ops.blur import POINT_STAGES
 
@@ -672,7 +682,7 @@ def _chain_band_specs(names: tuple, w: int, c: int = 1):
         if key[0] == "blur":
             r = key[1]
             taps, _ = binomial_taps(r)
-            scale = 1.0 / (1 << (4 * r))
+            scale = 1.0 if int8 else 1.0 / (1 << (4 * r))
             mats.append(_band_from_taps_np(w, taps, scale, c))
         elif key[0] == "lr":
             mats.append(_band_from_taps_np(w, (1, 0, 1), 1.0, c))
@@ -680,7 +690,70 @@ def _chain_band_specs(names: tuple, w: int, c: int = 1):
             mats.append(_band_from_taps_np(w, (1, 2, 1), 1.0, c))
         elif key[0] == "diff":
             mats.append(_band_from_taps_np(w, (-1, 0, 1), 1.0, c))
+    if int8:
+        import numpy as np
+
+        for key, m in zip(uniq, mats):
+            if np.abs(m).max() > 127:
+                # Clamp folding can stack several taps into one edge row
+                # (blur9's column 0 reaches 163) — those stages stay bf16.
+                raise ValueError(
+                    f"band {key} has entries beyond int8 range"
+                )
+        mats = [m.astype(np.int8) for m in mats]
     return uniq, mats
+
+
+# Per-band-key column sums (clamp folding relocates taps within a column
+# but never changes its sum): the int8 stages center inputs at -128 to fit
+# int8 and add back 128 * colsum after the dot.
+def _band_colsum(key: tuple) -> int:
+    if key[0] == "blur":
+        return 1 << (2 * key[1])
+    return {"lr": 2, "smooth": 4, "diff": 0}[key[0]]
+
+
+def _mxu_stage_i8(name: str, x_i32: jax.Array, bands: dict) -> jax.Array:
+    """One clamp-mode chain stage on int8 MXU bands (bit-identical).
+
+    Inputs center at -128 so [0,255] fits int8; the dot's int32 result
+    adds back ``128 * colsum`` (a scalar per band — clamp folding keeps
+    every column's sum equal to the tap sum). Blur stages shift by 4r
+    after the integer H pass — the documented exact-integer equivalent of
+    the fp32-accumulate + truncating-cast formulation.
+    """
+    from hipe_tpu.ops.blur import POINT_STAGES
+
+    if name in POINT_STAGES:
+        return POINT_STAGES[name](x_i32)
+    xc = (x_i32 - 128).astype(jnp.int8)
+
+    def dot8(key):
+        t = lax.dot_general(
+            xc, bands[key], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        cs = _band_colsum(key)
+        return t + 128 * cs if cs else t
+
+    if name.startswith("gaussian"):
+        from hipe_tpu.ops.blur import FILTER_RADIUS
+
+        r = FILTER_RADIUS[name]
+        taps, _ = binomial_taps(r)
+        t = dot8(("blur", r))
+        return _hpass_rolls(t, taps) >> (4 * r)
+    if name == "sharpen":
+        lr = dot8(("lr",))
+        ud = _hpass_rolls(x_i32, (1, 0, 1))
+        return jnp.clip(5 * x_i32 - lr - ud, 0, 255)
+    if name == "edge":
+        sm = dot8(("smooth",))
+        df = dot8(("diff",))
+        gx = _hpass_rolls(df, (1, 2, 1))
+        gy = _hpass_rolls(sm, (-1, 0, 1))
+        return jnp.minimum(jnp.abs(gx) + jnp.abs(gy), 255)
+    raise KeyError(name)
 
 
 def _hpass_rolls(t: jax.Array, taps) -> jax.Array:
@@ -743,12 +816,16 @@ def _mxu_stage(name: str, x_i32: jax.Array, bands: dict) -> jax.Array:
 def _chain_mxu_call(x3d: jax.Array, names: tuple, *, h_pad: bool, c: int,
                     block: int | None, interpret: bool,
                     alias: bool = False,
-                    vmem_limit_mb: int | None = None) -> jax.Array:
+                    vmem_limit_mb: int | None = None,
+                    int8_bands: bool = False) -> jax.Array:
     """Shared pallas_call builder for fused MXU chains (planar c=1 or rows).
 
     `x3d` is (N, H, L) uint8 with L = W*c. Halo mode (h_pad=False) runs
     clamp-mode stages and trims `chain_radius` rows per side (the
     reference's compute-then-discard slab semantics).
+    ``int8_bands=True`` runs the W-pass dots as int8 x int8 -> int32
+    (2x MXU rate on v5e) — bit-identical; measured by
+    benchmarks/probe_chain_int8.py before any default flips.
     """
     from hipe_tpu.ops.blur import chain_radius
 
@@ -758,13 +835,17 @@ def _chain_mxu_call(x3d: jax.Array, names: tuple, *, h_pad: bool, c: int,
     w = lane // c
     trim = chain_radius(names) if not h_pad else 0
     out_h = h - 2 * trim
-    keys, mats = _chain_band_specs(names, w, c)
-    band_args = [jnp.asarray(m, jnp.bfloat16) for m in mats]
+    keys, mats = _chain_band_specs(names, w, c, int8=int8_bands)
+    band_args = [
+        jnp.asarray(m, jnp.int8 if int8_bands else jnp.bfloat16)
+        for m in mats
+    ]
     k = block or _pick_block_planes(n, h, lane, ntaps=3,
                                     budget_bytes=12 * 2**20)
     assert n % k == 0, (n, k)
     kernel = functools.partial(
-        _chain_mxu_kernel, names=names, trim=trim, band_keys=tuple(keys)
+        _chain_mxu_kernel, names=names, trim=trim, band_keys=tuple(keys),
+        int8_bands=int8_bands,
     )
     return pl.pallas_call(
         kernel,
@@ -820,12 +901,13 @@ def filter_chain_rows_pallas(
 
 
 def _chain_mxu_kernel(x_ref, *refs, names: tuple, trim: int,
-                      band_keys: tuple):
+                      band_keys: tuple, int8_bands: bool = False):
     o_ref = refs[-1]
     bands = {key: refs[i][:] for i, key in enumerate(band_keys)}
+    stage = _mxu_stage_i8 if int8_bands else _mxu_stage
     x = x_ref[:].astype(jnp.int32)
     for name in names:
-        x = _mxu_stage(name, x, bands)
+        x = stage(name, x, bands)
     if trim:
         x = x[:, trim:-trim, :]
     o_ref[:] = x.astype(jnp.uint8)
@@ -835,7 +917,7 @@ def _chain_mxu_kernel(x_ref, *refs, names: tuple, trim: int,
     jax.jit,
     static_argnames=(
         "names", "h_pad", "block_planes", "interpret", "alias",
-        "vmem_limit_mb",
+        "vmem_limit_mb", "int8_bands",
     ),
 )
 def filter_chain_planar_pallas(
@@ -847,6 +929,7 @@ def filter_chain_planar_pallas(
     interpret: bool = False,
     alias: bool = False,
     vmem_limit_mb: int | None = None,
+    int8_bands: bool = False,
 ) -> jax.Array:
     """Fused filter chain (e.g. blur->sharpen->edge) in one VMEM round-trip.
 
@@ -870,6 +953,12 @@ def filter_chain_planar_pallas(
         return _chain_mxu_call(
             x, tuple(names), h_pad=h_pad, c=1, block=block_planes,
             interpret=interpret, alias=alias, vmem_limit_mb=vmem_limit_mb,
+            int8_bands=int8_bands,
+        )
+    if int8_bands:
+        raise ValueError(
+            "int8_bands applies only to MXU-eligible chains "
+            f"(H % 8 == 0, band stages); got {names} at H={h}"
         )
     # Chains run stages sequentially, so peak liveness ≈ one 3-tap stage.
     k = block_planes or _pick_block_planes(n, h, w, ntaps=3)

@@ -149,3 +149,35 @@ def test_pallas_rank_filters_fused_and_tiled():
             [b(a(p[..., None]))[..., 0] for p in x])
         got = np.asarray(pipe.apply_planar(jnp.asarray(x), interpret=True))
         np.testing.assert_array_equal(got, want, err_msg=f"{pname} fused")
+
+
+def test_pallas_chain_int8_bands_bit_exact():
+    # int8 MXU bands (v5e: 2x the bf16 MXU rate) reformulate every W-pass
+    # dot as a centered int8 x int8 -> int32 matmul + integer H pass +
+    # `>> 4r` normalization — bit-identical to the bf16/fp32 formulation
+    # by the exactness contract. Full chain, single stages, halo mode.
+    batch = _batch(n=2)
+    planes = jnp.asarray(hwc_to_planar(batch))
+    for names in (("gaussian3", "sharpen", "edge"), ("gaussian5",),
+                  ("gaussian7",), ("sharpen", "invert"), ("edge",)):
+        want = np.asarray(pallas_blur.filter_chain_planar_pallas(
+            planes, names, interpret=True))
+        got = np.asarray(pallas_blur.filter_chain_planar_pallas(
+            planes, names, interpret=True, int8_bands=True))
+        np.testing.assert_array_equal(got, want, err_msg=str(names))
+    # Halo (valid) mode trims chain_radius rows — same equality.
+    want = np.asarray(pallas_blur.filter_chain_planar_pallas(
+        planes, ("gaussian3", "sharpen"), h_pad=False, interpret=True))
+    got = np.asarray(pallas_blur.filter_chain_planar_pallas(
+        planes, ("gaussian3", "sharpen"), h_pad=False, interpret=True,
+        int8_bands=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_chain_int8_bands_rejects_wide_taps():
+    # blur9's clamp-folded band stacks edge taps to 163 > int8 range; the
+    # int8 formulation must refuse rather than silently wrap.
+    planes = jnp.asarray(hwc_to_planar(_batch(n=1)))
+    with pytest.raises(ValueError, match="int8"):
+        pallas_blur.filter_chain_planar_pallas(
+            planes, ("gaussian9",), interpret=True, int8_bands=True)
