@@ -67,3 +67,86 @@ def test_readme_codec_numbers_match_json():
             f"measures {measured:.0f}; update README (one canonical "
             "number per metric, sourced from the JSON)"
         )
+
+
+def _read(path):
+    with open(os.path.join(ROOT, path)) as f:
+        return f.read()
+
+
+def _latest_bench():
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+    assert paths, "no BENCH_r*.json captures committed"
+    with open(paths[-1]) as f:
+        return json.load(f)["parsed"]
+
+
+def test_readme_headline_brackets_latest_bench():
+    """README's flagship row must bracket the latest committed capture.
+
+    Round 3's verdict: prose perf numbers sat outside the measured band
+    because only the tables were drift-tested. The quoted median must
+    track the latest BENCH_r*.json median and the quoted session band
+    must contain every session — and stay narrow enough that it can't be
+    gamed wide.
+    """
+    readme = _read("README.md")
+    m = re.search(
+        r"\*\*(\d+(?:\.\d+)?)M img/s\*\* median \(256x256; sessions "
+        r"(\d+(?:\.\d+)?)-(\d+(?:\.\d+)?)M",
+        readme,
+    )
+    assert m, "README flagship row pattern changed; update this test"
+    med, lo, hi = (float(g) for g in m.groups())
+    bench = _latest_bench()
+    sessions = sorted(s / 1e6 for s in bench["sessions_img_s"])
+    measured_med = sessions[len(sessions) // 2]
+    assert med == pytest.approx(measured_med, rel=0.02), (
+        f"README median {med}M vs measured {measured_med:.3f}M "
+        "(latest BENCH_r*.json); re-source the prose from the capture"
+    )
+    assert lo <= sessions[0] + 5e-3 and sessions[-1] <= hi + 5e-3, (
+        f"README band {lo}-{hi}M does not bracket measured sessions "
+        f"{sessions[0]:.3f}-{sessions[-1]:.3f}M"
+    )
+    assert hi - lo <= 0.2, "README session band suspiciously wide"
+
+
+def test_findings_flagship_band_brackets_captures():
+    """FINDINGS' flagship band must bracket the committed medians."""
+    text = _read(os.path.join("benchmarks", "FINDINGS.md"))
+    m = re.search(
+        r"capture:\s*\*\*(\d+(?:\.\d+)?)-(\d+(?:\.\d+)?)M img/s\*\*", text
+    )
+    assert m, "FINDINGS flagship band pattern changed; update this test"
+    lo, hi = float(m.group(1)), float(m.group(2))
+    with open(os.path.join(ROOT, "benchmarks",
+                           "flagship_sessions.json")) as f:
+        fs = json.load(f)
+    candidates = [fs["median"] / 1e6, _latest_bench()["value"] / 1e6]
+    assert lo <= min(candidates) + 5e-3 and max(candidates) <= hi + 5e-3, (
+        f"FINDINGS band {lo}-{hi}M does not bracket committed medians "
+        f"{candidates}"
+    )
+    assert hi - lo <= 0.15, "FINDINGS flagship band suspiciously wide"
+
+
+def test_readme_test_count_matches_collection(request):
+    """README's quoted test count must track the real collection size.
+
+    Only meaningful when the whole suite is collected (partial runs —
+    `pytest tests/test_doc_tables.py` — skip; the full-suite run is the
+    committed gate).
+    """
+    items = request.session.items
+    if len(items) < 400:
+        pytest.skip("partial collection; run the full suite to enforce")
+    readme = _read("README.md")
+    m = re.search(r"`tests/` — (\d+) tests", readme)
+    assert m, "README test-count pattern changed; update this test"
+    assert int(m.group(1)) == len(items), (
+        f"README claims {m.group(1)} tests; the suite collects "
+        f"{len(items)} — update the README row"
+    )
