@@ -149,13 +149,22 @@ def downsample_h2v1(plane: jnp.ndarray) -> jnp.ndarray:
     return (s + _alternating_bias(w2, 0, 1)) >> 1
 
 
-def downsample_h1v2(plane: jnp.ndarray) -> jnp.ndarray:
-    """1x2 vertical average for 4:4:0 chroma, bit-exact vs jcsample.c
-    int_downsample with h_expand=1, v_expand=2 (fixed +numpix/2 bias,
-    truncating division — no per-column alternation)."""
-    h2 = plane.shape[-2] // 2
-    x = plane.reshape(*plane.shape[:-2], h2, 2, plane.shape[-1])
-    return (x.sum(axis=-2) + 1) >> 1
+def downsample_int(plane: jnp.ndarray, h_expand: int,
+                   v_expand: int) -> jnp.ndarray:
+    """Generic jcsample.c int_downsample: plain block average with a
+    fixed ``+numpix/2`` bias and truncating division — libjpeg's method
+    for every ratio without a specialized handler (4:1:1 h4v1, 4:1:0
+    h4v2, 3:1:1 h3v1, mismatched-chroma layouts). Non-power-of-two
+    divisors (3:1:1) use XLA integer division (non-negative operands,
+    so trunc == floor)."""
+    hh = plane.shape[-2] // v_expand
+    ww = plane.shape[-1] // h_expand
+    x = plane.reshape(*plane.shape[:-2], hh, v_expand, ww, h_expand)
+    s = x.sum(axis=(-3, -1))
+    numpix = h_expand * v_expand
+    if numpix & (numpix - 1) == 0:
+        return (s + (numpix >> 1)) >> numpix.bit_length() - 1
+    return (s + numpix // 2) // numpix
 
 
 def _fdct_1d(d: list[jnp.ndarray], final: bool) -> list[jnp.ndarray]:
@@ -277,13 +286,32 @@ def fdct_quantize(plane: jnp.ndarray, qtable: np.ndarray,
     return stacked.reshape(*stacked.shape[:-2], hb, wb, 64)
 
 
-# Chroma layouts the DEVICE encoder implements (the host codec's exotic
-# test-surface names — "411" etc. — are deliberately absent). serve.py
-# and cli.py gate encode_on_device against this, so adding a layout here
-# enables it everywhere at once.
-DEVICE_SUBSAMPLINGS = ("420", "444", "422", "440")
+# Chroma layouts the DEVICE encoder implements. The four libjpeg-default
+# layouts use the specialized jcsample downsamplers (alternating-bias
+# h2v2/h2v1); every other integer ratio — the host codec's exotic
+# test-surface names 4:1:1 / 4:1:0 / 3:1:1 and the mismatched-chroma
+# "asym" — routes through the generic int_downsample reproduction
+# (fixed +numpix/2 bias), exactly libjpeg's own method selection
+# (jcsample.c start_pass_downsample). serve.py and cli.py gate
+# encode_on_device against this, so adding a layout here enables it
+# everywhere at once.
+DEVICE_SUBSAMPLINGS = ("420", "444", "422", "440",
+                       "411", "410", "311", "asym")
 _SUBSAMP_FACTORS = {"420": (2, 2), "422": (2, 1), "444": (1, 1),
                     "440": (1, 2)}
+# Per-component (h_samp, v_samp), mirroring io_.jpeg._SUB_FACTORS (the
+# native codec's apply_subsamp table) — the single source the geometry
+# derives from.
+_SUBSAMP_COMPS = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "440": ((1, 2), (1, 1), (1, 1)),
+    "411": ((4, 1), (1, 1), (1, 1)),
+    "410": ((4, 2), (1, 1), (1, 1)),
+    "311": ((3, 1), (1, 1), (1, 1)),
+    "asym": ((2, 2), (2, 1), (1, 1)),
+}
 
 
 def encode_geometry(height: int, width: int, channels: int,
@@ -293,15 +321,17 @@ def encode_geometry(height: int, width: int, channels: int,
         hb, wb = -(-height // 8), -(-width // 8)
         return DecodeGeometry(width=width, height=height, ncomps=1,
                               comps=((1, 1, wb, hb),), max_h=1, max_v=1)
-    hs, vs = _SUBSAMP_FACTORS[subsampling]
-    ywb = -(-width * hs // (8 * hs))
-    yhb = -(-height * vs // (8 * vs))
-    cwb = -(-width // (8 * hs))
-    chb = -(-height // (8 * vs))
+    facs = _SUBSAMP_COMPS[subsampling]
+    max_h = max(f[0] for f in facs)
+    max_v = max(f[1] for f in facs)
+    comps = []
+    for h_i, v_i in facs:
+        dw = -(-width * h_i // max_h)
+        dh = -(-height * v_i // max_v)
+        comps.append((h_i, v_i, -(-dw // 8), -(-dh // 8)))
     return DecodeGeometry(
-        width=width, height=height, ncomps=3,
-        comps=((hs, vs, ywb, yhb), (1, 1, cwb, chb), (1, 1, cwb, chb)),
-        max_h=hs, max_v=vs,
+        width=width, height=height, ncomps=3, comps=tuple(comps),
+        max_h=max_h, max_v=max_v,
     )
 
 
@@ -335,10 +365,12 @@ def encode_planes(
     hs, vs = geo.max_h, geo.max_v
     y, cb, cr = rgb_to_ycc(img)
     _, _, ywb, yhb = geo.comps[0]
-    _, _, cwb, chb = geo.comps[1]
     # Edge-padding semantics of the direct encoder, reproduced exactly:
-    # - horizontally, the downsampler's *input* is expanded full-res to
-    #   2*output_cols (jcsample.c expand_right_edge in h2v2/h2v1);
+    # - horizontally, the downsampler's *input* is expanded to
+    #   output_cols * h_expand per component (jcsample.c
+    #   expand_right_edge — for the standard layouts that equals the
+    #   luma iMCU width; mismatched-chroma layouts need the
+    #   per-component width);
     # - vertically, full-res rows are expanded only to the conversion
     #   group (a multiple of v_samp); rows beyond that are replicated in
     #   the *downsampled* domain (jcprepct.c expand_bottom_edge on the
@@ -348,21 +380,26 @@ def encode_planes(
     imcu_w = 8 * hs * -(-wid // (8 * hs))
     group_h = vs * -(-hgt // vs)
     y = _pad_edge(y, yhb * 8, imcu_w)
-    cb = _pad_edge(cb, group_h, imcu_w)
-    cr = _pad_edge(cr, group_h, imcu_w)
-    if (hs, vs) == (2, 2):
-        cb, cr = downsample_h2v2(cb), downsample_h2v2(cr)
-    elif (hs, vs) == (2, 1):
-        cb, cr = downsample_h2v1(cb), downsample_h2v1(cr)
-    elif (hs, vs) == (1, 2):
-        cb, cr = downsample_h1v2(cb), downsample_h1v2(cr)
-    cb = _pad_edge(cb, chb * 8, cwb * 8)
-    cr = _pad_edge(cr, chb * 8, cwb * 8)
-    return [
-        fdct_quantize(y[..., :, : ywb * 8], qtables[0], pallas, interpret),
-        fdct_quantize(cb, qtables[1], pallas, interpret),
-        fdct_quantize(cr, qtables[2], pallas, interpret),
+    outs = [
+        fdct_quantize(y[..., :, : ywb * 8], qtables[0], pallas, interpret)
     ]
+    for ci, plane in ((1, cb), (2, cr)):
+        h_i, v_i, wb_i, hb_i = geo.comps[ci]
+        h_e, v_e = hs // h_i, vs // v_i
+        in_w = wb_i * 8 * h_e
+        plane = _pad_edge(plane, group_h, in_w)[..., :, :in_w]
+        # libjpeg's method selection (jcsample.c start_pass_downsample):
+        # fullsize copy, the two alternating-bias specials, then the
+        # generic fixed-bias int_downsample for everything else.
+        if (h_e, v_e) == (2, 2):
+            plane = downsample_h2v2(plane)
+        elif (h_e, v_e) == (2, 1):
+            plane = downsample_h2v1(plane)
+        elif (h_e, v_e) != (1, 1):
+            plane = downsample_int(plane, h_e, v_e)
+        plane = _pad_edge(plane, hb_i * 8, wb_i * 8)
+        outs.append(fdct_quantize(plane, qtables[ci], pallas, interpret))
+    return outs
 
 
 @functools.lru_cache(maxsize=64)

@@ -86,9 +86,10 @@ class ServingPipeline:
 
         if encode_on_device and encode_subsampling not in \
                 je.DEVICE_SUBSAMPLINGS:
-            # The device encoder (ops/jpeg_encode.py) implements the
-            # libjpeg-default layouts; exotic names ("411"/"410"/"311"/
-            # "asym") are host-encode / device-DECODE test surfaces.
+            # The device encoder covers every named layout (incl. the
+            # exotic 411/410/311/asym via the generic int_downsample
+            # reproduction); anything else has no host encode path
+            # either, so fail with the device-encoder list.
             raise ValueError(
                 f"encode_on_device supports subsampling "
                 f"{'/'.join(je.DEVICE_SUBSAMPLINGS)}, got "

@@ -126,3 +126,34 @@ def test_decode_encode_loop_is_stable():
                                            subsampling="420")
     px2 = np.asarray(jd.decode_coefficients(jpeg.read_coefficients(data2)))
     np.testing.assert_array_equal(px2, jpeg.decode_bytes(data2))
+
+
+@pytest.mark.parametrize("sub", ["411", "410", "311", "asym"])
+def test_exotic_samplings_byte_identical(sub):
+    # Generic int_downsample reproduction (fixed +numpix/2 bias,
+    # truncating division; 3:1:1 exercises a non-power-of-two divisor,
+    # "asym" the per-component method selection: Cb int_downsample(1,2),
+    # Cr h2v2 with its alternating bias). jcsample.c start_pass_downsample
+    # semantics; the host codec (apply_subsamp codes 4-7) is the oracle.
+    _assert_byte_identical(_rand(32, 40, 3, seed=7), quality=85,
+                           subsampling=sub)
+    _assert_byte_identical(_rand(33, 29, 3, seed=8), quality=85,
+                           subsampling=sub)
+    _assert_byte_identical(_rand(9, 5, 3, seed=9), quality=85,
+                           subsampling=sub)
+
+
+def test_exotic_sampling_serving_placement():
+    # encode_on_device now accepts the exotic layouts end-to-end: the
+    # serving pipeline's device-encode output must match the host
+    # codec's bytes for the same filtered pixels.
+    from hipe_tpu.runtime.serve import ServingPipeline
+
+    img = _rand(24, 24, 3, seed=10)
+    payloads = [jpeg.encode_bytes_opts(img, quality=90,
+                                       subsampling="420")] * 2
+    kw = dict(quality=90, encode_subsampling="311", use_pallas=False)
+    want = ServingPipeline("blur3", **kw).process_batch(payloads)
+    got = ServingPipeline("blur3", encode_on_device=True,
+                          **kw).process_batch(payloads)
+    assert got == want
