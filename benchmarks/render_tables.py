@@ -56,6 +56,9 @@ def render_device_stream() -> str:
         "contrast": "contrast (PIL ImageEnhance, per-image luma)",
         "color": "color (PIL ImageEnhance, saturation blend)",
         "sharpness": "sharpness (PIL ImageEnhance, smooth blend)",
+        "invert": "invert (point stage)",
+        "solarize": "solarize (point stage, PIL-exact)",
+        "posterize": "posterize (point stage, PIL-exact)",
     }
     out = ["| pipeline | ms/pass (5000 imgs) | img/s per chip | GB/s | chosen config |",
            "|---|---|---|---|---|"]
@@ -98,9 +101,29 @@ def render_device_decode() -> str:
          d["device_transcode_blur3_img_s"], False),
         ("device thumbnail transcode: 1/8 decode -> blur3 -> encode",
          d["device_transcode_scaled8_blur3_img_s"], False),
+        # Round-3 serving placements (present once the round-4 on-silicon
+        # refresh lands; rows are omitted, never faked, while absent).
+        ("device gray-source decode (JCS_GRAYSCALE, luma-only graph)",
+         d.get("device_decode_gray_img_s"), False),
+        ("device gray-output transcode: decode -> blur3 -> luma -> encode",
+         d.get("device_transcode_gray_blur3_img_s"), False),
+        ("device colorize (wedge-LUT L -> RGB)",
+         d.get("device_colorize_img_s"), False),
+        ("device bilinear resize 256x256 -> 192x144 (MXU bands)",
+         d.get("device_resize_192x144_img_s"), False),
+        ("host entropy encode, optimized-Huffman emission",
+         d.get("host_entropy_encode_optimize_img_s"), False),
+        ("host entropy encode, arithmetic-coded emission",
+         d.get("host_entropy_encode_arithmetic_img_s"), False),
+        ("host entropy encode, progressive emission",
+         d.get("host_entropy_encode_progressive_img_s"), False),
+        ("host entropy encode, restart markers every 8 MCUs",
+         d.get("host_entropy_encode_restart8_img_s"), False),
     ]
     out = ["| path | img/s |", "|---|---|"]
     for name, v, bold in rows:
+        if v is None:
+            continue
         s = _fmt_img_s(v)
         out.append(f"| {name} | {'**' + s + '**' if bold else s} |")
     return "\n".join(out)
