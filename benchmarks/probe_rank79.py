@@ -192,6 +192,15 @@ def main() -> int:
                     pb.filter_chain_planar_pallas(
                         s, (nm,), block_planes=k, vmem_limit_mb=vmem),
             ))
+        # The halo-tiled path (what oversized planes route to): its
+        # liveness-aware scoped-VMEM sizing generalizes over RANK_STAGES,
+        # so it is the third candidate execution path for 7/9.
+        if name != "median5":
+            cases.append((
+                f"{name}_tiled_th64",
+                lambda s, nm=name: pb.filter_chain_planar_tiled_pallas(
+                    s, (nm,), tile_h=64),
+            ))
 
     for label, call in cases:
         name = label.split("_")[0]
