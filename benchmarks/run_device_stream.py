@@ -49,12 +49,35 @@ def main() -> int:
                   f"(choose from {sorted(PIPELINES)})", file=sys.stderr)
             return 1
         names = args.pipelines
+    def flush(rows: list[dict]) -> None:
+        # Merge measured rows into the committed file AFTER EVERY pipeline:
+        # the tunnel can stall/die mid-sweep, and an end-of-run write would
+        # lose every row measured before the failure. Ordering follows the
+        # registry so the rendered table stays stable.
+        old = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                old = {r["pipeline"]: r for r in json.load(f)}
+        old.update({r["pipeline"]: r for r in rows})
+        merged = [old[n] for n in PIPELINES if n in old]
+        with open(args.out, "w") as f:
+            json.dump(merged, f, indent=1)
+
     rows = []
+    failed = {}
     for name in names:
-        r = DeviceStreamRunner(name, num_images=args.num_images, image=img)
-        r.autotune(passes=4, reps=2, retune=not args.cached_tune)
-        err = r.verify_max_abs_err()
-        res = r.measure_throughput(passes=8, reps=3)
+        try:
+            r = DeviceStreamRunner(name, num_images=args.num_images,
+                                   image=img)
+            r.autotune(passes=4, reps=2, retune=not args.cached_tune)
+            err = r.verify_max_abs_err()
+            res = r.measure_throughput(passes=8, reps=3)
+        except Exception as e:  # noqa: BLE001 — keep measuring the rest;
+            # a pipeline whose every config fails (e.g. HBM OOM on the
+            # full-stream variants) must not cost the completed rows.
+            failed[name] = f"{type(e).__name__}: {e}"
+            print(f"FAILED {name}: {failed[name]}", file=sys.stderr)
+            continue
         row = {
             "pipeline": name,
             "max_abs_err": err,
@@ -65,17 +88,11 @@ def main() -> int:
         }
         rows.append(row)
         print(row, file=sys.stderr)
-    if args.pipelines and os.path.exists(args.out):
-        # Merge: measured rows replace same-name committed rows; ordering
-        # follows the registry so the rendered table stays stable.
-        with open(args.out) as f:
-            old = {r["pipeline"]: r for r in json.load(f)}
-        old.update({r["pipeline"]: r for r in rows})
-        rows = [old[n] for n in PIPELINES if n in old]
-    with open(args.out, "w") as f:
-        json.dump(rows, f, indent=1)
-    print(f"wrote {args.out}", file=sys.stderr)
-    return 0
+        flush(rows)
+    print(f"wrote {args.out}"
+          + (f" (failed: {sorted(failed)})" if failed else ""),
+          file=sys.stderr)
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":
