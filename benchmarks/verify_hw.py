@@ -149,6 +149,19 @@ def main() -> int:
         )
         total_err += check(f"planar/chain/alias {h}x{w}", got, want_chain)
 
+        # int8 MXU bands: the W-pass dots as centered int8 x int8 -> int32
+        # matmuls (2x MXU rate on v5e) must stay bit-identical to the
+        # bf16/fp32 formulation on silicon, not just in interpret mode.
+        got = planar_to_hwc(
+            np.asarray(
+                pallas_blur.filter_chain_planar_pallas(
+                    planes, ("gaussian3", "sharpen", "edge"), alias=True,
+                    int8_bands=True,
+                )
+            ), 3,
+        )
+        total_err += check(f"planar/chain/int8 {h}x{w}", got, want_chain)
+
     # Halo (valid) modes against split interiors
     img = checker_image(64, 256, 3, seed=7)
     for radius, tag in ((1, "blur3"), (2, "blur5")):
@@ -364,8 +377,8 @@ def main() -> int:
         total_err += byte_err
 
     # Exotic sampling layouts (replication upsample / mismatched Cb/Cr):
-    # device DECODE only — encodes of these layouts are host-codec test
-    # surfaces. 410 at 1/8 is the layout that distinguishes the
+    # device decode AND (since the generic int_downsample reproduction)
+    # device encode. 410 at 1/8 is the layout that distinguishes the
     # min_DCT_scaled_size replication rule from a per-component one.
     for tag, (ch, cw, q, sub) in {
         # w=4: narrow chroma (downsampled_width <= 2) — jdsample.c
@@ -388,6 +401,17 @@ def main() -> int:
             got = np.asarray(jd.decode_coefficients_scaled(co, den))
             total_err += check(f"jpeg/device_decode {tag} 1/{den}", got,
                                jio.decode_bytes_scaled(payload, 1, den))
+        # Device encode of the same exotic layout: the generic
+        # int_downsample reproduction (fixed +numpix/2 bias, truncating
+        # division; per-component method selection for "asym") must emit
+        # byte-identical files on silicon.
+        dev_file = je.encode_bytes_device(img, quality=q, subsampling=sub)
+        byte_err = 0 if dev_file == payload else 1
+        rows_out.append((f"jpeg/device_encode {tag} (byte-identity)",
+                         img.shape, byte_err))
+        print(f"{'OK ' if byte_err == 0 else 'ERR'} jpeg/device_encode {tag}",
+              flush=True)
+        total_err += byte_err
 
     # 4-component Adobe streams (CMYK transform 0 / YCCK transform 2):
     # device decode emits the same 4-channel CMYK samples libjpeg does.
