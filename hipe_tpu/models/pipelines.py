@@ -23,6 +23,37 @@ from hipe_tpu.ops import pallas_blur
 # set headroom; apply_planar then routes to the halo-tiled kernels.
 WHOLE_PLANE_PIXEL_LIMIT = 2 * 2**20
 
+# Global-statistics applies (LUT gathers / comparison-sums / luma blends)
+# carry int32 temps per pixel that XLA materializes at stream scale: at
+# the 5000-image resident stream (15000 planes) the equalize gather's
+# s32 index + output temps alone are ~8 GB and the compile OOMs HBM
+# ("Used 16.48G of 15.75G", campaign log 2026-08-19). Above this many
+# planes, GlobalStatsPipeline.apply_planar runs the op as a lax.map over
+# equal chunks (largest divisor of N that is a multiple of the channel
+# count and <= the limit) — bit-identical because every statistic is
+# per-image, and each ~200 MB chunk stays far above the bandwidth knee.
+GLOBAL_STATS_PLANE_CHUNK = 3072
+
+
+def _global_stats_chunk(n: int, channels: int) -> int | None:
+    """Chunk size for a stream-scale global-statistics apply, or None.
+
+    The largest divisor of ``n`` that is a multiple of ``channels``
+    (chunk boundaries must align to whole images — planar layout is
+    image-major, so any multiple of the channel count is) and at most
+    :data:`GLOBAL_STATS_PLANE_CHUNK`. None when ``n`` already fits or no
+    useful divisor exists (then the unchunked op runs; callers at that
+    scale are constructed from image batches, so a divisor exists in
+    practice — 15000 planes -> 3000).
+    """
+    limit = GLOBAL_STATS_PLANE_CHUNK
+    if n <= limit:
+        return None
+    for k in range(limit - limit % channels, channels, -channels):
+        if n % k == 0:
+            return k
+    return None
+
 
 @dataclasses.dataclass(frozen=True)
 class Pipeline:
@@ -331,7 +362,18 @@ class GlobalStatsPipeline:
                 f"pipeline {self.name!r}: halo (h_pad=False) mode is "
                 "meaningless for a global-statistics op"
             )
-        return self._op("planar")(planes, use_cmp=use_pallas)
+        fn = self._op("planar")
+        n = planes.shape[0]
+        chunk = _global_stats_chunk(n, self.channels)
+        if chunk is not None:
+            from jax import lax
+
+            out = lax.map(
+                lambda ch: fn(ch, use_cmp=use_pallas),
+                planes.reshape(n // chunk, chunk, *planes.shape[1:]),
+            )
+            return out.reshape(planes.shape)
+        return fn(planes, use_cmp=use_pallas)
 
     def apply_rows(self, rows: jax.Array, channels: int, *,
                    use_pallas: bool = True, interpret: bool = False,

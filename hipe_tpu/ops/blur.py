@@ -222,13 +222,17 @@ def dilate3x3(
 # form (ImageOps.invert/solarize/posterize), trivially exact:
 #   invert:     255 - x
 #   solarize:   x if x < 128 else 255 - x   (PIL default threshold)
-#   posterize4: (x // 16) * 16             (PIL posterize(bits=4), i & 0xF0)
+#   posterize4: x & 0xF0                   (PIL posterize(bits=4))
 
 def _posterize(bits: int):
-    # Integer div/mul rather than bitwise & — identical for x in [0, 255]
-    # and safe in every Mosaic lowering the chain kernels use.
-    step = 1 << (8 - bits)
-    return lambda x: (x // step) * step
+    # Bitwise mask, exactly PIL's `i & mask`. The div/mul spelling
+    # ((x // step) * step — identical for x in [0, 255]) failed on
+    # silicon both ways: Mosaic rejects the int32 floor-divide in the
+    # fused chain kernels, and XLA's rem/select lowering of it
+    # materializes s32 + pred temps (3.66 G + 0.9 G at the 5000-image
+    # resident stream) that OOM HBM. `and` lowers clean everywhere.
+    mask = 0x100 - (1 << (8 - bits))
+    return lambda x: x & mask
 
 
 POINT_STAGES = {

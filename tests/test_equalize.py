@@ -111,6 +111,35 @@ def test_pipeline_registry_and_methods():
         pipe.apply_planar(planes, h_pad=False)
 
 
+def test_stream_scale_apply_chunks_bit_exact(monkeypatch):
+    """Above GLOBAL_STATS_PLANE_CHUNK planes, apply_planar runs the op as
+    a lax.map over image-aligned chunks (the unchunked equalize gather
+    OOM'd HBM at the 5000-image resident stream on silicon: int32 index +
+    output temps ~8 GB, "Used 16.48G of 15.75G"). Chunking must be
+    bit-identical for every global-statistics family, both formulations."""
+    rng = np.random.default_rng(3)
+    planes = jnp.asarray(rng.integers(0, 256, (12, 16, 24), np.uint8))
+    cases = [
+        ("equalize", {}),
+        ("autocontrast", {"cutoff": 2}),
+        ("contrast", {"factor": 1.4}),
+        ("color", {"factor": 0.5}),
+        ("sharpness", {"factor": 2.0}),
+    ]
+    assert plib._global_stats_chunk(12, 3) is None  # default limit: no-op
+    # 15000-plane stream (the shape that OOM'd): chunks to 3000 planes.
+    assert plib._global_stats_chunk(15000, 3) == 3000
+    for name, kw in cases:
+        pipe = plib.GlobalStatsPipeline(name, **kw)
+        want = np.asarray(pipe.apply_planar(planes, use_pallas=False))
+        monkeypatch.setattr(plib, "GLOBAL_STATS_PLANE_CHUNK", 6)
+        assert plib._global_stats_chunk(12, 3) == 6
+        for use_pallas in (False, True):
+            got = pipe.apply_planar(planes, use_pallas=use_pallas)
+            np.testing.assert_array_equal(np.asarray(got), want, err_msg=name)
+        monkeypatch.setattr(plib, "GLOBAL_STATS_PLANE_CHUNK", 3072)
+
+
 def test_no_radius_and_no_halo_fns():
     pipe = plib.get("equalize")
     with pytest.raises(ValueError, match="psum"):

@@ -172,9 +172,10 @@ def test_encode_subsampling_honored_on_all_paths(sub):
     assert [(c.h_samp, c.v_samp) for c in co.components] == expect
 
 
-def test_exotic_encode_subsampling_host_only():
-    """Exotic layouts ("411" etc.) encode on host; combining them with
-    encode_on_device is a clear upfront error, not a deep KeyError."""
+def test_exotic_encode_subsampling_everywhere():
+    """Exotic layouts ("411" etc.) encode on host AND device (the generic
+    int_downsample reproduction); an unknown layout name is still a clear
+    upfront error, not a deep KeyError."""
     payloads = _payloads(n=1, seed=5)
     out = ServingPipeline("blur3", use_pallas=False,
                           encode_subsampling="411").process_batch(payloads)
@@ -185,9 +186,13 @@ def test_exotic_encode_subsampling_host_only():
     import hipe_tpu.ops.jpeg_decode as jd
     np.testing.assert_array_equal(
         np.asarray(jd.decode_coefficients(co)), jpeg.decode_bytes(out[0]))
+    # Device encode of the same layout: byte-identical to the host path.
+    got = ServingPipeline("blur3", use_pallas=False, encode_on_device=True,
+                          encode_subsampling="411").process_batch(payloads)
+    assert got == out
     with pytest.raises(ValueError, match="encode_on_device"):
         ServingPipeline("blur3", encode_on_device=True,
-                        encode_subsampling="411")
+                        encode_subsampling="421")
 
 
 def test_encode_optimize_all_placements():
