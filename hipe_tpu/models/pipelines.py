@@ -82,11 +82,21 @@ class Pipeline:
         """XLA path on (..., H, W, C) uint8 batches."""
         return xblur.filter_chain(x, self.filters)
 
+    @property
+    def has_band_stages(self) -> bool:
+        """Whether any stage runs MXU banded-matmul W passes (the stages
+        with an int8 x int8 -> int32 band variant)."""
+        return any(
+            nm.startswith("gaussian") or nm in ("sharpen", "edge")
+            for nm in self.filters
+        )
+
     def apply_planar(self, planes: jax.Array, *, use_pallas: bool = True,
                      h_pad: bool = True, interpret: bool = False,
                      alias: bool = False,
                      block_planes: int | None = None,
-                     vmem_limit_mb: int | None = None) -> jax.Array:
+                     vmem_limit_mb: int | None = None,
+                     int8_bands: bool = False) -> jax.Array:
         """Planar (N, H, W) path; Pallas on TPU, XLA elsewhere.
 
         ``h_pad=False`` treats H as halo-padded by :attr:`radius` rows per
@@ -100,24 +110,37 @@ class Pipeline:
         # images (e.g. the reference's 4000x2250 asset) use the halo-tiled
         # kernels (stage-by-stage for chains, exact per-stage edge clamp).
         if use_pallas and self.routes_tiled(planes.shape[1], planes.shape[2]):
+            if int8_bands:
+                raise ValueError(
+                    "int8_bands is a fused whole-plane MXU knob; "
+                    f"{planes.shape[1]}x{planes.shape[2]} planes route to "
+                    "the tiled kernels"
+                )
             if h_pad:
                 return pallas_blur.filter_chain_planar_tiled_pallas(
                     planes, self.filters, interpret=interpret
                 )
             use_pallas = False  # halo (valid) mode on oversized planes: XLA
         if use_pallas:
-            if len(self.filters) == 1 and self.filters[0].startswith("gaussian"):
+            if (len(self.filters) == 1
+                    and self.filters[0].startswith("gaussian")
+                    and not int8_bands):
                 radius = xblur.FILTER_RADIUS[self.filters[0]]
                 return pallas_blur.gaussian_blur_planar_pallas(
                     planes, radius, h_pad=h_pad, interpret=interpret,
                     alias=alias, block_planes=block_planes,
                     vmem_limit_mb=vmem_limit_mb,
                 )
+            # int8_bands routes single gaussians through the chain kernel
+            # too (its band machinery carries the int8 variant).
             return pallas_blur.filter_chain_planar_pallas(
                 planes, self.filters, h_pad=h_pad, interpret=interpret,
                 alias=alias, block_planes=block_planes,
-                vmem_limit_mb=vmem_limit_mb,
+                vmem_limit_mb=vmem_limit_mb, int8_bands=int8_bands,
             )
+        if int8_bands:
+            raise ValueError("int8_bands is a Pallas MXU knob; "
+                             "use_pallas=False runs the XLA path")
         return xblur.filter_chain(
             planes, self.filters, h_axis=-2, w_axis=-1, h_pad=h_pad
         )

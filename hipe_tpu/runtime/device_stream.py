@@ -155,13 +155,17 @@ class DeviceStreamRunner:
             pass  # cache is an optimization; never fail the run for it
 
     def _build(self, path: str, block: int | None, alias: bool,
-               vmem_mb: int | None = None) -> None:
+               vmem_mb: int | None = None, int8: bool = False) -> None:
         pipe = self.pipeline
+        # int8 is opt-in per config (autotune adds it only for band-stage
+        # pipelines); omitted from the kwargs otherwise so pipelines whose
+        # apply_planar has no such knob (global-stats) work unchanged.
+        extra = {"int8_bands": True} if int8 else {}
 
         def one_pass(s):
             return pipe.apply_planar(
                 s, use_pallas=(path == "pallas"), alias=alias,
-                block_planes=block, vmem_limit_mb=vmem_mb,
+                block_planes=block, vmem_limit_mb=vmem_mb, **extra,
             )
 
         self._one_pass = one_pass
@@ -283,6 +287,24 @@ class DeviceStreamRunner:
                          {"path": "pallas", "block": k, "alias": True,
                           "vmem_mb": mb})
                     )
+            if getattr(self.pipeline, "has_band_stages", False):
+                # int8 x int8 -> int32 MXU bands (2x the bf16 MXU rate on
+                # v5e, bit-identical) — a measured config like any other:
+                # adopted only where it times fastest. Sweep the same
+                # block grid as the bf16 configs.
+                for k in candidates or self.block_candidates():
+                    configs.append(
+                        (f"pallas_i8_k{k}_alias",
+                         {"path": "pallas", "block": k, "alias": True,
+                          "vmem_mb": None, "int8": True})
+                    )
+                if candidates is None:
+                    for k, mb in self.big_block_candidates():
+                        configs.append(
+                            (f"pallas_i8_k{k}_vmem{mb}M_alias",
+                             {"path": "pallas", "block": k, "alias": True,
+                              "vmem_mb": mb, "int8": True})
+                        )
         timings: dict[str, float] = {}
         skipped: dict[str, str] = {}
         best_label, best_cfg, best_t = None, None, float("inf")

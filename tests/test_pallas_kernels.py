@@ -174,6 +174,34 @@ def test_pallas_chain_int8_bands_bit_exact():
     np.testing.assert_array_equal(got, want)
 
 
+def test_pipeline_int8_bands_surface():
+    # Pipeline.apply_planar exposes int8_bands so the stream autotuner can
+    # sweep it as a measured config: bit-identical output, single
+    # gaussians rerouted through the chain kernel, clear errors on the
+    # paths that have no MXU bands.
+    from hipe_tpu.models import pipelines as plib
+
+    batch = _batch(n=2)
+    planes = jnp.asarray(hwc_to_planar(batch))
+    for pname in ("chain", "blur3", "sharpen", "edge"):
+        pipe = plib.PIPELINES[pname]
+        assert pipe.has_band_stages
+        want = np.asarray(pipe.apply_planar(planes, interpret=True))
+        got = np.asarray(pipe.apply_planar(planes, interpret=True,
+                                           int8_bands=True))
+        np.testing.assert_array_equal(got, want, err_msg=pname)
+    assert not plib.PIPELINES["median"].has_band_stages
+    assert not plib.PIPELINES["invert"].has_band_stages
+    assert plib.PIPELINES["denoise"].has_band_stages  # median + gaussian3
+    with pytest.raises(ValueError, match="use_pallas"):
+        plib.PIPELINES["chain"].apply_planar(planes, use_pallas=False,
+                                             int8_bands=True)
+    big = jnp.zeros((1, 8, plib.WHOLE_PLANE_PIXEL_LIMIT // 8 + 8), jnp.uint8)
+    with pytest.raises(ValueError, match="tiled"):
+        plib.PIPELINES["chain"].apply_planar(big, int8_bands=True,
+                                             interpret=True)
+
+
 def test_pallas_chain_int8_bands_rejects_wide_taps():
     # blur9's clamp-folded band stacks edge taps to 163 > int8 range; the
     # int8 formulation must refuse rather than silently wrap.
