@@ -63,6 +63,9 @@ def main() -> int:
         with open(args.out, "w") as f:
             json.dump(merged, f, indent=1)
 
+    _POISONED = ("UNAVAILABLE", "FAILED_PRECONDITION",
+                 "worker process crashed")
+
     rows = []
     failed = {}
     for name in names:
@@ -77,7 +80,28 @@ def main() -> int:
             # full-stream variants) must not cost the completed rows.
             failed[name] = f"{type(e).__name__}: {e}"
             print(f"FAILED {name}: {failed[name]}", file=sys.stderr)
+            if any(tag in failed[name] for tag in _POISONED):
+                # A crashed/restarting TPU worker poisons this process's
+                # JAX client — every later pipeline would fail instantly
+                # and the sweep would record junk skips. Exit with a
+                # distinct code so a driving script can re-gate the
+                # tunnel and retry the remaining pipelines fresh.
+                print(f"BACKEND POISONED after {name}; exiting for a "
+                      "fresh-process retry (rc=42)", file=sys.stderr)
+                return 42
             continue
+        if r.tuning and not r.tuning.get("cache_hit"):
+            # A sweep where the XLA path itself failed ran against a
+            # degraded backend (XLA always compiles when healthy —
+            # every pipeline has one); don't persist its winner or row.
+            skipped = r.tuning.get("skipped", {})
+            if "xla" in skipped:
+                failed[name] = (
+                    f"degraded sweep (xla skipped: {skipped['xla']}; "
+                    f"{len(skipped)} configs failed)"
+                )
+                print(f"FAILED {name}: {failed[name]}", file=sys.stderr)
+                return 42
         row = {
             "pipeline": name,
             "max_abs_err": err,
