@@ -59,6 +59,35 @@ def tunnel_alive(timeout_s: int = 120) -> bool:
         return False
 
 
+def backend_healthy(timeout_s: int = 420) -> bool:
+    """Execute a real chained Pallas program in a subprocess.
+
+    The arange probe passes while the TPU worker is CRASH-CYCLING after
+    an OOM (observed 2026-08-19): real programs then fail with
+    FAILED_PRECONDITION / "worker process crashed" for 10+ minutes.
+    Only an actual kernel execution proves the chip is measurable.
+    """
+    import subprocess
+
+    probe = (
+        "from hipe_tpu.utils.cache import enable_compilation_cache;"
+        "enable_compilation_cache();"
+        "from hipe_tpu.io_.jpeg import decode_file;"
+        "from hipe_tpu.utils.images import DEFAULT_IMAGE_256;"
+        "from hipe_tpu.runtime.device_stream import DeviceStreamRunner;"
+        "r = DeviceStreamRunner('blur3', num_images=60,"
+        " image=decode_file(DEFAULT_IMAGE_256));"
+        "r._sync(r._chained(r.stream, 3));"
+        "print('OKHEALTH')"
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", probe],
+                           capture_output=True, timeout=timeout_s)
+        return b"OKHEALTH" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> int:
     # Fail fast (with bounded retries) on a dead tunnel instead of hanging
     # in backend init; emit the one-line JSON contract either way so the
@@ -68,9 +97,16 @@ def main() -> int:
     attempts = 5
     for attempt in range(attempts):
         if tunnel_alive():
-            break
-        log(f"TPU tunnel probe {attempt + 1}/{attempts} failed"
-            + ("; retrying in 120 s" if attempt + 1 < attempts else ""))
+            # Tunnel answers; now demand a real kernel execution — the
+            # arange probe passes while the worker is crash-cycling.
+            if backend_healthy():
+                break
+            log(f"tunnel up but worker unhealthy "
+                f"({attempt + 1}/{attempts}); the post-crash cycle takes "
+                "~10 min")
+        else:
+            log(f"TPU tunnel probe {attempt + 1}/{attempts} failed"
+                + ("; retrying in 120 s" if attempt + 1 < attempts else ""))
         if attempt + 1 < attempts:
             time.sleep(120)
     else:
@@ -79,8 +115,9 @@ def main() -> int:
             "value": None,
             "unit": "img/s",
             "vs_baseline": None,
-            "error": "tpu tunnel unreachable (backend probe timed out "
-                     f"{attempts}x); rerun when jax.devices() responds",
+            "error": "tpu backend unreachable or unhealthy (probe/health "
+                     f"gate failed {attempts}x); rerun when a real kernel "
+                     "executes",
         }))
         return 2
 
@@ -99,6 +136,24 @@ def main() -> int:
     log(f"backend={backend} devices={jax.devices()} num_images={num_images}")
 
     img = decode_file(DEFAULT_IMAGE_256)
+    try:
+        return _measure(img, num_images, on_tpu, backend)
+    except Exception as e:  # noqa: BLE001 — keep the one-line JSON
+        # contract even when the worker crashes mid-measurement, so the
+        # driver records a diagnosable failure instead of a traceback.
+        print(json.dumps({
+            "metric": "img_per_s_per_chip",
+            "value": None,
+            "unit": "img/s",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}"[:500],
+        }))
+        return 2
+
+
+def _measure(img, num_images: int, on_tpu: bool, backend: str) -> int:
+    from hipe_tpu.runtime.device_stream import DeviceStreamRunner
+
     runner = DeviceStreamRunner(
         "blur3", num_images=num_images, image=img, use_pallas=on_tpu
     )
