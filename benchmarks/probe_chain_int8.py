@@ -55,14 +55,21 @@ def main() -> int:
     from hipe_tpu.ops import reference as oracle
     from hipe_tpu.utils.images import DEFAULT_IMAGE_256, hwc_to_planar
 
+    backend = jax.default_backend()
+    on_tpu = backend != "cpu"
+    # Off-TPU the probe smoke-runs interpret-mode kernels on a tiny
+    # stream — exactness still asserted, timings meaningless.
+    num_images = NUM_IMAGES if on_tpu else 40  # 120 planes: lcm of the ks
+    interpret = not on_tpu
+
     img = decode_file(DEFAULT_IMAGE_256)
     h, w, c = img.shape
-    n = NUM_IMAGES * c
+    n = num_images * c
     planes = jnp.asarray(hwc_to_planar(img[None]))
 
     @jax.jit
     def materialize(p):
-        return jnp.broadcast_to(p[None], (NUM_IMAGES, c, h, w)).reshape(
+        return jnp.broadcast_to(p[None], (num_images, c, h, w)).reshape(
             n, h, w)
 
     stream = materialize(planes)
@@ -83,7 +90,7 @@ def main() -> int:
     def make(names, k, int8, vmem_mb=None):
         return lambda x: pb.filter_chain_planar_pallas(
             x, names, alias=True, block_planes=k, vmem_limit_mb=vmem_mb,
-            int8_bands=int8,
+            int8_bands=int8, interpret=interpret,
         )
 
     variants = {}
@@ -101,7 +108,7 @@ def main() -> int:
         variants[f"{nm}_bf16_k24"] = ((nm,), make((nm,), 24, False))
         variants[f"{nm}_int8_k24"] = ((nm,), make((nm,), 24, True))
 
-    results = {}
+    results = {"backend": backend, "num_images": num_images}
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "probe_chain_int8.json")
     for label, (names, fn) in variants.items():
@@ -130,11 +137,11 @@ def main() -> int:
             per_pass = statistics.median(samples)
             results[label] = {
                 "per_pass_ms": round(per_pass * 1e3, 3),
-                "img_per_s": round(NUM_IMAGES / per_pass),
+                "img_per_s": round(num_images / per_pass),
                 "max_abs_err": err,
             }
             log(f"{label:24s} {per_pass * 1e3:7.2f} ms "
-                f"{NUM_IMAGES / per_pass:12,.0f} img/s")
+                f"{num_images / per_pass:12,.0f} img/s")
         except Exception as e:  # noqa: BLE001 — failures are probe results
             results[label] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
             log(f"{label:24s} FAILED: {type(e).__name__}: {str(e)[:120]}")

@@ -99,7 +99,14 @@ def main() -> int:
     from hipe_tpu.ops import reference as oracle
     from hipe_tpu.utils.images import DEFAULT_IMAGE_256, hwc_to_planar
 
-    results: dict = {}
+    backend = jax.default_backend()
+    on_tpu = backend != "cpu"
+    # Off-TPU: tiny stream + interpret-mode Pallas — a smoke run that
+    # still asserts exactness on every variant; timings meaningless.
+    num_images = NUM_IMAGES if on_tpu else 8  # 24 planes: all ks divide
+    interpret = not on_tpu
+
+    results: dict = {"backend": backend, "num_images": num_images}
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "probe_rank79.json")
 
@@ -123,12 +130,12 @@ def main() -> int:
 
     img = decode_file(DEFAULT_IMAGE_256)
     h, w, c = img.shape
-    n = NUM_IMAGES * c
+    n = num_images * c
     planes = jnp.asarray(hwc_to_planar(img[None]))
 
     @jax.jit
     def materialize(p):
-        return jnp.broadcast_to(p[None], (NUM_IMAGES, c, h, w)).reshape(
+        return jnp.broadcast_to(p[None], (num_images, c, h, w)).reshape(
             n, h, w)
 
     stream = materialize(planes)
@@ -166,7 +173,7 @@ def main() -> int:
         per_pass = statistics.median(samples)
         return {
             "per_pass_ms": round(per_pass * 1e3, 3),
-            "img_per_s": round(NUM_IMAGES / per_pass),
+            "img_per_s": round(num_images / per_pass),
             "max_abs_err": err,
         }
 
@@ -190,7 +197,8 @@ def main() -> int:
                 f"{name}_fused_k{k}" + (f"_vmem{vmem}M" if vmem else ""),
                 lambda s, nm=name, k=k, vmem=vmem:
                     pb.filter_chain_planar_pallas(
-                        s, (nm,), block_planes=k, vmem_limit_mb=vmem),
+                        s, (nm,), block_planes=k, vmem_limit_mb=vmem,
+                        interpret=interpret),
             ))
         # The halo-tiled path (what oversized planes route to): its
         # liveness-aware scoped-VMEM sizing generalizes over RANK_STAGES,
@@ -199,7 +207,7 @@ def main() -> int:
             cases.append((
                 f"{name}_tiled_th64",
                 lambda s, nm=name: pb.filter_chain_planar_tiled_pallas(
-                    s, (nm,), tile_h=64),
+                    s, (nm,), tile_h=64, interpret=interpret),
             ))
 
     for label, call in cases:

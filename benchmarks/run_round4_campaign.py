@@ -179,9 +179,13 @@ def main() -> int:
         ("stream-missing",
          [PY, "benchmarks/run_device_stream.py", "--cached-tune",
           "--pipelines", *MISSING_STREAM_ROWS], 14400, None),
+        # chain: the int8 MXU band config is a first-class autotune
+        # candidate now; median: likewise the int16 rank-network config
+        # (its committed row predates both) — fresh sweeps, no cache.
         ("stream-chain-int8-resweep",
-         [PY, "benchmarks/run_device_stream.py", "--pipelines", "chain"],
-         5400, None),
+         [PY, "benchmarks/run_device_stream.py", "--pipelines", "chain",
+          "median"],
+         7200, None),
         ("probe_chain_int8", [PY, "benchmarks/probe_chain_int8.py"],
          5400, None),
         ("probe_rank79", [PY, "benchmarks/probe_rank79.py"], 5400, None),

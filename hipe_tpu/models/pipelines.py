@@ -84,19 +84,34 @@ class Pipeline:
 
     @property
     def has_band_stages(self) -> bool:
-        """Whether any stage runs MXU banded-matmul W passes (the stages
-        with an int8 x int8 -> int32 band variant)."""
+        """Whether the chain routes to the MXU banded-matmul kernel (the
+        path with an int8 x int8 -> int32 band variant). Mirrors the
+        `mxu_ok` routing rule in filter_chain_planar_pallas: EVERY stage
+        must be a band or point stage — a mixed chain (e.g. denoise's
+        median + gaussian3) takes the VPU chain kernel, where int8 configs
+        would all fail to build and pollute the autotune skip log."""
         return any(
             nm.startswith("gaussian") or nm in ("sharpen", "edge")
             for nm in self.filters
+        ) and all(
+            nm.startswith("gaussian") or nm in ("sharpen", "edge")
+            or nm in xblur.POINT_STAGES
+            for nm in self.filters
         )
+
+    @property
+    def has_rank_stages(self) -> bool:
+        """Whether any stage is a rank-family min/max network (the stages
+        with an int16-network variant — autotune's ``pallas_i16_*``)."""
+        return bool(xblur.rank_stage_names(self.filters))
 
     def apply_planar(self, planes: jax.Array, *, use_pallas: bool = True,
                      h_pad: bool = True, interpret: bool = False,
                      alias: bool = False,
                      block_planes: int | None = None,
                      vmem_limit_mb: int | None = None,
-                     int8_bands: bool = False) -> jax.Array:
+                     int8_bands: bool = False,
+                     int16_ranks: bool = False) -> jax.Array:
         """Planar (N, H, W) path; Pallas on TPU, XLA elsewhere.
 
         ``h_pad=False`` treats H as halo-padded by :attr:`radius` rows per
@@ -110,9 +125,9 @@ class Pipeline:
         # images (e.g. the reference's 4000x2250 asset) use the halo-tiled
         # kernels (stage-by-stage for chains, exact per-stage edge clamp).
         if use_pallas and self.routes_tiled(planes.shape[1], planes.shape[2]):
-            if int8_bands:
+            if int8_bands or int16_ranks:
                 raise ValueError(
-                    "int8_bands is a fused whole-plane MXU knob; "
+                    "int8_bands/int16_ranks are fused whole-plane knobs; "
                     f"{planes.shape[1]}x{planes.shape[2]} planes route to "
                     "the tiled kernels"
                 )
@@ -124,7 +139,9 @@ class Pipeline:
         if use_pallas:
             if (len(self.filters) == 1
                     and self.filters[0].startswith("gaussian")
-                    and not int8_bands):
+                    and not int8_bands and not int16_ranks):
+                # (int16_ranks on a gaussian falls through to the chain
+                # kernel, which rejects it with the precise error.)
                 radius = xblur.FILTER_RADIUS[self.filters[0]]
                 return pallas_blur.gaussian_blur_planar_pallas(
                     planes, radius, h_pad=h_pad, interpret=interpret,
@@ -137,9 +154,10 @@ class Pipeline:
                 planes, self.filters, h_pad=h_pad, interpret=interpret,
                 alias=alias, block_planes=block_planes,
                 vmem_limit_mb=vmem_limit_mb, int8_bands=int8_bands,
+                int16_ranks=int16_ranks,
             )
-        if int8_bands:
-            raise ValueError("int8_bands is a Pallas MXU knob; "
+        if int8_bands or int16_ranks:
+            raise ValueError("int8_bands/int16_ranks are Pallas knobs; "
                              "use_pallas=False runs the XLA path")
         return xblur.filter_chain(
             planes, self.filters, h_axis=-2, w_axis=-1, h_pad=h_pad

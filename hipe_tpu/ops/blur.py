@@ -100,11 +100,20 @@ def gaussian_blur_planar(x: jax.Array, radius: int = 1, *, h_pad: bool = True):
     return gaussian_blur(x, radius, h_axis=-2, w_axis=-1, h_pad=h_pad)
 
 
-def _stencil_r(x: jax.Array, h_axis: int, w_axis: int, h_pad: bool, r: int):
-    """Return int32 shifted views of x for a (2r+1)^2 stencil."""
+def _stencil_r(x: jax.Array, h_axis: int, w_axis: int, h_pad: bool, r: int,
+               dtype=jnp.int32):
+    """Return integer shifted views of x for a (2r+1)^2 stencil.
+
+    ``dtype`` is the working dtype of the views (default int32). Rank
+    stages can run their min/max networks in int16 — values are [0, 255]
+    so any integer width is exact; the cast routes uint8 -> int32 ->
+    int16 because Mosaic has no direct uint8 <-> int16 path.
+    """
     h_axis = h_axis if h_axis >= 0 else h_axis + x.ndim
     w_axis = w_axis if w_axis >= 0 else w_axis + x.ndim
     xi = x.astype(jnp.int32)
+    if dtype != jnp.int32:
+        xi = xi.astype(dtype)
     xp = _edge_pad_axis(xi, w_axis, r, r)
     if h_pad:
         xp = _edge_pad_axis(xp, h_axis, r, r)
@@ -846,3 +855,44 @@ def register_rank_filter(name: str, size: int, rank: int) -> None:
 register_rank_filter("median5", 5, 12)
 register_rank_filter("erode5", 5, 0)
 register_rank_filter("dilate5", 5, 24)
+
+
+def rank_stage_names(names) -> tuple:
+    """The rank-family stages of a chain: the min/max-network stages
+    (median/erode/dilate + every registered ``RANK_STAGES`` entry) that
+    have an int16-network variant (:func:`rank_stage_i16`)."""
+    return tuple(
+        nm for nm in names
+        if nm in ("median", "erode", "dilate") or nm in RANK_STAGES
+    )
+
+
+def rank_stage_i16(x: jax.Array, name: str, *, h_axis: int = -3,
+                   w_axis: int = -2, h_pad: bool = True) -> jax.Array:
+    """One rank-family stage with the network evaluated in int16.
+
+    Identical min/max network to the int32 stage ops (values are
+    [0, 255], so any integer width computes the same order statistics —
+    bit-exact by construction); int16 packs 2 elements/lane on the VPU,
+    halving vector issue when Mosaic vectorizes it. Casts route
+    uint8 -> int32 -> int16 and back (no direct uint8 <-> int16 path in
+    Mosaic). An execution config, not a semantic switch: autotune adopts
+    it only where it measures faster (``pallas_i16_*`` configs).
+    """
+    assert x.dtype == jnp.uint8
+    if name in ("median", "erode", "dilate"):
+        size, rank = 3, None
+    else:
+        size, rank = RANK_STAGES[name]
+    v = _stencil_r(x, h_axis, w_axis, h_pad, size // 2, dtype=jnp.int16)
+    if name == "median":
+        out = _median_of_9([v(dy, dx) for dy in range(3) for dx in range(3)])
+    elif name in ("erode", "dilate"):
+        red = jnp.minimum if name == "erode" else jnp.maximum
+        rows = [red(red(v(dy, 0), v(dy, 1)), v(dy, 2)) for dy in range(3)]
+        out = red(red(rows[0], rows[1]), rows[2])
+    else:
+        out = _rank_select(
+            [v(dy, dx) for dy in range(size) for dx in range(size)], rank
+        )
+    return out.astype(jnp.int32).astype(jnp.uint8)

@@ -270,16 +270,23 @@ def gaussian_blur_planar_pallas(
     )(x)
 
 
-def _chain_kernel(x_ref, o_ref, *, names: tuple, trim: int):
+def _chain_kernel(x_ref, o_ref, *, names: tuple, trim: int,
+                  int16_ranks: bool = False):
     # Fused multi-filter chain: every stage stays in VMEM/registers; only the
     # uint8 input and final uint8 output touch HBM. Halo mode (trim > 0)
     # uses the same clamp-then-trim slab semantics as the MXU chain so both
-    # paths are value-identical everywhere.
+    # paths are value-identical everywhere. ``int16_ranks`` runs the
+    # rank-family stages' min/max networks in int16 (2 elements/VPU lane,
+    # bit-exact — an autotuned execution config like the int8 MXU bands).
     from hipe_tpu.ops import blur as xblur
 
+    rank_names = set(xblur.rank_stage_names(names)) if int16_ranks else set()
     x = x_ref[:]
     for name in names:
-        x = xblur.FILTERS[name](x, h_axis=1, w_axis=2, h_pad=True)
+        if name in rank_names:
+            x = xblur.rank_stage_i16(x, name, h_axis=1, w_axis=2, h_pad=True)
+        else:
+            x = xblur.FILTERS[name](x, h_axis=1, w_axis=2, h_pad=True)
     if trim:
         x = x[:, trim:-trim, :]
     o_ref[:] = x
@@ -917,7 +924,7 @@ def _chain_mxu_kernel(x_ref, *refs, names: tuple, trim: int,
     jax.jit,
     static_argnames=(
         "names", "h_pad", "block_planes", "interpret", "alias",
-        "vmem_limit_mb", "int8_bands",
+        "vmem_limit_mb", "int8_bands", "int16_ranks",
     ),
 )
 def filter_chain_planar_pallas(
@@ -930,6 +937,7 @@ def filter_chain_planar_pallas(
     alias: bool = False,
     vmem_limit_mb: int | None = None,
     int8_bands: bool = False,
+    int16_ranks: bool = False,
 ) -> jax.Array:
     """Fused filter chain (e.g. blur->sharpen->edge) in one VMEM round-trip.
 
@@ -944,6 +952,13 @@ def filter_chain_planar_pallas(
     out_h = h - 2 * chain_radius(names) if not h_pad else h
     from hipe_tpu.ops.blur import POINT_STAGES
 
+    from hipe_tpu.ops.blur import rank_stage_names
+
+    if int16_ranks and not rank_stage_names(names):
+        raise ValueError(
+            f"int16_ranks applies only to chains with rank-family stages "
+            f"(median/erode/dilate/registered ranks); got {names}"
+        )
     mxu_ok = h % 8 == 0 and all(
         nm.startswith("gaussian") or nm in ("sharpen", "edge")
         or nm in POINT_STAGES
@@ -966,6 +981,7 @@ def filter_chain_planar_pallas(
     kernel = functools.partial(
         _chain_kernel, names=tuple(names),
         trim=chain_radius(names) if not h_pad else 0,
+        int16_ranks=int16_ranks,
     )
     return pl.pallas_call(
         kernel,

@@ -155,12 +155,18 @@ class DeviceStreamRunner:
             pass  # cache is an optimization; never fail the run for it
 
     def _build(self, path: str, block: int | None, alias: bool,
-               vmem_mb: int | None = None, int8: bool = False) -> None:
+               vmem_mb: int | None = None, int8: bool = False,
+               i16: bool = False) -> None:
         pipe = self.pipeline
-        # int8 is opt-in per config (autotune adds it only for band-stage
-        # pipelines); omitted from the kwargs otherwise so pipelines whose
-        # apply_planar has no such knob (global-stats) work unchanged.
-        extra = {"int8_bands": True} if int8 else {}
+        # int8/i16 are opt-in per config (autotune adds them only for
+        # band-stage / rank-stage pipelines respectively); omitted from the
+        # kwargs otherwise so pipelines whose apply_planar has no such knob
+        # (global-stats) work unchanged.
+        extra = {}
+        if int8:
+            extra["int8_bands"] = True
+        if i16:
+            extra["int16_ranks"] = True
 
         def one_pass(s):
             return pipe.apply_planar(
@@ -304,6 +310,24 @@ class DeviceStreamRunner:
                             (f"pallas_i8_k{k}_vmem{mb}M_alias",
                              {"path": "pallas", "block": k, "alias": True,
                               "vmem_mb": mb, "int8": True})
+                        )
+            if getattr(self.pipeline, "has_rank_stages", False):
+                # int16 min/max networks for the rank-family stages
+                # (2 elements/VPU lane, bit-identical order statistics) —
+                # measured like any other config; Mosaic rejections are
+                # recorded skips, never silent.
+                for k in candidates or self.block_candidates():
+                    configs.append(
+                        (f"pallas_i16_k{k}_alias",
+                         {"path": "pallas", "block": k, "alias": True,
+                          "vmem_mb": None, "i16": True})
+                    )
+                if candidates is None:
+                    for k, mb in self.big_block_candidates():
+                        configs.append(
+                            (f"pallas_i16_k{k}_vmem{mb}M_alias",
+                             {"path": "pallas", "block": k, "alias": True,
+                              "vmem_mb": mb, "i16": True})
                         )
         timings: dict[str, float] = {}
         skipped: dict[str, str] = {}

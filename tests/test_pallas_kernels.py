@@ -192,7 +192,11 @@ def test_pipeline_int8_bands_surface():
         np.testing.assert_array_equal(got, want, err_msg=pname)
     assert not plib.PIPELINES["median"].has_band_stages
     assert not plib.PIPELINES["invert"].has_band_stages
-    assert plib.PIPELINES["denoise"].has_band_stages  # median + gaussian3
+    # denoise (median + gaussian3) is a MIXED chain: it routes to the VPU
+    # chain kernel (mxu_ok is all-stages), so it exposes the int16 rank
+    # knob, not the int8 band knob.
+    assert not plib.PIPELINES["denoise"].has_band_stages
+    assert plib.PIPELINES["denoise"].has_rank_stages
     with pytest.raises(ValueError, match="use_pallas"):
         plib.PIPELINES["chain"].apply_planar(planes, use_pallas=False,
                                              int8_bands=True)
@@ -209,3 +213,57 @@ def test_pallas_chain_int8_bands_rejects_wide_taps():
     with pytest.raises(ValueError, match="int8"):
         pallas_blur.filter_chain_planar_pallas(
             planes, ("gaussian9",), interpret=True, int8_bands=True)
+
+
+def test_pallas_chain_int16_ranks_bit_exact():
+    # int16 min/max networks for the rank-family stages (2 elements/VPU
+    # lane): same order statistics on [0, 255] values in any integer
+    # width, so the fused chain with int16_ranks=True is bit-identical to
+    # the int32 formulation. Pure rank stages, mixed chains, halo mode.
+    batch = _batch(n=2)
+    planes = jnp.asarray(hwc_to_planar(batch))
+    for names in (("median",), ("median5",), ("erode", "dilate"),
+                  ("dilate", "erode"), ("median", "gaussian3"),
+                  ("median", "invert"), ("erode5",), ("dilate5",)):
+        want = np.asarray(pallas_blur.filter_chain_planar_pallas(
+            planes, names, interpret=True))
+        got = np.asarray(pallas_blur.filter_chain_planar_pallas(
+            planes, names, interpret=True, int16_ranks=True))
+        np.testing.assert_array_equal(got, want, err_msg=str(names))
+    # Halo (valid) mode trims chain_radius rows — same equality.
+    want = np.asarray(pallas_blur.filter_chain_planar_pallas(
+        planes, ("median", "erode"), h_pad=False, interpret=True))
+    got = np.asarray(pallas_blur.filter_chain_planar_pallas(
+        planes, ("median", "erode"), h_pad=False, interpret=True,
+        int16_ranks=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pipeline_int16_ranks_surface():
+    # Pipeline.apply_planar exposes int16_ranks so the stream autotuner
+    # can sweep it (pallas_i16_* configs): bit-identical output, clear
+    # errors on the paths that have no rank stages / no Pallas kernels.
+    from hipe_tpu.models import pipelines as plib
+
+    batch = _batch(n=2)
+    planes = jnp.asarray(hwc_to_planar(batch))
+    for pname in ("median", "median5", "erode", "dilate", "open", "close",
+                  "denoise"):
+        pipe = plib.PIPELINES[pname]
+        assert pipe.has_rank_stages
+        want = np.asarray(pipe.apply_planar(planes, interpret=True))
+        got = np.asarray(pipe.apply_planar(planes, interpret=True,
+                                           int16_ranks=True))
+        np.testing.assert_array_equal(got, want, err_msg=pname)
+    assert not plib.PIPELINES["chain"].has_rank_stages
+    assert not plib.PIPELINES["invert"].has_rank_stages
+    with pytest.raises(ValueError, match="rank-family"):
+        plib.PIPELINES["blur3"].apply_planar(planes, interpret=True,
+                                             int16_ranks=True)
+    with pytest.raises(ValueError, match="use_pallas"):
+        plib.PIPELINES["median"].apply_planar(planes, use_pallas=False,
+                                              int16_ranks=True)
+    big = jnp.zeros((1, 8, plib.WHOLE_PLANE_PIXEL_LIMIT // 8 + 8), jnp.uint8)
+    with pytest.raises(ValueError, match="tiled"):
+        plib.PIPELINES["median"].apply_planar(big, int16_ranks=True,
+                                              interpret=True)
