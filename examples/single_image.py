@@ -8,6 +8,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from hipe_tpu.io_.jpeg import decode_file, encode_file  # noqa: E402
@@ -21,7 +22,9 @@ def main() -> int:
 
     img = decode_file(src)
     print(f"{src}: {img.shape[1]}x{img.shape[0]}, {img.shape[2]} channels")
-    out = pipe.apply_nhwc(jnp.asarray(img[None]))  # Pallas on TPU, XLA on CPU
+    # Pallas kernels on an accelerator; the XLA ops on a CPU backend.
+    on_accel = jax.default_backend() != "cpu"
+    out = pipe.apply_nhwc(jnp.asarray(img[None]), use_pallas=on_accel)
     encode_file(__import__("numpy").asarray(out)[0], dst)
     print(f"wrote {dst} ({pipe.name})")
     return 0
