@@ -5,10 +5,13 @@ processes skew timings ~2x):
 
   1.  verify_hw.py           — bit-exactness matrix incl. the round-4
                                cases (int8 chain bands, exotic encode)
-  2.  run_device_stream.py   — the 12 registered pipelines with no
-                               committed throughput row (incremental merge)
-  3.  run_device_stream.py   — chain re-sweep (int8 MXU band config is a
-                               first-class autotune candidate now)
+  2.  run_device_stream.py   — one step PER registered pipeline with no
+                               committed throughput row (incremental merge
+                               + the persisted autotune cache make each
+                               step independently resumable)
+  3.  run_device_stream.py   — chain + median re-sweeps (the int8 MXU
+                               band / int16 rank-network configs are
+                               first-class autotune candidates now)
   4.  probe_chain_int8.py    — the VERDICT-requested chain probe JSON
   5.  probe_rank79.py        — rank 7/9 gate decision artifact
   6.  probe_rank_i16.py      — int16 sort networks for the rank kernels
@@ -25,11 +28,20 @@ processes skew timings ~2x):
 Health gating (CLAUDE.md): the tunnel can be down for hours and the
 arange probe passes while the TPU worker crash-cycles after an OOM, so
 every step is gated on TWO consecutive light probes plus one REAL
-chained-kernel execution (bench.backend_healthy). A step that exits 42
-(poisoned JAX client: UNAVAILABLE / FAILED_PRECONDITION / worker crash)
-is retried in a fresh process after re-gating; other failures are
-recorded and the campaign moves on. Progress persists in
-/tmp/campaign_r4_state.json so a re-run skips finished steps.
+chained-kernel execution (bench.backend_healthy). Three failure classes:
+
+  * poisoned (rc=42 / UNAVAILABLE / FAILED_PRECONDITION / worker crash):
+    re-gate and retry in a fresh process.
+  * transient (killed by a signal, step timeout, or the HANG WATCHDOG —
+    the tunnel dropping mid-step leaves the child blocked in a remote
+    call using no CPU; observed 30+ min at 4 s of CPU): kill, re-gate,
+    retry. Never counts toward the deterministic-failure bail.
+  * deterministic (clean nonzero exit, healthy backend): recorded after
+    2 attempts and the campaign moves on.
+
+Progress persists in /tmp/campaign_r4_state.json so a re-run skips
+finished steps. Per-step stdout/stderr stream live to
+/tmp/campaign_steps/<name>.{out,err} for monitoring.
 
 Usage: python benchmarks/run_round4_campaign.py [--state PATH] [--only NAME ...]
 """
@@ -39,6 +51,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -55,6 +68,14 @@ MISSING_STREAM_ROWS = [
 ]
 
 PY = sys.executable
+STEP_LOG_DIR = "/tmp/campaign_steps"
+
+# Hang watchdog: a child that accrues < HANG_CPU_S of CPU over
+# HANG_WINDOW_S while the autotune/output artifacts also go untouched is
+# blocked on a dead tunnel (legit remote-compile stalls resolve well
+# inside this window; observed worst ~600 s).
+HANG_WINDOW_S = 1500
+HANG_CPU_S = 5.0
 
 
 def log(msg: str) -> None:
@@ -85,42 +106,104 @@ def wait_healthy(max_wait_s: float = float("inf")) -> bool:
     return False
 
 
+def _child_cpu_s(pid: int) -> float:
+    """utime+stime of the child (all threads) in seconds, 0 if gone."""
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            parts = f.read().rsplit(")", 1)[1].split()
+        hz = os.sysconf("SC_CLK_TCK")
+        return (int(parts[11]) + int(parts[12])) / hz  # utime, stime
+    except (OSError, IndexError, ValueError):
+        return 0.0
+
+
+def _run_watched(cmd: list[str], timeout_s: int, out_path: str,
+                 err_path: str) -> tuple[int | None, str]:
+    """Run cmd streaming stdout/err to files; kill on timeout or hang.
+
+    Returns (returncode, kind) where kind is 'exit' | 'timeout' | 'hang'.
+    """
+    with open(out_path, "ab", buffering=0) as fo, \
+            open(err_path, "ab", buffering=0) as fe:
+        p = subprocess.Popen(cmd, cwd=ROOT, stdout=fo, stderr=fe)
+        t0 = time.time()
+        last_cpu = 0.0
+        last_progress = t0
+        while True:
+            rc = p.poll()
+            if rc is not None:
+                return rc, "exit"
+            now = time.time()
+            cpu = _child_cpu_s(p.pid)
+            if cpu - last_cpu >= HANG_CPU_S:
+                last_cpu, last_progress = cpu, now
+            kind = None
+            if now - t0 > timeout_s:
+                kind = "timeout"
+            elif now - last_progress > HANG_WINDOW_S:
+                kind = "hang"
+            if kind:
+                log(f"killing child pid={p.pid} ({kind}; cpu={cpu:.1f}s)")
+                p.send_signal(signal.SIGTERM)
+                try:
+                    p.wait(timeout=30)
+                except subprocess.TimeoutExpired:
+                    p.kill()
+                    p.wait()
+                return None, kind
+            time.sleep(20)
+
+
+def _tail(path: str, n: int) -> str:
+    try:
+        with open(path, "rb") as f:
+            f.seek(0, 2)
+            f.seek(max(0, f.tell() - n))
+            return f.read().decode(errors="replace")
+    except OSError:
+        return ""
+
+
 def run_step(name: str, cmd: list[str], timeout_s: int,
-             stdout_to: str | None = None, retries: int = 4) -> dict:
+             stdout_to: str | None = None, retries: int = 10) -> dict:
+    os.makedirs(STEP_LOG_DIR, exist_ok=True)
+    out_path = os.path.join(STEP_LOG_DIR, f"{name}.out")
+    err_path = os.path.join(STEP_LOG_DIR, f"{name}.err")
+    deterministic_fails = 0
     for attempt in range(1, retries + 1):
         wait_healthy()
         log(f"step {name} attempt {attempt}/{retries}: {' '.join(cmd)}")
         t0 = time.time()
-        try:
-            r = subprocess.run(cmd, cwd=ROOT, capture_output=True,
-                               text=True, timeout=timeout_s)
-        except subprocess.TimeoutExpired:
-            log(f"step {name} TIMEOUT after {timeout_s}s")
-            continue
+        rc, kind = _run_watched(cmd, timeout_s, out_path, err_path)
         dt = time.time() - t0
-        sys.stdout.write(r.stderr[-4000:] if r.stderr else "")
-        if r.returncode == 0:
+        if kind != "exit":
+            log(f"step {name} {kind.upper()} after {dt:.0f}s; re-gating")
+            continue
+        if rc == 0:
             if stdout_to:
                 # Only replace the committed artifact on success, and only
                 # with the final JSON line (logs go to stderr by contract).
-                line = r.stdout.strip().splitlines()[-1]
+                line = _tail(out_path, 65536).strip().splitlines()[-1]
                 json.loads(line)  # validate before overwriting
                 with open(os.path.join(ROOT, stdout_to), "w") as f:
                     f.write(line)
                 log(f"wrote {stdout_to}")
             log(f"step {name} OK in {dt:.0f}s")
             return {"ok": True, "seconds": round(dt, 1),
-                    "stdout_tail": r.stdout[-2000:]}
-        poisoned = r.returncode == 42 or any(
-            tag in (r.stderr or "") + (r.stdout or "")
-            for tag in ("UNAVAILABLE", "FAILED_PRECONDITION",
-                        "worker process crashed"))
-        log(f"step {name} rc={r.returncode} poisoned={poisoned} "
-            f"({dt:.0f}s); stderr tail:\n{(r.stderr or '')[-1500:]}")
-        if not poisoned and attempt >= 2:
-            # A deterministic failure won't heal with retries.
-            return {"ok": False, "rc": r.returncode,
-                    "stderr_tail": (r.stderr or "")[-3000:]}
+                    "stdout_tail": _tail(out_path, 2000)}
+        err_tail = _tail(err_path, 4000)
+        poisoned = rc == 42 or any(
+            tag in err_tail for tag in
+            ("UNAVAILABLE", "FAILED_PRECONDITION", "worker process crashed"))
+        transient = rc is not None and rc < 0  # killed by a signal
+        log(f"step {name} rc={rc} poisoned={poisoned} "
+            f"transient={transient} ({dt:.0f}s); stderr tail:\n"
+            f"{err_tail[-1500:]}")
+        if not poisoned and not transient:
+            deterministic_fails += 1
+            if deterministic_fails >= 2:
+                # A deterministic failure won't heal with retries.
+                return {"ok": False, "rc": rc, "stderr_tail": err_tail[-3000:]}
         time.sleep(120)
     return {"ok": False, "rc": "retries-exhausted"}
 
@@ -176,15 +259,23 @@ def main() -> int:
 
     steps: list[tuple[str, list[str], int, str | None]] = [
         ("verify_hw", [PY, "benchmarks/verify_hw.py"], 10800, None),
-        ("stream-missing",
-         [PY, "benchmarks/run_device_stream.py", "--cached-tune",
-          "--pipelines", *MISSING_STREAM_ROWS], 14400, None),
-        # chain: the int8 MXU band config is a first-class autotune
-        # candidate now; median: likewise the int16 rank-network config
-        # (its committed row predates both) — fresh sweeps, no cache.
-        ("stream-chain-int8-resweep",
-         [PY, "benchmarks/run_device_stream.py", "--pipelines", "chain",
-          "median"],
+    ]
+    # One step per missing pipeline: each is short (bounded tunnel
+    # exposure), independently resumable (incremental JSON merge + the
+    # persisted autotune cache), and a failure costs only its own row.
+    for p in MISSING_STREAM_ROWS:
+        steps.append((f"stream-{p}",
+                      [PY, "benchmarks/run_device_stream.py",
+                       "--cached-tune", "--pipelines", p], 7200, None))
+    # chain: the int8 MXU band config is a first-class autotune candidate
+    # now; median: likewise the int16 rank-network config (their committed
+    # rows predate both) — fresh sweeps, no cache.
+    steps += [
+        ("stream-chain-resweep",
+         [PY, "benchmarks/run_device_stream.py", "--pipelines", "chain"],
+         7200, None),
+        ("stream-median-resweep",
+         [PY, "benchmarks/run_device_stream.py", "--pipelines", "median"],
          7200, None),
         ("probe_chain_int8", [PY, "benchmarks/probe_chain_int8.py"],
          5400, None),
