@@ -64,7 +64,7 @@ import bench  # tunnel_alive / backend_healthy live here
 MISSING_STREAM_ROWS = [
     "denoise", "erode", "dilate", "open", "close", "median5",
     "posterize", "equalize", "autocontrast", "contrast", "color",
-    "sharpness",
+    "sharpness", "mode", "mode5",
 ]
 
 PY = sys.executable

@@ -339,7 +339,22 @@ def main() -> int:
         ("autocontrast_tone",
          plib.GlobalStatsPipeline("autocontrast", preserve_tone=True),
          _ft.partial(eqops.autocontrast_oracle, preserve_tone=True)),
+        # PIL ModeFilter: truncated windows + lowest-value tie-break +
+        # count>2 gate (posterized input so real modes occur everywhere).
+        ("mode", plib.PIPELINES["mode"], eqops.mode_oracle),
+        ("mode5", plib.PIPELINES["mode5"],
+         _ft.partial(eqops.mode_oracle, size=5)),
     ):
+        if op.startswith("mode"):
+            # Quantize to 8 levels — full-entropy windows rarely mode.
+            q_batch = (batch & 0xE0)
+            q_rows = jnp2.asarray(
+                q_batch.reshape(rows.shape))
+            want_g = np.stack([ofn(b) for b in q_batch])
+            got = np.asarray(
+                gpipe.apply_rows(q_rows, 3)).reshape(batch.shape)
+            total_err += check(f"pipeline/{op} 64x128", got, want_g)
+            continue
         want_g = np.stack([ofn(b) for b in batch])
         for label, cmp_ in (("cmp", True), ("gather", False)):
             got = np.asarray(

@@ -65,6 +65,8 @@ def __getattr__(name):
                 "contrast_nhwc", "contrast_rows", "contrast_planar",
                 "color_nhwc", "color_rows", "color_planar",
                 "sharpness_nhwc", "sharpness_rows", "sharpness_planar",
+                "mode_nhwc", "mode_rows", "mode_planar",
+                "mode5_nhwc", "mode5_rows", "mode5_planar",
                 "colorize_lut"):
         from hipe_tpu.ops import equalize
 
@@ -73,7 +75,8 @@ def __getattr__(name):
                 "make_equalize_row_split_fn",
                 "make_autocontrast_row_split_fn",
                 "make_contrast_row_split_fn", "make_color_row_split_fn",
-                "make_sharpness_row_split_fn"):
+                "make_sharpness_row_split_fn",
+                "make_mode_row_split_fn"):
         from hipe_tpu.parallel import row_split
 
         return getattr(row_split, name)

@@ -302,6 +302,11 @@ class GlobalStatsPipeline:
       SMOOTH-degenerate blend with PIL's border-copy rule. Border
       position is global, so row-split needs the hybrid halo+mask
       helper (``make_sharpness_row_split_fn``).
+    - ``mode`` / ``mode5``: PIL ``ImageFilter.ModeFilter(3 | 5)``,
+      bit-exact — pairwise equality-sum counts with a -1 sentinel for
+      the TRUNCATED out-of-image window positions (PIL excludes them
+      rather than clamping, so borders are global positions too;
+      ``make_mode_row_split_fn``).
 
     There is no stencil radius: these ops need *whole-image* statistics,
     so halo-based row-split cannot run them (accessing :attr:`radius`
@@ -460,6 +465,10 @@ PIPELINES = {
     "contrast": GlobalStatsPipeline("contrast"),
     "color": GlobalStatsPipeline("color"),
     "sharpness": GlobalStatsPipeline("sharpness"),
+    # PIL ImageFilter.ModeFilter — truncated (not clamped) windows, so
+    # borders are global-position-dependent: this family, not FILTERS.
+    "mode": GlobalStatsPipeline("mode"),
+    "mode5": GlobalStatsPipeline("mode5"),
 }
 
 # The flagship model: the reference workload (3x3 Gaussian on image streams).

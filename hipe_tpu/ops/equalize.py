@@ -754,3 +754,147 @@ def colorize_lut(black, white, mid=None, blackpoint: int = 0,
 def colorize_oracle(gray: np.ndarray, lut3: np.ndarray) -> np.ndarray:
     """(H, W) uint8 -> (H, W, 3) via the three wedge LUTs."""
     return np.stack([lut3[c][gray] for c in range(3)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Mode filter — PIL ImageFilter.ModeFilter, bit-exact; completes the
+# integer-exact ImageFilter family (Kernel presets, Rank/Median/Min/Max
+# live in ops/blur.py). Semantics pinned empirically against Pillow and
+# asserted exactly in tests/test_mode_filter.py:
+#
+# - per band, for each pixel: histogram the size x size window TRUNCATED
+#   at the image bounds (out-of-image positions are EXCLUDED — not
+#   clamp-replicated like every stencil stage);
+# - the mode is the first maximum of the 0..255 histogram scan, i.e.
+#   ties break to the LOWEST pixel value;
+# - a mode that occurs <= 2 times is ignored: the original pixel wins.
+#
+# TPU formulation: no histograms — lift the window values to int32 with a
+# -1 sentinel in the out-of-image positions (sentinels match only each
+# other and are never candidates), count each window value's occurrences
+# with a pairwise equality-sum (J*(J-1)/2 fused VPU compares), and select
+# via one packed key max: key = count*256 + (255 - value) for valid
+# positions, 0 for sentinels. The max key's count and value decode with
+# a shift/mask; count > 2 gates against the center pixel. Everything is
+# int32 compare/add/max — one fused elementwise graph, one HBM pass.
+#
+# The truncated window makes borders GLOBAL-position-dependent (same
+# wrinkle as sharpness's border-copy rule), so mode lives in this family:
+# row-split sharding is ppermute halos plus axis-index masks that turn
+# only the true first/last shard's outer halo rows into sentinels
+# (make_mode_row_split_fn). The reference engine has no counterpart
+# (its one kernel is the 3x3 blur, gaussian_kernel.cl:19-72).
+# ---------------------------------------------------------------------------
+
+_MODE_SENTINEL = -1
+
+
+def _mode_core_i32(xp: jax.Array, size: int) -> jax.Array:
+    """Mode-select over a padded int32 stack: (..., H+2r, W+2r) -> uint8.
+
+    ``xp`` carries real window values where the window is inside the
+    global image and the -1 sentinel where it is not (global edges).
+    """
+    from jax import lax
+
+    r = size // 2
+    hn = xp.shape[-2] - 2 * r
+    wn = xp.shape[-1] - 2 * r
+
+    def view(dy, dx):
+        v = lax.slice_in_dim(xp, dy, dy + hn, axis=-2)
+        return lax.slice_in_dim(v, dx, dx + wn, axis=-1)
+
+    vals = [view(dy, dx) for dy in range(size) for dx in range(size)]
+    j = len(vals)
+    ones = jnp.ones((), jnp.int32)
+    counts = [ones for _ in range(j)]  # self-match; broadcasts on first add
+    for a in range(j):
+        for b in range(a + 1, j):
+            eq = (vals[a] == vals[b]).astype(jnp.int32)
+            counts[a] = counts[a] + eq
+            counts[b] = counts[b] + eq
+    best = None
+    for v, c in zip(vals, counts):
+        key = jnp.where(v >= 0, c * 256 + (255 - v), 0)
+        best = key if best is None else jnp.maximum(best, key)
+    cnt = best >> 8
+    val = 255 - (best & 255)
+    center = vals[(size * size) // 2]
+    return jnp.where(cnt > 2, val, center).astype(jnp.uint8)
+
+
+def mode_planar(planes: jax.Array, channels: int = 3, *, size: int = 3,
+                use_cmp: bool = False) -> jax.Array:
+    """(N, H, W) uint8 -> same; PIL ``ImageFilter.ModeFilter(size)``.
+
+    Channel-independent (PIL filters each band alone), so any plane
+    layout works; ``channels`` is accepted for family-signature symmetry.
+    ``use_cmp`` is accepted and ignored — the op is already a single
+    fused comparison graph; there is no separate gather formulation.
+    """
+    assert planes.dtype == jnp.uint8
+    if size not in (3, 5):
+        raise ValueError(f"mode filter size must be 3 or 5, got {size}")
+    r = size // 2
+    xi = planes.astype(jnp.int32)
+    pad = [(0, 0)] * (xi.ndim - 2) + [(r, r), (r, r)]
+    xp = jnp.pad(xi, pad, constant_values=_MODE_SENTINEL)
+    return _mode_core_i32(xp, size)
+
+
+def mode_rows(rows: jax.Array, channels: int, *, size: int = 3,
+              use_cmp: bool = False) -> jax.Array:
+    """Interleaved rows (B, H, W*C) uint8, per-channel mode filter."""
+    return _rows_via_planar(
+        lambda planes, **kw: mode_planar(planes, channels, **kw),
+        rows, channels, size=size, use_cmp=use_cmp,
+    )
+
+
+def mode_nhwc(x: jax.Array, *, size: int = 3,
+              use_cmp: bool = False) -> jax.Array:
+    """(..., H, W, C) uint8 -> same shape, PIL ModeFilter."""
+    return _nhwc_via_rows(mode_rows, x, size=size, use_cmp=use_cmp)
+
+
+def mode5_planar(planes: jax.Array, channels: int = 3, *,
+                 use_cmp: bool = False) -> jax.Array:
+    """PIL ``ImageFilter.ModeFilter(5)`` on planes."""
+    return mode_planar(planes, channels, size=5, use_cmp=use_cmp)
+
+
+def mode5_rows(rows: jax.Array, channels: int, *,
+               use_cmp: bool = False) -> jax.Array:
+    return mode_rows(rows, channels, size=5, use_cmp=use_cmp)
+
+
+def mode5_nhwc(x: jax.Array, *, use_cmp: bool = False) -> jax.Array:
+    return mode_nhwc(x, size=5, use_cmp=use_cmp)
+
+
+def mode_oracle(img: np.ndarray, size: int = 3) -> np.ndarray:
+    """NumPy histogram-scan reference for PIL ModeFilter (test-scale).
+
+    Independent formulation: per value v in 0..255, box-sum the one-hot
+    plane over the zero-padded (truncated) window; the first argmax over
+    v is the lowest-valued mode, gated on count > 2.
+    """
+    if img.ndim == 3:
+        return np.stack(
+            [mode_oracle(img[..., c], size) for c in range(img.shape[-1])],
+            axis=-1,
+        )
+    h, w = img.shape
+    r = size // 2
+    onehot = (
+        img[None] == np.arange(256, dtype=np.int32)[:, None, None]
+    ).astype(np.int32)
+    op = np.pad(onehot, ((0, 0), (r, r), (r, r)))
+    cnt = np.zeros_like(onehot)
+    for dy in range(size):
+        for dx in range(size):
+            cnt += op[:, dy:dy + h, dx:dx + w]
+    maxcnt = cnt.max(axis=0)
+    maxval = cnt.argmax(axis=0).astype(np.uint8)  # first max = lowest value
+    return np.where(maxcnt > 2, maxval, img).astype(np.uint8)

@@ -625,3 +625,65 @@ def make_sharpness_row_split_fn(
         return shard_fn(x)
 
     return step
+
+
+def make_mode_row_split_fn(
+    mesh: Mesh,
+    *,
+    size: int = 3,
+    axis_name: str = ROW_AXIS,
+    batch_axis: str | None = None,
+    channels: int | None = None,
+    use_cmp: bool = False,
+) -> Callable[[jax.Array], jax.Array]:
+    """PIL-exact ModeFilter over H-sharded images: halo + sentinel masks.
+
+    The mode filter (``ops/equalize.py`` mode_*, ImageFilter.ModeFilter
+    bit-exact) counts the size x size window TRUNCATED at the global
+    image bounds — out-of-image positions are excluded, not clamped.
+    Like sharpness's border-copy rule, that makes borders a *global*
+    position: the shard body exchanges real halo rows via ``ppermute``
+    (``exchange_halo``), then ``lax.axis_index`` masks rewrite only the
+    true first/last shard's outer halo rows to the -1 sentinel the mode
+    core treats as "no value here". Bit-identical to the single-device
+    :func:`hipe_tpu.ops.equalize.mode_nhwc`.
+    """
+    from hipe_tpu.ops.equalize import _MODE_SENTINEL, _mode_core_i32
+
+    if size not in (3, 5):
+        raise ValueError(f"mode filter size must be 3 or 5, got {size}")
+    r = size // 2
+
+    def local(block: jax.Array) -> jax.Array:
+        if channels is not None:
+            b, hh, lane = block.shape
+            w = lane // channels
+            x = block.reshape(b, hh, w, channels)
+        else:
+            x = block
+            b, hh, w = x.shape[0], x.shape[1], x.shape[2]
+        planes = x.transpose(0, 3, 1, 2)  # (b, c, hh, w)
+        padded = exchange_halo(planes, r, axis_name, h_axis=2)
+        xi = padded.astype(jnp.int32)
+        n = lax.axis_size(axis_name)
+        idx = lax.axis_index(axis_name)
+        ys = jnp.arange(hh + 2 * r)[:, None]
+        outside = ((idx == 0) & (ys < r)) | (
+            (idx == n - 1) & (ys >= hh + r))
+        xi = jnp.where(outside, _MODE_SENTINEL, xi)
+        xi = jnp.pad(xi, ((0, 0), (0, 0), (0, 0), (r, r)),
+                     constant_values=_MODE_SENTINEL)
+        out = _mode_core_i32(xi, size)
+        return out.transpose(0, 2, 3, 1).reshape(block.shape)
+
+    pspec = P(batch_axis, axis_name)
+    shard_fn = jax.shard_map(
+        local, mesh=mesh, in_specs=pspec, out_specs=pspec, check_vma=False
+    )
+
+    @jax.jit
+    def step(x: jax.Array) -> jax.Array:
+        x = lax.with_sharding_constraint(x, NamedSharding(mesh, pspec))
+        return shard_fn(x)
+
+    return step
