@@ -239,9 +239,11 @@ class DeviceStreamRunner:
                     self._build(**cfg)
                     t = self._measure_per_pass(passes=passes, reps=reps)
                 except Exception as e:  # noqa: BLE001
+                    head = (str(e).strip().splitlines()[0][:220]
+                            if str(e) else "")
                     print(
                         f"autotune: cached config {label} failed "
-                        f"({type(e).__name__}); re-sweeping",
+                        f"({type(e).__name__}: {head}); re-sweeping",
                         file=sys.stderr,
                     )
                 else:
@@ -340,9 +342,13 @@ class DeviceStreamRunner:
                 # configs, but record why: a silent skip here once meant a
                 # Pallas lowering break would quietly route to the 20x
                 # slower XLA path with no cause attached.
-                skipped[label] = type(e).__name__
+                # Keep the message head too: a bare class name once cost a
+                # full diagnosis cycle (every config "JaxRuntimeError" —
+                # OOM? Mosaic reject? poisoned client? — unknowable).
+                head = str(e).strip().splitlines()[0][:220] if str(e) else ""
+                skipped[label] = f"{type(e).__name__}: {head}"
                 print(
-                    f"autotune: skipped {label}: {type(e).__name__}",
+                    f"autotune: skipped {label}: {skipped[label]}",
                     file=sys.stderr,
                 )
                 continue
