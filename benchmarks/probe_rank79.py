@@ -50,39 +50,16 @@ def _pil_rank_gray(img: np.ndarray, size: int, rank: int) -> np.ndarray:
 
 
 def _register_unchecked(name: str, size: int, rank: int) -> None:
-    """register_rank_filter minus the size gate (probe-only).
+    """Ensure the stage is registered (idempotent on an exact spec match).
 
-    Applies the same name-collision check as register_rank_filter so an
-    accidental import into a live process can't silently overwrite a
-    registered stage.
+    Historical: this probe predates the 7/9 gate widening and used to
+    bypass `register_rank_filter`'s size check. median7/median9 are
+    builtins now, so this reduces to the (idempotent) public call — kept
+    so the probe stays runnable against older checkouts of the gate.
     """
-    import jax.numpy as jnp
-
     from hipe_tpu.ops import blur as xblur
 
-    for reg in (xblur.FILTERS, xblur.ROWS_FILTERS, xblur.RANK_STAGES,
-                xblur.FILTER_RADIUS):
-        if name in reg:
-            raise ValueError(f"stage name already registered: {name!r}")
-
-    r = size // 2
-
-    def op(x, *, h_axis=-3, w_axis=-2, h_pad=True):
-        assert x.dtype == jnp.uint8
-        v = xblur._stencil_r(x, h_axis, w_axis, h_pad, r)
-        vals = [v(dy, dx) for dy in range(size) for dx in range(size)]
-        return xblur._rank_select(vals, rank).astype(jnp.uint8)
-
-    def op_rows(x, channels, *, h_pad=True):
-        assert x.dtype == jnp.uint8
-        v = xblur._rows_stencil(x, channels, h_pad, r)
-        vals = [v(dy, dx) for dy in range(size) for dx in range(-r, r + 1)]
-        return xblur._rank_select(vals, rank).astype(jnp.uint8)
-
-    xblur.RANK_STAGES[name] = (size, rank)
-    xblur.FILTERS[name] = op
-    xblur.ROWS_FILTERS[name] = op_rows
-    xblur.FILTER_RADIUS[name] = r
+    xblur.register_rank_filter(name, size, rank)
 
 
 def main() -> int:

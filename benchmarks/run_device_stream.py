@@ -64,7 +64,10 @@ def main() -> int:
             json.dump(merged, f, indent=1)
 
     _POISONED = ("UNAVAILABLE", "FAILED_PRECONDITION",
-                 "worker process crashed")
+                 "worker process crashed",
+                 # Remote compile helper down/500ing: infra failure, never a
+                 # real result — a fresh process after re-gating is the fix.
+                 "remote_compile", "HTTP 500")
 
     rows = []
     failed = {}

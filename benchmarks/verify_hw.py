@@ -204,10 +204,15 @@ def main() -> int:
          lambda b: oracle.kernel_oracle(b, *_PRESETS["pil_emboss"])),
         ("pil_blur", ("pil_blur",),
          lambda b: oracle.kernel_oracle(b, *_PRESETS["pil_blur"])),
-        # 5x5 rank filter (odd-even transposition network) on the tiled
-        # and fused paths.
+        # 5x5/7x7/9x9 rank filters (odd-even transposition network) on the
+        # tiled and fused paths — 7/9 exercise the widened gate's
+        # liveness-aware scoped-VMEM sizing at real plane widths.
         ("median5", ("median5",),
          lambda b: oracle.rank_oracle(b, 5, 12)),
+        ("median7", ("median7",),
+         lambda b: oracle.rank_oracle(b, 7, 24)),
+        ("median9", ("median9",),
+         lambda b: oracle.rank_oracle(b, 9, 40)),
     ]
     # Lossless DCT-domain transform tensor ops on silicon: coefficient
     # grids round-trip through the device rot90 + its inverse exactly.
@@ -262,6 +267,8 @@ def main() -> int:
         ),
         "open": lambda b: oracle.dilate3x3_oracle(oracle.erode3x3_oracle(b)),
         "close": lambda b: oracle.erode3x3_oracle(oracle.dilate3x3_oracle(b)),
+        "median7": lambda b: oracle.rank_oracle(b, 7, 24),
+        "median9": lambda b: oracle.rank_oracle(b, 9, 40),
     }
     for name, ofn in oracle_fns.items():
         pipe = plib.PIPELINES[name]

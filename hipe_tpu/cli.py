@@ -49,8 +49,9 @@ def _add_kernel_flag(sp) -> None:
     sp.add_argument(
         "--rank", action="append", metavar="NAME=SIZE:RANK",
         help="register PIL RankFilter(SIZE, RANK) as a chainable stage "
-             "(SIZE 3 or 5, RANK in [0, SIZE^2); bit-exact incl. "
-             "borders; median5/erode5/dilate5 are pre-registered). "
+             "(SIZE odd 3..9, RANK in [0, SIZE^2); bit-exact incl. "
+             "borders; median5/erode5/dilate5/median7/median9 are "
+             "pre-registered). "
              "Repeatable. Example: --rank q25=5:6 --pipeline q25,edge")
 
 

@@ -453,8 +453,11 @@ PIPELINES = {
     "dilate": Pipeline("dilate", ("dilate",)),
     "open": Pipeline("open", ("erode", "dilate")),
     "close": Pipeline("close", ("dilate", "erode")),
-    # 5x5 rank filter (PIL MedianFilter(5), odd-even transposition net).
+    # 5x5/7x7/9x9 rank filters (PIL MedianFilter(n), odd-even
+    # transposition net; exec-path viability at 7/9: probe_rank79.json).
     "median5": Pipeline("median5", ("median5",)),
+    "median7": Pipeline("median7", ("median7",)),
+    "median9": Pipeline("median9", ("median9",)),
     # Radius-0 PIL point stages (ImageOps closed forms); chainable with
     # any stencil stage on every path.
     "invert": Pipeline("invert", ("invert",)),

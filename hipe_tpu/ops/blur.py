@@ -797,20 +797,24 @@ def _rank_select(vals, rank: int):
 def register_rank_filter(name: str, size: int, rank: int) -> None:
     """Register ``PIL.ImageFilter.RankFilter(size, rank)`` as a stage.
 
-    size: odd window edge (3 or 5); rank: order statistic in
-    [0, size*size). Larger windows are rejected: the unrolled
-    odd-even network at size 7/9 (49/81 live views) risks the Mosaic
-    scoped-VMEM blowup documented for wide unrolled graphs (each value
-    gets its own VMEM slot) — widen only after on-silicon validation.
-    The stage is a first-class FILTERS entry (radius size//2): chainable
-    on every execution path, halo-aware in row-split. Bit-identical to
-    PIL including borders. Idempotent re-registration; conflicts raise.
+    size: odd window edge (3/5/7/9); rank: order statistic in
+    [0, size*size). Sizes 7/9 keep 49/81 window views live in the
+    unrolled odd-even network — the fused-Pallas block sizing accounts
+    for that liveness (``_pick_block_planes`` via ``chain_live_taps``)
+    and the halo-tiled path raises its scoped-VMEM cap per
+    ``_tiled_vmem``; where even that can't hold the live set the chain
+    routes the stage through the XLA planar path, bit-identical
+    (on-silicon go/no-go per execution path:
+    ``benchmarks/probe_rank79.json``). The stage is a first-class
+    FILTERS entry (radius size//2): chainable on every execution path,
+    halo-aware in row-split. Bit-identical to PIL including borders.
+    Idempotent re-registration; conflicts raise.
     """
-    if size not in (3, 5):
+    if size not in (3, 5, 7, 9):
         raise ValueError(
-            f"rank filter {name!r}: size must be 3 or 5, got {size} "
-            "(larger unrolled sort networks risk Mosaic scoped-VMEM "
-            "exhaustion in the fused kernels)"
+            f"rank filter {name!r}: size must be odd 3..9, got {size} "
+            "(PIL RankFilter semantics; larger windows would exceed the "
+            "halo machinery's radius support)"
         )
     if not (0 <= rank < size * size):
         raise ValueError(
@@ -850,11 +854,35 @@ def register_rank_filter(name: str, size: int, rank: int) -> None:
     FILTER_RADIUS[name] = r
 
 
-# 5x5 builtins of the family (the 3x3 ones exist as the specialized
-# median/erode/dilate network ops above).
+# 5x5/7x7/9x9 builtins of the family (the 3x3 ones exist as the
+# specialized median/erode/dilate network ops above). median7/median9 are
+# PIL MedianFilter(7)/(9); their on-silicon execution-path viability is
+# probed in benchmarks/probe_rank79.json.
 register_rank_filter("median5", 5, 12)
 register_rank_filter("erode5", 5, 0)
 register_rank_filter("dilate5", 5, 24)
+register_rank_filter("median7", 7, 24)
+register_rank_filter("median9", 9, 40)
+
+
+def chain_live_taps(names) -> int:
+    """Peak per-stage liveness of a fused chain, in int32 plane temps.
+
+    Chains run stages sequentially, so the peak is the widest single
+    stage: ~3 temps for separable/point stages, size^2 live window views
+    for the rank family (the odd-even network holds them all at once —
+    the documented Mosaic wide-unrolled-graph failure mode). Used by the
+    fused-Pallas default block sizing so rank-9 chains don't get blocks
+    sized for a 3-tap working set.
+    """
+    taps = 3
+    for nm in names:
+        if nm in ("median", "erode", "dilate"):
+            taps = max(taps, 9)
+        elif nm in RANK_STAGES:
+            size = RANK_STAGES[nm][0]
+            taps = max(taps, size * size)
+    return taps
 
 
 def rank_stage_names(names) -> tuple:

@@ -975,8 +975,13 @@ def filter_chain_planar_pallas(
             "int8_bands applies only to MXU-eligible chains "
             f"(H % 8 == 0, band stages); got {names} at H={h}"
         )
-    # Chains run stages sequentially, so peak liveness ≈ one 3-tap stage.
-    k = block_planes or _pick_block_planes(n, h, w, ntaps=3)
+    # Chains run stages sequentially, so peak liveness = the widest single
+    # stage: 3 temps for separable/point stages, size^2 live window views
+    # for rank stages (49/81 at size 7/9 — blocks must shrink accordingly).
+    from hipe_tpu.ops.blur import chain_live_taps
+
+    k = block_planes or _pick_block_planes(
+        n, h, w, ntaps=chain_live_taps(names))
     assert n % k == 0, (n, k)
     kernel = functools.partial(
         _chain_kernel, names=tuple(names),

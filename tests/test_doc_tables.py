@@ -111,7 +111,13 @@ def test_readme_headline_brackets_latest_bench():
         f"README band {lo}-{hi}M does not bracket measured sessions "
         f"{sessions[0]:.3f}-{sessions[-1]:.3f}M"
     )
-    assert hi - lo <= 0.2, "README session band suspiciously wide"
+    # Anti-gaming: the quoted band may never be wider than the measured
+    # spread (+5k slack) — but a capture with a legitimately wide spread
+    # (round 4: one tunnel-noisy 1.59M session next to 1.95M) must still
+    # be quotable honestly, so the cap is data-driven, floored at 0.2M.
+    spread = sessions[-1] - sessions[0]
+    assert hi - lo <= max(0.2, spread + 5e-3), (
+        "README session band suspiciously wide")
 
 
 def test_findings_flagship_band_brackets_captures():

@@ -26,6 +26,7 @@ def _pil_rank(img, size, rank):
 
 @pytest.mark.parametrize("name,size,rank", [
     ("median5", 5, 12), ("erode5", 5, 0), ("dilate5", 5, 24),
+    ("median7", 7, 24), ("median9", 9, 40),
 ])
 def test_builtin_rank_filters_match_pil_all_layouts(name, size, rank):
     rng = np.random.default_rng(rank + 1)
@@ -65,14 +66,21 @@ def test_custom_rank_registration_and_pil():
     np.testing.assert_array_equal(got, want)
     with pytest.raises(ValueError, match="different spec"):
         xblur.register_rank_filter("rk_q", 5, 7)
-    with pytest.raises(ValueError, match="size must be 3 or 5"):
+    with pytest.raises(ValueError, match="size must be odd 3..9"):
         xblur.register_rank_filter("rk_bad", 4, 0)
-    with pytest.raises(ValueError, match="size must be 3 or 5"):
-        xblur.register_rank_filter("rk_bad7", 7, 24)
+    with pytest.raises(ValueError, match="size must be odd 3..9"):
+        xblur.register_rank_filter("rk_bad11", 11, 24)
     with pytest.raises(ValueError, match="rank must be in"):
         xblur.register_rank_filter("rk_bad2", 3, 9)
     with pytest.raises(ValueError, match="builtin filter name"):
         xblur.register_rank_filter("median", 3, 4)
+    # Size-7 custom registration (a non-median rank, vs PIL).
+    xblur.register_rank_filter("rk_q7", 7, 10)
+    img7 = np.random.default_rng(11).integers(
+        0, 256, (26, 22, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(xblur.FILTERS["rk_q7"](jnp.asarray(img7))),
+        _pil_rank(img7, 7, 10))
 
 
 def test_rank_filters_fused_tiled_and_row_split():
@@ -97,6 +105,41 @@ def test_rank_filters_fused_tiled_and_row_split():
         oracle.rank_oracle(b, 5, 12)) for b in batch])
     fn = make_row_split_fn(mesh, ("median5", "gaussian3"))
     np.testing.assert_array_equal(np.asarray(fn(jnp.asarray(batch))), want_c)
+
+
+def test_rank79_fused_tiled_row_split_and_liveness():
+    # Size-7/9 (radius 3/4): the widened gate routes through the same
+    # machinery — fused Pallas (liveness-aware default block), halo-tiled,
+    # and row-split halo exchange — all bit-exact vs the PIL-checked oracle.
+    from hipe_tpu.parallel import mesh as meshlib
+    from hipe_tpu.parallel.row_split import make_row_split_fn
+
+    assert xblur.chain_live_taps(("median7",)) == 49
+    assert xblur.chain_live_taps(("median9", "gaussian3")) == 81
+    assert xblur.chain_live_taps(("median",)) == 9
+    assert xblur.chain_live_taps(("gaussian9",)) == 3
+
+    x = np.stack([np.random.default_rng(s).integers(0, 256, (32, 48))
+                  .astype(np.uint8) for s in range(2)])
+    want7 = np.stack(
+        [oracle.rank_oracle(p[..., None], 7, 24)[..., 0] for p in x])
+    got = np.asarray(pallas_blur.filter_chain_planar_pallas(
+        jnp.asarray(x), ("median7",), interpret=True))
+    np.testing.assert_array_equal(got, want7)
+    got_t = np.asarray(pallas_blur.filter_chain_planar_tiled_pallas(
+        jnp.asarray(x), ("median7",), tile_h=16, interpret=True))
+    np.testing.assert_array_equal(got_t, want7)
+    # Radius-3 stage through the generic halo machinery (4-way split).
+    mesh = meshlib.make_mesh(4, axis=meshlib.ROW_AXIS)
+    batch = np.stack([np.random.default_rng(s).integers(
+        0, 256, (64, 40, 3)).astype(np.uint8) for s in range(2)])
+    want_c = np.stack([oracle.rank_oracle(b, 7, 24) for b in batch])
+    fn = make_row_split_fn(mesh, ("median7",))
+    np.testing.assert_array_equal(np.asarray(fn(jnp.asarray(batch))), want_c)
+    # Radius-4: median9 through row-split (the widest supported halo).
+    want_9 = np.stack([oracle.rank_oracle(b, 9, 40) for b in batch])
+    fn9 = make_row_split_fn(mesh, ("median9",))
+    np.testing.assert_array_equal(np.asarray(fn9(jnp.asarray(batch))), want_9)
 
 
 def test_tiled_rank_vmem_sizing_and_wide_plane():
@@ -149,4 +192,4 @@ def test_cli_rank_flag():
     err = _register_cli_ranks(["nope"])
     assert err and "bad --rank" in err
     err = _register_cli_ranks(["rk_x=4:0"])
-    assert err and "size must be 3 or 5" in err
+    assert err and "size must be odd 3..9" in err
