@@ -191,6 +191,31 @@ class DeviceStreamRunner:
         n = self.n_planes
         return [k for k in range(lo, hi + 1) if n % k == 0]
 
+    def rank_block_candidates(self, live_taps: int,
+                              limit: int = 4) -> list[tuple[int, int]]:
+        """(block, vmem_limit_mb) pairs sized from a rank chain's live set.
+
+        Rank stages keep ``live_taps`` int32 window views per plane alive
+        in the fused kernel (25/49/81 for size 5/7/9), so viable blocks
+        are tiny — k<=~13 for median5 at 256x256, k<=4 for median9 — far
+        below the default 16..64 sweep, whose every entry would OOM. Cap
+        sized like ``_tiled_vmem`` (x1.3 headroom), max 110 MB; returns
+        the largest few viable blocks.
+        """
+        n, px = self.n_planes, self.shape[0] * self.shape[1]
+        per_plane = (live_taps + 6) * px * 4
+        out = []
+        for k in range(13, 0, -1):
+            if n % k:
+                continue
+            mb = -(-per_plane * k * 13 // (10 * 2**20))
+            if mb > 110:
+                continue
+            out.append((k, max(24, mb)))
+            if len(out) >= limit:
+                break
+        return out
+
     def big_block_candidates(self, lo: int = 65, hi: int = 250,
                              limit: int = 4) -> list[tuple[int, int]]:
         """(block, vmem_limit_mb) pairs past Mosaic's 16 MB scoped cap.
@@ -326,6 +351,29 @@ class DeviceStreamRunner:
                     )
                 if candidates is None:
                     for k, mb in self.big_block_candidates():
+                        configs.append(
+                            (f"pallas_i16_k{k}_vmem{mb}M_alias",
+                             {"path": "pallas", "block": k, "alias": True,
+                              "vmem_mb": mb, "i16": True})
+                        )
+            live = 3
+            filters = getattr(self.pipeline, "filters", None)
+            if filters:
+                from hipe_tpu.ops.blur import chain_live_taps
+
+                live = chain_live_taps(filters)
+            if live >= 25 and candidates is None:
+                # Wide rank windows (size>=5): the only viable fused
+                # blocks are tiny — sweep a live-set-sized grid the
+                # default 16..64 sweep can't reach (int32 and int16
+                # network variants alike).
+                for k, mb in self.rank_block_candidates(live):
+                    configs.append(
+                        (f"pallas_k{k}_vmem{mb}M_alias",
+                         {"path": "pallas", "block": k, "alias": True,
+                          "vmem_mb": mb})
+                    )
+                    if getattr(self.pipeline, "has_rank_stages", False):
                         configs.append(
                             (f"pallas_i16_k{k}_vmem{mb}M_alias",
                              {"path": "pallas", "block": k, "alias": True,

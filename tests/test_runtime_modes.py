@@ -161,3 +161,25 @@ def test_autotune_cache_regression_resweeps(tmp_path):
     with open(path) as f:
         data = json.load(f)
     assert len(data["entries"]) == 2
+
+
+def test_rank_block_candidates_sized_from_live_set():
+    # Wide rank windows need tiny fused blocks: the grid must be sized
+    # from the live set (views * plane bytes * 1.3 <= 110 MB), largest
+    # viable blocks first — the default 16..64 sweep can't reach them.
+    img = checker_image(256, 256, 3, seed=3)
+    r = DeviceStreamRunner("median9", num_images=8, image=img,
+                           use_pallas=True)
+    px = 256 * 256
+    for live in (25, 49, 81):
+        cands = r.rank_block_candidates(live)
+        assert cands, live
+        ks = [k for k, _ in cands]
+        assert ks == sorted(ks, reverse=True)
+        for k, mb in cands:
+            assert r.n_planes % k == 0
+            assert mb <= 110
+            # The cap must actually hold the live set (x1.3 headroom).
+            assert (live + 6) * px * 4 * k * 1.3 <= mb * 2**20 * 1.01
+    # median9's 81 live views: nothing above k=3 fits at 256x256.
+    assert max(k for k, _ in r.rank_block_candidates(81)) <= 3
