@@ -362,6 +362,14 @@ def main() -> int:
              cmd=[PY, "benchmarks/run_fleet.py", "--scheduler", "greedy"],
              timeout_s=7200),
     ]
+    # Lowest priority (after everything owed): fresh int8-era sweeps for
+    # the remaining rows measured before the int8 band configs existed —
+    # blur3 re-tuned to pallas_i8_k25_alias (+14%); these may move too.
+    for p in ("blur5", "blur7", "blur9", "sharpen", "edge",
+              "invert", "solarize"):
+        steps.append(dict(name=f"stream-{p}-resweep",
+                          cmd=[PY, "benchmarks/run_device_stream.py",
+                               "--pipelines", p], timeout_s=7200))
 
     for st in steps:
         name = st["name"]
