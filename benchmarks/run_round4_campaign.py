@@ -210,10 +210,12 @@ def run_step(name: str, cmd: list[str], timeout_s: int,
                     dst.write(src.read())
                 log(f"wrote {copy_out_to}")
             log(f"step {name} OK in {dt:.0f}s")
+            # 64 KiB: flagship_spread parses bench.py's single JSON stdout
+            # line (~1.6 KB and growing with the autotune grid) from this.
             return {"ok": True, "seconds": round(dt, 1),
                     "attempts": attempts,
                     "artifact": stdout_to or copy_out_to,
-                    "stdout_tail": _tail(out_path, 2000)}
+                    "stdout_tail": _tail(out_path, 65536)}
         err_tail = _tail(err_path, 4000)
         poisoned = rc == 42 or any(
             tag in err_tail for tag in
