@@ -773,25 +773,58 @@ def gamma_lut(gamma: float):
 # ``MinFilter``/``MaxFilter`` = rank 0 / n*n-1). PIL rank filters
 # replicate the border before ranking — the engine's clamp-to-edge rule —
 # so equality vs PIL holds everywhere, borders included (probed at sizes
-# 3/5 across ranks). Selection runs an odd-even transposition sorting
-# network over the window's shifted views: pure jnp.minimum/maximum on
-# int32 — exact by construction and Mosaic-safe on every path (the same
-# op class as the 3x3 median's Paeth network, which stays the fast
-# special case).
+# 3/5 across ranks). Selection over the window's shifted views runs an
+# odd-even transposition sorting network at sizes 3/5 (pure
+# jnp.minimum/maximum on int32 — the same op class as the 3x3 median's
+# Paeth network, which stays the fast special case) and a bit-serial
+# counting selection at sizes 7/9 (see _rank_select) — both exact by
+# construction and Mosaic-safe on every path.
 
 RANK_STAGES: dict = {}
 
 
 def _rank_select(vals, rank: int):
-    """rank-th order statistic of n equal-shape arrays (sorting network)."""
+    """rank-th order statistic of n equal-shape integer arrays.
+
+    Two formulations, chosen by window size:
+
+    * n <= 25 (sizes 3/5): unrolled odd-even transposition network —
+      pure min/max, ~n^2/2 compare-exchanges. Proven fast on the VPU at
+      these sizes (probe_rank_i16 / device_stream captures).
+    * n > 25 (sizes 7/9): bit-serial counting selection. The full
+      network at n=81 is ~3.2k compare-exchanges (~6.5k ops) — Mosaic's
+      compile time explodes on that wide an unrolled graph (observed:
+      tiled/median9 stalled the remote compile helper >25 min; size 7's
+      ~2.4k-op network is near the edge). Instead binary-search the
+      8-bit value domain MSB-first: the rank-th smallest is >= c iff
+      |{x : x < c}| <= rank, so 8 rounds of comparison-sums (the
+      equalize.py Mosaic-safe pattern) pin down one bit each —
+      8*(2n+2) ~ 1.3k ops at n=81, exact on integers by construction
+      (and bit-exact vs PIL RankFilter like the network it replaces).
+      Always evaluated in int32: the counting path's adds/selects dodge
+      the documented Mosaic int16 arithmetic holes (min/max-only
+      networks are what the int16 views buy; counting is different
+      machinery, and the upcast from int16 views is free relative).
+    """
     vals = list(vals)
     n = len(vals)
-    mn, mx = jnp.minimum, jnp.maximum
-    for p in range(n):
-        for i in range(p % 2, n - 1, 2):
-            a, b = vals[i], vals[i + 1]
-            vals[i], vals[i + 1] = mn(a, b), mx(a, b)
-    return vals[rank]
+    if n <= 25:
+        mn, mx = jnp.minimum, jnp.maximum
+        for p in range(n):
+            for i in range(p % 2, n - 1, 2):
+                a, b = vals[i], vals[i + 1]
+                vals[i], vals[i + 1] = mn(a, b), mx(a, b)
+        return vals[rank]
+    vals = [v.astype(jnp.int32) for v in vals]
+    acc = jnp.zeros_like(vals[0])
+    for bit in range(7, -1, -1):
+        cand = acc + jnp.int32(1 << bit)  # acc has only higher bits set
+        cnt = vals[0] < cand
+        cnt = cnt.astype(jnp.int32)
+        for v in vals[1:]:
+            cnt = cnt + (v < cand).astype(jnp.int32)
+        acc = jnp.where(cnt <= jnp.int32(rank), cand, acc)
+    return acc
 
 
 def register_rank_filter(name: str, size: int, rank: int) -> None:
