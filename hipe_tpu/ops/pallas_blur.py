@@ -409,6 +409,19 @@ def _tiled_vmem(
     if name not in RANK_STAGES:
         return tile_h, None
     size, _ = RANK_STAGES[name]
+    if size >= 9:
+        # On-silicon (2026-08-21, v5e via the remote compile helper): a
+        # size-9 tiled rank kernel stalls the Mosaic compile >30 min at
+        # stream widths (W=1400) under BOTH formulations — the 81-view
+        # odd-even network (~6.5k ops) and the bit-serial counting
+        # selection (~1.3k ops) — i.e. the blowup tracks the 81 live
+        # window views, not the op count; size 7 (49 views) compiles in
+        # ~6 min and runs exact. The per-stage XLA planar fallback
+        # compiles in seconds and is bit-identical, so size 9 routes
+        # there unconditionally on the tiled (oversized-plane) path.
+        # Fused 256x256 viability is probed separately
+        # (benchmarks/probe_rank79.json).
+        return None, None
     r = FILTER_RADIUS[name]
 
     def est_mb(th: int) -> int:

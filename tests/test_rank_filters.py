@@ -184,6 +184,24 @@ def test_tiled_rank_extreme_width_xla_fallback():
     np.testing.assert_array_equal(got, want)
 
 
+def test_tiled_rank_size9_routes_xla():
+    # Size-9 rank stages route to the XLA planar path on the tiled
+    # (oversized-plane) route unconditionally: on silicon the 81-live-view
+    # Mosaic compile stalls >30 min at stream widths under both the sort
+    # network and the counting formulation (see _tiled_vmem). The chain
+    # result stays bit-identical, and size 7 keeps its Pallas tiling.
+    assert pallas_blur._tiled_vmem("median9", 128, 1400) == (None, None)
+    assert pallas_blur._tiled_vmem("median9", 128, 256) == (None, None)
+    th, _mb = pallas_blur._tiled_vmem("median7", 128, 1400)
+    assert th is not None
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 256, (1, 32, 640), np.uint8)
+    want = oracle.rank_oracle(x[0][..., None], 9, 40)[..., 0]
+    got = np.asarray(pallas_blur.filter_chain_planar_tiled_pallas(
+        jnp.asarray(x), ("median9",), tile_h=16, interpret=True))[0]
+    np.testing.assert_array_equal(got, want)
+
+
 def test_cli_rank_flag():
     from hipe_tpu.cli import _register_cli_ranks
 
