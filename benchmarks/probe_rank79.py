@@ -187,18 +187,70 @@ def main() -> int:
                     s, (nm,), tile_h=64, interpret=interpret),
             ))
 
-    for label, call in cases:
+    # Size-9 FUSED kernels keep 81 window views live — the documented
+    # Mosaic compile blowup mode (the tiled path already stalled >30 min
+    # on silicon and routes to XLA; see _tiled_vmem). Run those cases
+    # LAST, each in a daemon thread with a hard budget, so a compile
+    # stall becomes a recorded go/no-go result instead of hanging the
+    # campaign step; after the first timeout the helper may be wedged,
+    # so remaining risky cases are skipped and the probe exits via
+    # os._exit (atexit hooks could block on the stuck client).
+    COMPILE_BUDGET_S = 1200 if on_tpu else 10 ** 6
+    risky = [c for c in cases if c[0].startswith("median9_fused")]
+    safe = [c for c in cases if not c[0].startswith("median9_fused")]
+
+    import threading
+
+    wedged = False
+    for label, call in safe + risky:
         name = label.split("_")[0]
-        try:
-            results[label] = timed(call, label, oracles[name])
-            log(f"{label:28s} {results[label]['per_pass_ms']:9.2f} ms  "
-                f"{results[label]['img_per_s']:9,d} img/s")
-        except Exception as e:  # noqa: BLE001 — OOMs are a probe *result*
-            results[label] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
-            log(f"{label:28s} FAILED: {type(e).__name__}")
+        if wedged and label.startswith("median9_fused"):
+            results[label] = {"error": "skipped: compile helper wedged "
+                                       "by an earlier size-9 stall"}
+            log(f"{label:28s} SKIPPED (wedged helper)")
+        elif label.startswith("median9_fused") and on_tpu:
+            slot: dict = {}
+
+            def run(label=label, call=call, name=name, slot=slot):
+                try:
+                    slot["result"] = timed(call, label, oracles[name])
+                except Exception as e:  # noqa: BLE001
+                    slot["result"] = {
+                        "error": f"{type(e).__name__}: {str(e)[:200]}"}
+
+            th = threading.Thread(target=run, daemon=True)
+            th.start()
+            th.join(COMPILE_BUDGET_S)
+            if th.is_alive():
+                wedged = True
+                results[label] = {
+                    "error": f"compile-timeout >{COMPILE_BUDGET_S}s "
+                             "(81-live-view Mosaic blowup)"}
+                log(f"{label:28s} COMPILE-TIMEOUT")
+            else:
+                results[label] = slot["result"]
+                if "error" in slot["result"]:
+                    log(f"{label:28s} FAILED")
+                else:
+                    log(f"{label:28s} "
+                        f"{results[label]['per_pass_ms']:9.2f} ms  "
+                        f"{results[label]['img_per_s']:9,d} img/s")
+        else:
+            try:
+                results[label] = timed(call, label, oracles[name])
+                log(f"{label:28s} {results[label]['per_pass_ms']:9.2f} ms  "
+                    f"{results[label]['img_per_s']:9,d} img/s")
+            except Exception as e:  # noqa: BLE001 — OOMs are a probe result
+                results[label] = {
+                    "error": f"{type(e).__name__}: {str(e)[:200]}"}
+                log(f"{label:28s} FAILED: {type(e).__name__}")
         with open(out_path, "w") as f:
             json.dump(results, f, indent=1)
     log(f"wrote {out_path}")
+    if wedged:
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
     return 0
 
 
