@@ -33,7 +33,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-NUM_IMAGES = 1000  # 3000 planes: enough signal; median9 is ~3300 VPU ops/px
+NUM_IMAGES = 1000  # 3000 planes: enough signal; median9 is ~1.3k VPU ops/px
+# (bit-serial counting selection — see ops/blur.py _rank_select)
 PASSES = 4
 REPS = 5
 
