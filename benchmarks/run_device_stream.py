@@ -94,13 +94,27 @@ def main() -> int:
                 return 42
             continue
         if r.tuning and not r.tuning.get("cache_hit"):
-            # A sweep where the XLA path itself failed ran against a
-            # degraded backend (XLA always compiles when healthy —
-            # every pipeline has one); don't persist its winner or row.
+            # Two degraded-sweep shapes, both observed on silicon; a
+            # degraded winner/row must never be persisted:
+            #  * the XLA config itself failed (XLA always compiles when
+            #    the backend is healthy — every pipeline has one);
+            #  * any config was skipped for a poisoned-INFRA reason
+            #    (remote compile helper 500ing, crashed worker): the
+            #    2026-08-21 stream-denoise sweep had XLA compile fine
+            #    while EVERY pallas candidate hit HTTP 500 — the old
+            #    xla-only check would have committed an XLA-won row 20x
+            #    below the pipeline's real rate. Genuine per-config
+            #    VMEM/Mosaic rejections carry other messages and still
+            #    record as honest skips.
             skipped = r.tuning.get("skipped", {})
-            if "xla" in skipped:
+            poisoned_skips = {
+                k: v for k, v in skipped.items()
+                if any(tag in v for tag in _POISONED)
+            }
+            if "xla" in skipped or poisoned_skips:
                 failed[name] = (
-                    f"degraded sweep (xla skipped: {skipped['xla']}; "
+                    f"degraded sweep (xla skipped: {skipped.get('xla')}; "
+                    f"poisoned-infra skips: {sorted(poisoned_skips)}; "
                     f"{len(skipped)} configs failed)"
                 )
                 print(f"FAILED {name}: {failed[name]}", file=sys.stderr)

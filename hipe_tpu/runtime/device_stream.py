@@ -43,6 +43,13 @@ from hipe_tpu.models import pipelines as plib
 # Sized to shared-chip variance (CLAUDE.md: concurrent processes skew ~2x;
 # quiet-window session spread is ~1.5%).
 _RETUNE_FACTOR = 1.6
+
+# Exception-message tags that mark a config skip as poisoned INFRA (tunnel
+# compile helper down / TPU worker crash-cycling) rather than a genuine
+# per-config rejection; one of these in a sweep invalidates the sweep.
+_POISONED_SKIP_TAGS = ("UNAVAILABLE", "FAILED_PRECONDITION",
+                       "worker process crashed", "remote_compile",
+                       "HTTP 500")
 _TUNE_CACHE_VERSION = 1
 
 
@@ -403,6 +410,24 @@ class DeviceStreamRunner:
             timings[label] = t
             if t < best_t:
                 best_label, best_cfg, best_t = label, cfg, t
+        poisoned = {
+            k: v for k, v in skipped.items()
+            if any(tag in v for tag in _POISONED_SKIP_TAGS)
+        }
+        if poisoned:
+            # A config skipped for an INFRA reason (remote compile helper
+            # 500ing, crashed/restarting worker) means the whole sweep ran
+            # degraded — the winner among the survivors is not a
+            # measurement (observed 2026-08-21: XLA compiled fine while
+            # every pallas candidate hit HTTP 500; the "winner" would have
+            # been a 20x-slow XLA row). Raise so EVERY caller (bench.py,
+            # run_device_stream.py, probes) discards the sweep; genuine
+            # VMEM/Mosaic rejections carry other messages and remain
+            # honest recorded skips.
+            raise RuntimeError(
+                "degraded autotune sweep (poisoned-infra skips: "
+                f"{sorted(poisoned)}): {sorted(set(poisoned.values()))[0]}"
+            )
         assert best_cfg is not None, "no execution config compiled"
         self.config = best_cfg
         self._build(**best_cfg)

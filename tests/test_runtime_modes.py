@@ -183,3 +183,40 @@ def test_rank_block_candidates_sized_from_live_set():
             assert (live + 6) * px * 4 * k * 1.3 <= mb * 2**20 * 1.01
     # median9's 81 live views: nothing above k=3 fits at 256x256.
     assert max(k for k, _ in r.rank_block_candidates(81)) <= 3
+
+
+def test_autotune_rejects_poisoned_infra_skips(monkeypatch):
+    # A config skipped for an INFRA reason (compile helper 500ing, worker
+    # crash-cycling) invalidates the whole sweep: the winner among the
+    # survivors is not a measurement. Observed on silicon 2026-08-21:
+    # XLA compiled while every pallas candidate hit HTTP 500 — the old
+    # caller-side xla-only check would have persisted a 20x-slow XLA row.
+    import pytest
+
+    img = checker_image(32, 128, 3, seed=3)
+    runner = DeviceStreamRunner("blur3", num_images=8, image=img,
+                                use_pallas=False)
+    real_build = runner._build
+
+    def build(path="xla", **kw):
+        if path != "xla":
+            raise RuntimeError(
+                "INTERNAL: http://127.0.0.1:8103/remote_compile: "
+                "HTTP 500: tpu_compile_helper subprocess exit code 1")
+        return real_build(path=path, **kw)
+
+    monkeypatch.setattr(runner, "_build", build)
+    with pytest.raises(RuntimeError, match="degraded autotune sweep"):
+        runner.autotune(passes=1, reps=1, cache=False,
+                        candidates=[2, 4])
+    # Genuine per-config rejections (VMEM OOM etc.) stay honest skips.
+    def build_oom(path="xla", **kw):
+        if path != "xla":
+            raise RuntimeError("Mosaic: scoped vmem limit exceeded")
+        return real_build(path=path, **kw)
+
+    monkeypatch.setattr(runner, "_build", build_oom)
+    timings = runner.autotune(passes=1, reps=1, cache=False,
+                              candidates=[2, 4])
+    assert "xla" in timings
+    assert all("vmem" in v for v in runner.tuning["skipped"].values())
