@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import sys
+import time
 
 
 NORTH_STAR_IMG_S = 50_000.0
@@ -66,20 +67,40 @@ def backend_healthy(timeout_s: int = 420) -> bool:
     an OOM (observed 2026-08-19): real programs then fail with
     FAILED_PRECONDITION / "worker process crashed" for 10+ minutes.
     Only an actual kernel execution proves the chip is measurable.
+
+    The execution alone is still not enough (observed 2026-08-21): with
+    the persisted compilation cache warm, a chained-kernel run succeeds
+    while the REMOTE COMPILE HELPER is 500ing every fresh compile — a
+    sweep started then skips all pallas candidates as poisoned and burns
+    a campaign attempt. So the probe also compiles one tiny
+    NEVER-CACHED program (a unique constant baked per call) to prove
+    the compile path end-to-end.
     """
     import subprocess
 
-    probe = (
-        "from hipe_tpu.utils.cache import enable_compilation_cache;"
-        "enable_compilation_cache();"
-        "from hipe_tpu.io_.jpeg import decode_file;"
-        "from hipe_tpu.utils.images import DEFAULT_IMAGE_256;"
-        "from hipe_tpu.runtime.device_stream import DeviceStreamRunner;"
-        "r = DeviceStreamRunner('blur3', num_images=60,"
-        " image=decode_file(DEFAULT_IMAGE_256));"
-        "r._sync(r._chained(r.stream, 3));"
-        "print('OKHEALTH')"
-    )
+    nonce = int(time.time() * 1000) % 100_000_000
+    probe = f"""
+from hipe_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+from hipe_tpu.io_.jpeg import decode_file
+from hipe_tpu.utils.images import DEFAULT_IMAGE_256
+from hipe_tpu.runtime.device_stream import DeviceStreamRunner
+r = DeviceStreamRunner('blur3', num_images=60,
+                       image=decode_file(DEFAULT_IMAGE_256))
+r._sync(r._chained(r.stream, 3))
+import jax, jax.numpy as jnp, numpy as np
+if jax.default_backend() != 'cpu':
+    from jax.experimental import pallas as pl
+
+    def _k(x_ref, o_ref):
+        o_ref[...] = x_ref[...] + jnp.int32({nonce})
+
+    out = pl.pallas_call(
+        _k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32)
+    )(jnp.zeros((8, 128), jnp.int32))
+    assert int(np.asarray(out)[0, 0]) == {nonce}
+print('OKHEALTH')
+"""
     try:
         r = subprocess.run([sys.executable, "-c", probe],
                            capture_output=True, timeout=timeout_s)
