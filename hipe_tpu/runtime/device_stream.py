@@ -406,6 +406,17 @@ class DeviceStreamRunner:
                     f"autotune: skipped {label}: {skipped[label]}",
                     file=sys.stderr,
                 )
+                if any(tag in skipped[label]
+                       for tag in _POISONED_SKIP_TAGS):
+                    # Fail the sweep on the FIRST poisoned-infra skip:
+                    # sweeping the rest of the grid against a 500ing
+                    # compile helper just burns the retry window (and a
+                    # later candidate can block instead of erroring,
+                    # turning a 2-min fast-fail into a 25-min hang).
+                    raise RuntimeError(
+                        "degraded autotune sweep (poisoned-infra skip "
+                        f"at {label}): {skipped[label]}"
+                    ) from e
                 continue
             timings[label] = t
             if t < best_t:
